@@ -1,0 +1,178 @@
+"""XML round-trip tests.
+
+Port of the reference's only test suite
+(src/test/scala/de/sciss/strugatzki/StrugatzkiSuite.scala:12-92): configs and
+result objects are created, transformed to XML and back, and must equal the
+original.  Extended with self-/cross-similarity configs (which the reference
+suite does not cover) and cross-implementation fixture strings.
+"""
+
+import os
+import xml.etree.ElementTree as ET
+
+from strugatzki_tpu import (Break, ChannelsBehavior, ColorScheme,
+                            CorrelationConfig, CrossSimilarityConfig,
+                            ExtractionConfig, Match, Punch,
+                            SegmentationConfig, SelfSimilarityConfig, Span)
+from strugatzki_tpu.io.formats import WAVE
+
+
+def roundtrip(cfg, cls=None):
+    cls = cls or type(cfg)
+    xml = cfg.to_xml()
+    # go through text to prove actual serialisation, not just element identity
+    text = ET.tostring(xml, encoding="unicode")
+    return cls.from_xml(ET.fromstring(text))
+
+
+def test_extraction_roundtrip(tmp_path):
+    # mirrors StrugatzkiSuite.scala:13-29
+    fe = ExtractionConfig()
+    fe.audio_input = os.path.abspath("testing.aif")
+    fe.feature_output = "relative.aif"
+    fe.meta_output = None
+    fe.num_coeffs += 1
+    fe.fft_size += 1
+    fe.fft_overlap += 1
+    fe1 = fe.build()
+    fe.meta_output = os.path.dirname(fe.audio_input)
+    fe2 = fe.build()
+    assert roundtrip(fe1) == fe1
+    assert roundtrip(fe2) == fe2
+
+
+def test_extraction_channels_default():
+    # absent <channels> tag defaults to Mix (FeatureExtraction.scala:201-204)
+    xml = ET.fromstring(
+        "<feature><input>a.aif</input><output>b.aif</output><meta/>"
+        "<numCoeffs>13</numCoeffs><fftSize>1024</fftSize>"
+        "<fftOverlap>2</fftOverlap></feature>")
+    cfg = ExtractionConfig.from_xml(xml)
+    assert cfg.channels_behavior == ChannelsBehavior.MIX
+
+
+def test_correlation_roundtrip():
+    # mirrors StrugatzkiSuite.scala:31-58
+    fc = CorrelationConfig()
+    fc.database_folder = os.path.abspath("db")
+    fc.meta_input = "rarara.xml"
+    old = fc.punch_in
+    fc.punch_in = Punch(Span(old.span.start + 1, old.span.stop + 2),
+                        old.temporal_weight + 0.11)
+    fc.punch_out = Punch(Span(555, 666), 0.1234)
+    fc.min_punch += 1
+    fc.max_punch += 2
+    fc.normalize = not fc.normalize
+    fc.max_boost += 1
+    fc.num_matches += 1
+    fc.num_per_file += 1
+    fc.min_spacing += 1
+    fc1 = fc.build()
+    fc.punch_out = None
+    fc.normalize = not fc.normalize
+    fc2 = fc.build()
+    assert roundtrip(fc1) == fc1
+    assert roundtrip(fc2) == fc2
+
+
+def test_match_roundtrip():
+    # mirrors StrugatzkiSuite.scala:60-68
+    fm1 = Match(0.23, "gaga.aif", Span(33, 44), -6.0, -7.0)
+    fm2 = Match(0.46, os.path.abspath("rara.wav"), Span(666, 777), 8.0, 9.0)
+    assert Match.from_xml(ET.fromstring(ET.tostring(fm1.to_xml()))) == fm1
+    assert Match.from_xml(ET.fromstring(ET.tostring(fm2.to_xml()))) == fm2
+
+
+def test_segmentation_roundtrip():
+    # mirrors StrugatzkiSuite.scala:70-91
+    fs = SegmentationConfig()
+    fs.database_folder = os.path.abspath("db")
+    fs.meta_input = "rarara.xml"
+    fs.span = Span(1, 2)
+    fs.corr_len += 1
+    fs.temporal_weight += 0.1
+    fs.normalize = not fs.normalize
+    fs.num_breaks += 1
+    fs.min_spacing += 1
+    fs1 = fs.build()
+    fs.span = Span.all()
+    fs.normalize = not fs.normalize
+    fs2 = fs.build()
+    assert roundtrip(fs1) == fs1
+    assert roundtrip(fs2) == fs2
+
+
+def test_break_roundtrip():
+    b = Break(0.125, 4321)
+    assert Break.from_xml(ET.fromstring(ET.tostring(b.to_xml()))) == b
+
+
+def test_self_similarity_roundtrip():
+    ss = SelfSimilarityConfig()
+    ss.database_folder = "dbx"
+    ss.meta_input = "a_feat.xml"
+    ss.meta_input2 = "b_feat.xml"
+    ss.image_output = "out.png"
+    ss.span = Span(100, 2000)
+    ss.corr_len = 22050
+    ss.decimation = 4
+    ss.temporal_weight = 0.25
+    ss.colors = ColorScheme.GRAY_SCALE
+    ss.color_warp = 0.5
+    ss.color_ceil = 0.9
+    ss.color_inv = True
+    ss.normalize = False
+    ss1 = ss.build()
+    ss.meta_input2 = None
+    ss.span = Span.all()
+    ss2 = ss.build()
+    assert roundtrip(ss1) == ss1
+    assert roundtrip(ss2) == ss2
+
+
+def test_cross_similarity_roundtrip():
+    cs = CrossSimilarityConfig()
+    cs.meta_input1 = "x_feat.xml"
+    cs.meta_input2 = "y_feat.xml"
+    cs.span1 = Span(0, 500)
+    cs.span2 = Span.from_(250)
+    cs.temporal_weight = 0.75
+    cs.normalize = False
+    cs.max_boost = 4.0
+    cs1 = cs.build()
+    assert roundtrip(cs1) == cs1
+
+
+def test_cross_similarity_output_type_sync():
+    # reference CrossSimilarity.scala:138-156
+    cs = CrossSimilarityConfig()
+    assert cs.audio_output == "output.aif"
+    cs.set_audio_output_type(WAVE)
+    assert cs.audio_output == "output.wav"
+    cs.set_audio_output("foo.aif")
+    assert cs.audio_output_type.id == "aiff"
+
+
+def test_reference_fixture_parses():
+    """A sidecar in the exact shape the reference's scala-xml writer emits."""
+    text = """<?xml version='1.0' encoding='UTF-8'?>
+<feature>
+  <input>/tmp/snd/gaga.aif</input>
+  <output>/tmp/db/gaga_feat.aif</output>
+  <meta>/tmp/db/gaga_feat.xml</meta>
+  <numCoeffs>13</numCoeffs>
+  <fftSize>1024</fftSize>
+  <fftOverlap>2</fftOverlap>
+  <channels>0</channels>
+</feature>"""
+    cfg = ExtractionConfig.from_xml(ET.fromstring(text))
+    assert cfg.num_coeffs == 13
+    assert cfg.step_size == 512
+    assert cfg.audio_input == "/tmp/snd/gaga.aif"
+
+
+def test_span_xml_segmentation_always_present():
+    fs = SegmentationConfig().build()
+    xml = fs.to_xml()
+    assert xml.find("span") is not None
+    assert len(list(xml.find("span"))) == 0  # Span.all -> empty element
