@@ -1,0 +1,121 @@
+"""Audio codec tests: round-trips, cross-container, streaming reads, and the
+feature-file layout (AIFC fl32) the reference toolchain depends on."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.io import audiofile as af
+from strugatzki_tpu.io.formats import AIFF, IRCAM, NEXT, WAVE, SampleFormat
+
+
+def _sig(channels=3, frames=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-0.9, 0.9, size=(channels, frames)).astype(np.float32)
+
+
+@pytest.mark.parametrize("file_type,fmt,tol", [
+    (AIFF, SampleFormat.FLOAT, 0),
+    (AIFF, SampleFormat.INT16, 1 / 32768),
+    (AIFF, SampleFormat.INT24, 1 / 8388608),
+    (WAVE, SampleFormat.FLOAT, 0),
+    (WAVE, SampleFormat.INT16, 1 / 32768),
+    (WAVE, SampleFormat.INT24, 1 / 8388608),
+    (WAVE, SampleFormat.INT32, 1 / 2147483648),
+    (IRCAM, SampleFormat.FLOAT, 0),
+    (NEXT, SampleFormat.FLOAT, 0),
+    (NEXT, SampleFormat.INT16, 1 / 32768),
+])
+def test_roundtrip(tmp_path, file_type, fmt, tol):
+    data = _sig()
+    path = tmp_path / f"t.{file_type.extension}"
+    spec = af.AudioFileSpec(file_type, fmt, 3, 48000.0)
+    af.write(path, data, spec)
+    back, spec2 = af.read(path)
+    assert spec2.num_channels == 3
+    assert spec2.num_frames == 1000
+    assert abs(spec2.sample_rate - 48000.0) < 1e-6
+    assert back.shape == data.shape
+    np.testing.assert_allclose(back, data, atol=tol or 1e-7)
+
+
+def test_feature_file_is_aifc_fl32(tmp_path):
+    """Feature files must be AIFC with fl32 compression and f80 sample rate
+    (reference NonRealtimeProcessor.scala:164)."""
+    data = _sig(channels=14, frames=256)
+    rate = 44100.0 / 512
+    path = tmp_path / "x_feat.aif"
+    af.write(path, data, af.feature_spec(14, rate))
+    raw = path.read_bytes()
+    assert raw[:4] == b"FORM"
+    assert raw[8:12] == b"AIFC"
+    assert b"FVER" in raw[:64]
+    assert b"fl32" in raw[:128]
+    back, spec = af.read(path)
+    assert spec.num_channels == 14
+    assert abs(spec.sample_rate - rate) < 1e-9  # f80 is exact for this value
+    np.testing.assert_array_equal(back, data)
+
+
+def test_fractional_sample_rate_exact(tmp_path):
+    """featRate = 44100/512 = 86.1328125 must round-trip exactly through the
+    80-bit extended float (it is a dyadic rational)."""
+    rate = 44100.0 / 512
+    enc = af._encode_f80(rate)
+    assert af._decode_f80(enc) == rate
+
+
+def test_streaming_seek_read(tmp_path):
+    data = _sig(channels=2, frames=5000, seed=1)
+    path = tmp_path / "s.aif"
+    af.write(path, data, af.AudioFileSpec(AIFF, SampleFormat.FLOAT, 2, 44100.0))
+    with af.open_read(path) as r:
+        r.seek(1234)
+        chunk = r.read_frames(100)
+        np.testing.assert_array_equal(chunk, data[:, 1234:1334])
+        # read past EOF truncates
+        r.seek(4990)
+        tail = r.read_frames(100)
+        assert tail.shape == (2, 10)
+
+
+def test_identify(tmp_path):
+    data = _sig(1, 10)
+    p1 = tmp_path / "a.aif"
+    af.write(p1, data, af.AudioFileSpec(AIFF, SampleFormat.INT16, 1, 44100.0))
+    assert af.identify(p1) == AIFF
+    p2 = tmp_path / "b.wav"
+    af.write(p2, data, af.AudioFileSpec(WAVE, SampleFormat.FLOAT, 1, 44100.0))
+    assert af.identify(p2) == WAVE
+    p3 = tmp_path / "junk.bin"
+    p3.write_bytes(b"garbagegarbage")
+    assert af.identify(p3) is None
+
+
+def test_norm_file_shape(tmp_path):
+    """feat_norms.aif: numFeatures channels x 2 frames, 44.1k
+    (reference Strugatzki.scala:417-429)."""
+    norms = np.stack([np.linspace(0, 1, 14), np.linspace(1, 2, 14)], axis=1)
+    path = tmp_path / "feat_norms.aif"
+    af.write(path, norms.astype(np.float32),
+             af.AudioFileSpec(AIFF, SampleFormat.FLOAT, 14, 44100.0))
+    back, spec = af.read(path)
+    assert spec.num_channels == 14 and spec.num_frames == 2
+    np.testing.assert_array_equal(back, norms.astype(np.float32))
+
+
+def test_wav_extensible_and_double(tmp_path):
+    # hand-craft a WAVE_FORMAT_EXTENSIBLE float file header
+    data = _sig(1, 64, seed=2)
+    payload = data.T.astype("<f4").tobytes()
+    ext = struct.pack("<HHIIHH", 0xFFFE, 1, 44100, 44100 * 4, 4, 32)
+    # cbSize=22, validBits=32, channelMask=0, subformat GUID starting with tag 3
+    ext += struct.pack("<HHIH", 22, 32, 0, 3) + b"\x00" * 14
+    body = struct.pack("<4sI", b"fmt ", len(ext)) + ext
+    body += struct.pack("<4sI", b"data", len(payload)) + payload
+    raw = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    p = tmp_path / "ext.wav"
+    p.write_bytes(raw)
+    back, spec = af.read(p)
+    np.testing.assert_allclose(back, data, atol=1e-7)
