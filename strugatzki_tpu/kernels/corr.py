@@ -1,0 +1,288 @@
+"""Batched sliding-correlation kernels (JAX/XLA, TPU-first).
+
+These replace the reference's scalar ring-buffer loops
+(impl/FeatureCorrelationImpl.scala:190-246, impl/FeatureSegmentationImpl.scala:107-133,
+impl/SelfSimilarityImpl.scala:127-165, impl/CrossSimilarityImpl.scala:135-170)
+with dense formulations that map onto the MXU/VPU:
+
+* **sliding template correlation** — one convolution (template × signal) plus
+  sliding window sums; serves FeatureCorrelation and CrossSimilarity.
+* **novelty curve** — ``correlateHalf`` for every window position from a
+  lag-product plus window sums; serves FeatureSegmentation.
+* **gram similarity** — ``correlateHalf`` over all window *pairs* from one
+  ``X·Xᵀ`` matmul plus per-window sums; serves SelfSimilarity.
+
+Numerical design (this is what holds the ≤1e-5 parity target in float32):
+Pearson-style correlation is invariant to adding a constant per channel
+group, so
+
+1. templates are *pre-centered* in float64 on the host
+   (``a ← a − mean(a)``); the numerator then reduces to a single dot product
+   ``Σ (a−μa)·b`` with no ``−N·μa·μb`` cancellation term, and
+2. feature matrices are *pre-shifted* per channel group by their global f64
+   mean, so window sums / sums of squares are small and
+   ``var = q/N − μ²`` suffers no cancellation.
+
+The algebra (derived from MathUtil.scala:177-196 and :80-99):
+
+  correlate:      sim(t) = dot(a−μa, W_t) / (σa·σb(t)·N)
+  correlateHalf:  sim(t) = (P(t) − h·C·μ(t)²) / (σ(t)²·h·C)
+                  with P(t) = Σ_c Σ_{i<h} x[c,t+i]·x[c,t+h+i]
+  gram cell:      sim(i,j) = (D_ij − N_h·μ_ij²) / (σ_ij²·N_h)
+                  with D = X_w·X_wᵀ,  μ/σ from per-window sums s, q
+
+All functions take/return float32 device arrays; shapes are static per jit
+specialization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "sliding_sum", "sliding_dot",
+    "correlation_trace", "novelty_trace",
+    "window_stats", "gram_similarity_block", "extract_windows",
+    "prepare_template", "shift_per_group",
+]
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation (float64, tiny)
+# ---------------------------------------------------------------------------
+
+def prepare_template(mat: np.ndarray):
+    """Center a template channel-group in f64; return (centered f32, mean, std).
+
+    ``mean``/``std`` mirror MathUtil.stat over the full group
+    (FeatureCorrelationImpl.scala:92-97).
+    """
+    m64 = np.asarray(mat, dtype=np.float64)
+    mean = m64.sum() / m64.size
+    var = ((m64 - mean) ** 2).sum() / m64.size
+    centered = (m64 - mean).astype(np.float32)
+    return centered, float(mean), float(np.sqrt(var))
+
+
+def shift_per_group(x: np.ndarray, num_temporal: int = 1):
+    """Subtract the global f64 mean of each channel group (temporal = rows
+    ``[0:num_temporal)``, spectral = the rest).  Returns (shifted f32,
+    temporal_shift, spectral_shift).  Correlations are invariant to this; the
+    temporal shift is returned so loudness window means can be recovered for
+    the boost estimate."""
+    x = np.asarray(x, dtype=np.float32)
+    t64 = x[:num_temporal].astype(np.float64)
+    s64 = x[num_temporal:].astype(np.float64)
+    ts = float(t64.mean()) if t64.size else 0.0
+    ss = float(s64.mean()) if s64.size else 0.0
+    out = np.empty_like(x)
+    out[:num_temporal] = (t64 - ts).astype(np.float32)
+    out[num_temporal:] = (s64 - ss).astype(np.float32)
+    return out, ts, ss
+
+
+# ---------------------------------------------------------------------------
+# device primitives
+# ---------------------------------------------------------------------------
+
+def sliding_sum(v: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Sum over every length-``win`` window of the last axis (VALID)."""
+    return jax.lax.reduce_window(
+        v, 0.0, jax.lax.add,
+        window_dimensions=(1,) * (v.ndim - 1) + (win,),
+        window_strides=(1,) * v.ndim,
+        padding="VALID",
+    )
+
+
+def sliding_dot(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """``Σ_c Σ_i template[c,i]·x[c,t+i]`` for every valid offset ``t``.
+
+    template: ``[C, L]``, x: ``[C, T]`` → ``[T-L+1]``.  Lowered by XLA as a
+    single-output-channel convolution (implicit GEMM on the MXU).
+    """
+    out = jax.lax.conv_general_dilated(
+        x[None],                 # [1, C, T]
+        template[None],          # [1, C, L]  (OIH: out=1, in=C)
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        # full f32 on the MXU (3-pass); bf16 default loses ~5e-4 relative,
+        # blowing the ≤1e-5 parity budget
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# sliding template correlation (FeatureCorrelation / CrossSimilarity)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def correlation_trace(xs: jnp.ndarray,
+                      template_t: jnp.ndarray, template_s: jnp.ndarray,
+                      a_std_t: jnp.ndarray, a_std_s: jnp.ndarray,
+                      ln_avg_loud: jnp.ndarray, temporal_shift: jnp.ndarray,
+                      temp_weight: jnp.ndarray, max_boost: jnp.ndarray,
+                      num_temporal: int = 1):
+    """Similarity + boost traces for a template slid over a feature matrix.
+
+    Dense equivalent of the punch-in/out hot loops
+    (FeatureCorrelationImpl.scala:190-246, :281-315):
+
+    * ``xs``: ``[C, Tp]`` normalized features, group-shifted
+      (:func:`shift_per_group`), zero-padded so ``Tp = W + L − 1`` for ``W``
+      window positions.
+    * ``template_t``/``template_s``: pre-centered template groups ``[1, L]`` /
+      ``[C−1, L]`` (:func:`prepare_template`).
+    * boost(t) = ``exp((lnAvgLoud_template − ln(mean loud window))/0.6)``
+      (FeatureCorrelationImpl.scala:73-78); windows whose boost exceeds
+      ``max_boost`` get sim = 0 (:199-210), NaN boost included (NaN ≤ x is
+      false, as in the JVM).
+    * temporal/spectral groups are blended by ``temp_weight``; a group with
+      zero weight is skipped entirely, exactly like the reference's
+      ``if (inTempWeight > 0f)`` gates (:200-205) — this keeps NaN/Inf from an
+      unused degenerate group out of the result.
+
+    Returns ``(sim[W], boost[W])`` float32.
+    """
+    nt = num_temporal
+    L = template_t.shape[1]
+    C_s = xs.shape[0] - nt
+    xt, xsp = xs[:nt], xs[nt:]
+
+    # window sums / sums of squares per group
+    s_t = sliding_sum(xt, L).sum(axis=0)
+    q_t = sliding_sum(xt * xt, L).sum(axis=0)
+    n_t = nt * L
+    mu_t = s_t / n_t
+    var_t = jnp.maximum(q_t / n_t - mu_t * mu_t, 0.0)
+    std_t = jnp.sqrt(var_t)
+
+    s_s = sliding_sum(xsp, L).sum(axis=0)
+    q_s = sliding_sum(xsp * xsp, L).sum(axis=0)
+    n_s = C_s * L
+    mu_s = s_s / n_s
+    var_s = jnp.maximum(q_s / n_s - mu_s * mu_s, 0.0)
+    std_s = jnp.sqrt(var_s)
+
+    w = temp_weight
+    sim_t = jnp.where(
+        w > 0.0,
+        sliding_dot(template_t, xt) / (a_std_t * std_t * n_t),
+        0.0,
+    )
+    sim_s = jnp.where(
+        w < 1.0,
+        sliding_dot(template_s, xsp) / (a_std_s * std_s * n_s),
+        0.0,
+    )
+    sim = sim_t * w + sim_s * (1.0 - w)
+
+    # loudness boost: window mean of (unshifted) channel 0
+    loud_mean = mu_t + temporal_shift
+    boost = jnp.exp((ln_avg_loud - jnp.log(loud_mean)) / 0.6)
+    sim = jnp.where(boost <= max_boost, sim, 0.0)
+    return sim.astype(jnp.float32), boost.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# novelty curve (FeatureSegmentation)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("half_win", "num_temporal"))
+def novelty_trace(xs: jnp.ndarray, half_win: int,
+                  temp_weight: jnp.ndarray, num_temporal: int = 1):
+    """``correlateHalf`` at every window position, per group, blended.
+
+    Dense equivalent of the segmentation hot loop
+    (FeatureSegmentationImpl.scala:107-133).  ``xs``: ``[C, Tp]`` with
+    ``Tp = W + 2·half_win − 1`` for ``W`` positions.  Returns ``sim[W]``.
+
+    Derivation: for window at ``t`` (length ``2h``), statistics run over the
+    whole window (MathUtil.scala:82 — rotation-invariant), and the numerator
+    reduces to ``P(t) − h·C·μ(t)²`` with ``P`` the lag-``h`` product sum.
+    """
+    h = half_win
+    nt = num_temporal
+
+    def group(rows: jnp.ndarray):
+        c = rows.shape[0]
+        # lag product: y[i] = x[i]·x[i+h], summed over channels
+        y = (rows[:, :-h] * rows[:, h:]).sum(axis=0)
+        p = sliding_sum(y, h)                       # [W]
+        s = sliding_sum(rows, 2 * h).sum(axis=0)    # [W]
+        q = sliding_sum(rows * rows, 2 * h).sum(axis=0)
+        n2 = 2 * h * c
+        mu = s / n2
+        # clamp: the reference's two-pass variance is non-negative by
+        # construction (MathUtil.scala:48-60); q/N − μ² can round negative
+        var = jnp.maximum(q / n2 - mu * mu, 0.0)
+        n_half = h * c
+        return (p - n_half * mu * mu) / (var * n_half)
+
+    w = temp_weight
+    sim_t = jnp.where(w > 0.0, group(xs[:nt]), 0.0)
+    sim_s = jnp.where(w < 1.0, group(xs[nt:]), 0.0)
+    return (sim_t * w + sim_s * (1.0 - w)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# gram similarity (SelfSimilarity)
+# ---------------------------------------------------------------------------
+
+def extract_windows(xs: jnp.ndarray, starts: jnp.ndarray, half_win: int):
+    """Gather windows ``xs[:, s:s+half_win]`` for each start → ``[B, C, h]``."""
+    idx = starts[:, None] + jnp.arange(half_win)[None, :]   # [B, h]
+    return jnp.transpose(xs[:, idx], (1, 0, 2))             # [B, C, h]
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def window_stats(win: jnp.ndarray, num_temporal: int = 1):
+    """Per-window per-group sums and sums of squares: ``[B, C, h]`` →
+    ``(s_t, q_t, s_s, q_s)`` each ``[B]``."""
+    nt = num_temporal
+    t, s = win[:, :nt], win[:, nt:]
+    return (t.sum(axis=(1, 2)), (t * t).sum(axis=(1, 2)),
+            s.sum(axis=(1, 2)), (s * s).sum(axis=(1, 2)))
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def gram_similarity_block(win_i: jnp.ndarray, win_j: jnp.ndarray,
+                          stats_i, stats_j,
+                          temp_weight: jnp.ndarray, num_temporal: int = 1):
+    """Blended ``correlateHalf`` for a block of window pairs.
+
+    Dense equivalent of SelfSimilarityImpl.scala:127-165's per-cell loop: the
+    cell (i, j) correlates window_i (first half) against window_j (second
+    half) with joint statistics over both halves.  ``win_*``: ``[B, C, h]``
+    blocks; ``stats_*`` from :func:`window_stats`.  Returns ``sim[Bi, Bj]``.
+
+    The pair dot is one matmul per group → MXU.
+    """
+    nt = num_temporal
+    h = win_i.shape[2]
+
+    def group(a: jnp.ndarray, b: jnp.ndarray, sa, qa, sb, qb):
+        c = a.shape[1]
+        d = jnp.einsum("ick,jck->ij", a, b,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        n_h = c * h
+        mu = (sa[:, None] + sb[None, :]) / (2 * n_h)
+        var = jnp.maximum((qa[:, None] + qb[None, :]) / (2 * n_h) - mu * mu, 0.0)
+        return (d - n_h * mu * mu) / (var * n_h)
+
+    s_ti, q_ti, s_si, q_si = stats_i
+    s_tj, q_tj, s_sj, q_sj = stats_j
+    w = temp_weight
+    sim_t = jnp.where(w > 0.0, group(win_i[:, :nt], win_j[:, :nt],
+                                     s_ti, q_ti, s_tj, q_tj), 0.0)
+    sim_s = jnp.where(w < 1.0, group(win_i[:, nt:], win_j[:, nt:],
+                                     s_si, q_si, s_sj, q_sj), 0.0)
+    return (sim_t * w + sim_s * (1.0 - w)).astype(jnp.float32)
