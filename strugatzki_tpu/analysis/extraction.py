@@ -1,0 +1,100 @@
+"""Feature extraction processor.
+
+TPU-native replacement of the reference's extraction path
+(impl/FeatureExtractionImpl.scala + impl/NonRealtimeProcessor.scala): instead
+of rendering a synth graph in an scsynth subprocess driven by an OSC command
+file, the framed DSP pipeline (dsp/frontend.py) runs in-process as jitted XLA.
+
+Behavioral parity:
+
+* channel collapse Mix (sum) / First / Last (FeatureExtractionImpl.scala:45-49)
+* output: float32 AIFC, ``numCoeffs+1`` channels, rate ``sampleRate/stepSize``,
+  ``ceil(inFrames/step) − 1`` frames, channel 0 = Loudness/32, 1.. = MFCC
+  (NonRealtimeProcessor.scala:93,107-109,164; FeatureExtractionImpl.scala:50-54)
+* NaN fixup with per-1024-frame state reset — the reference's stitch loop
+  recreates its ``lasts`` array for every 1024-frame temp chunk
+  (NonRealtimeProcessor.scala:178-190)
+* progress: 80% render / 20% write (NonRealtimeProcessor.scala:158,194)
+* XML meta sidecar written when ``meta_output`` is set
+  (FeatureExtractionImpl.scala:72-77)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import ChannelsBehavior, ExtractionConfig
+from ..dsp.frontend import extract_features
+from ..io import audiofile as af
+from ..runtime.processor import Processor, ProcessorFactory
+
+__all__ = ["FeatureExtraction", "fix_nans"]
+
+
+def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
+    """Replace NaNs with the last non-NaN per channel, resetting the carried
+    value to 0 at every ``chunk`` boundary (NonRealtimeProcessor.scala:178-190:
+    ``lasts`` is re-allocated per temp-file chunk)."""
+    out = features.copy()
+    num_ch, total = out.shape
+    for start in range(0, total, chunk):
+        blk = out[:, start:start + chunk]
+        mask = np.isnan(blk)
+        if not mask.any():
+            continue
+        n = blk.shape[1]
+        # vectorized forward fill: index of the last non-NaN at or before i,
+        # −1 (→ fill value 0.0) when none yet in this chunk
+        idx = np.where(~mask, np.arange(n)[None, :], -1)
+        np.maximum.accumulate(idx, axis=1, out=idx)
+        padded = np.concatenate(
+            [np.zeros((num_ch, 1), blk.dtype), blk], axis=1)
+        out[:, start:start + chunk] = np.take_along_axis(padded, idx + 1, axis=1)
+    return out
+
+
+class FeatureExtraction(ProcessorFactory):
+    """``FeatureExtraction.run(config, observer) -> Processor[None]``."""
+
+    name = "feature extraction"
+    Config = ExtractionConfig
+
+    @classmethod
+    def _make_body(cls, config: ExtractionConfig):
+        cfg = config.build()
+
+        def body(proc: Processor):
+            audio, spec = af.read(cfg.audio_input)
+            proc.check_aborted()
+
+            if cfg.channels_behavior == ChannelsBehavior.MIX:
+                mono = audio.sum(axis=0)  # SC Mix sums channels
+            elif cfg.channels_behavior == ChannelsBehavior.FIRST:
+                mono = audio[0]
+            else:
+                mono = audio[spec.num_channels - 1]
+
+            step = cfg.step_size
+            feat_rate = spec.sample_rate / step
+
+            with proc.sub(0.8):
+                feats = extract_features(
+                    mono, spec.sample_rate,
+                    num_coeffs=cfg.num_coeffs, fft_size=cfg.fft_size,
+                    fft_overlap=cfg.fft_overlap,
+                    progress=lambda f: (proc.check_aborted(),
+                                        proc.set_progress(f)))
+
+            proc.check_aborted()
+            feats = fix_nans(feats)
+
+            with proc.sub(0.2):
+                af.write(cfg.feature_output, feats,
+                         af.feature_spec(cfg.num_features, feat_rate))
+                proc.set_progress(1.0)
+
+            if cfg.meta_output:
+                cfg.save_xml(cfg.meta_output)
+            return None
+
+        return body

@@ -1,0 +1,260 @@
+"""Fused feature-extraction front-end (framed STFT → MFCC + sones).
+
+TPU-native replacement for the reference's scsynth NRT render
+(impl/NonRealtimeProcessor.scala, impl/FeatureExtractionImpl.scala:40-55): no
+subprocess, no OSC file — one jitted XLA pipeline per block of frames:
+
+    frames → Hann window → rFFT power → ┬→ mel(42) → log10 → DCT → scale   (MFCC)
+                                        └→ bark(24)·ear-weighting → dB →
+                                           spectral spread → temporal mask →
+                                           phon→sone → Σ → /32              (loudness)
+
+Frame timing replicates the NRT graph's Impulse/Stepper capture semantics
+(NonRealtimeProcessor.scala:81-117) including the dropped first frame
+(:107-109): the feature file holds ``ceil(inFrames/step) − 1`` frames, and
+output frame ``j`` is the window covering samples
+``[(j+1)·step − fftSize, (j+1)·step)`` (zero-padded at signal edges, matching
+scsynth's initially-zero FFT buffer).
+
+Frames are processed in fixed-size blocks (bounded HBM, one jit
+specialization) with the temporal-masking running max carried across blocks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+
+__all__ = ["FrontendBasis", "extract_features", "num_output_frames",
+           "BLOCK_FRAMES"]
+
+#: Frames per device block (≈ 24s of audio at the default resolution).
+BLOCK_FRAMES = 2048
+
+
+def num_output_frames(in_frames: int, step_size: int) -> int:
+    """Feature-file frame count: ``ceil(inFrames/step) − 1``
+    (NonRealtimeProcessor.scala:93 with the first frame dropped :107-109)."""
+    out = (in_frames + step_size - 1) // step_size
+    return max(out - 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# host-side basis construction (float64, cached)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FrontendBasis:
+    """Per-(sample_rate, fft_size, num_coeffs) constant matrices (float32)."""
+
+    sample_rate: float
+    fft_size: int
+    num_coeffs: int
+    hann: np.ndarray          # [fft_size]
+    mel_fb: np.ndarray        # [bins, MEL_BANDS]  power → mel energies
+    dct: np.ndarray           # [MEL_BANDS, num_coeffs]
+    bark_fb: np.ndarray       # [bins, BARK_BANDS] ear-weighted power → bands
+    power_cal_db: float       # calibration offset: full-scale 1kHz sine → 90 phon
+
+
+@lru_cache(maxsize=32)
+def make_basis(sample_rate: float, fft_size: int, num_coeffs: int) -> FrontendBasis:
+    bins = fft_size // 2 + 1
+    freqs = np.arange(bins) * (sample_rate / fft_size)
+
+    # Hann window (SC FFT winType 1, FeatureExtractionImpl.scala:38)
+    n = np.arange(fft_size)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / fft_size)
+
+    # --- mel filterbank: MEL_BANDS triangles, peak 1, HTK mel scale --------
+    mel_lo = C.mel_of_hz(C.MEL_FMIN)
+    mel_hi = C.mel_of_hz(sample_rate / 2.0)
+    edges = C.hz_of_mel(np.linspace(mel_lo, mel_hi, C.MEL_BANDS + 2))
+    mel_fb = np.zeros((bins, C.MEL_BANDS))
+    for b in range(C.MEL_BANDS):
+        lo, ctr, hi = edges[b], edges[b + 1], edges[b + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - freqs) / max(hi - ctr, 1e-9)
+        mel_fb[:, b] = np.clip(np.minimum(up, down), 0.0, 1.0)
+
+    # --- DCT-II, coefficients DCT_FIRST_COEFF .. (+num_coeffs) --------------
+    b_idx = np.arange(C.MEL_BANDS)
+    j_idx = np.arange(C.DCT_FIRST_COEFF, C.DCT_FIRST_COEFF + num_coeffs)
+    dct = np.sqrt(2.0 / C.MEL_BANDS) * np.cos(
+        np.pi / C.MEL_BANDS * np.outer(b_idx + 0.5, j_idx))
+
+    # --- bark bands with ear weighting folded in ----------------------------
+    bark = C.bark_of_hz(freqs)
+    weights = 10.0 ** (C.ear_weighting_db(freqs) / 10.0)
+    bark_fb = np.zeros((bins, C.BARK_BANDS))
+    band = np.clip(np.floor(bark).astype(int), 0, C.BARK_BANDS - 1)
+    bark_fb[np.arange(bins), band] = weights
+    bark_fb[0, :] = 0.0  # DC carries no loudness
+
+    # --- calibration: full-scale 1 kHz sine → FULL_SCALE_PHON ---------------
+    # Hann coherent gain: |X_peak| = A·Σw/2 = A·fft_size/4 (A = 1 full scale);
+    # band power ≈ Σ|X|² over the main lobe = (fft_size/4)² · Σlobe²≈1.5
+    # — we calibrate against the actual windowed DFT for exactness:
+    k = 1000.0 * fft_size / sample_rate
+    phase = 2.0 * np.pi * k * n / fft_size
+    spec = np.fft.rfft(np.sin(phase) * hann)
+    peak_band_power = float(np.sum(np.abs(spec) ** 2) / 2.0)
+    # (/2: a real sine's energy splits between ±k; rfft holds only +k — but
+    # |X|² over rfft bins already counts +k only, so take the +k lobe energy)
+    peak_band_power = float(np.max(
+        np.convolve(np.abs(spec) ** 2, np.ones(5), mode="same")))
+    power_cal_db = C.FULL_SCALE_PHON - 10.0 * np.log10(peak_band_power)
+
+    return FrontendBasis(
+        sample_rate=float(sample_rate), fft_size=fft_size, num_coeffs=num_coeffs,
+        hann=hann.astype(np.float32),
+        mel_fb=mel_fb.astype(np.float32),
+        dct=dct.astype(np.float32),
+        bark_fb=bark_fb.astype(np.float32),
+        power_cal_db=float(power_cal_db),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device pipeline
+# ---------------------------------------------------------------------------
+
+def _frame_block(audio: jnp.ndarray, num_frames: int, fft_size: int,
+                 step: int) -> jnp.ndarray:
+    """Slice ``audio`` (length ``(num_frames−1)·step + fft_size``) into
+    ``[num_frames, fft_size]`` hop-``step`` windows without a gather when
+    ``step`` divides ``fft_size`` (the fftOverlap ∈ ℕ case)."""
+    if fft_size % step == 0:
+        k = fft_size // step
+        chunks = audio.reshape(-1, step)          # [num_frames + k - 1, step]
+        parts = [chunks[i:i + num_frames] for i in range(k)]
+        return jnp.concatenate(parts, axis=1)
+    idx = (jnp.arange(num_frames)[:, None] * step
+           + jnp.arange(fft_size)[None, :])
+    return audio[idx]
+
+
+@partial(jax.jit, static_argnames=("num_frames", "fft_size", "step",
+                                   "use_fft"))
+def _extract_block(audio: jnp.ndarray, carry: jnp.ndarray,
+                   hann: jnp.ndarray, mel_fb: jnp.ndarray, dct: jnp.ndarray,
+                   bark_fb: jnp.ndarray, power_cal_db: jnp.ndarray,
+                   smask: jnp.ndarray, tmask: jnp.ndarray,
+                   num_frames: int, fft_size: int, step: int,
+                   use_fft: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One block: audio slice → ``[num_coeffs+1, num_frames]`` features.
+
+    ``carry``: temporal-masking running max per bark band (dB), carried
+    across blocks; returns the updated carry.
+    """
+    frames = _frame_block(audio, num_frames, fft_size, step) * hann[None, :]
+    if use_fft:
+        spec = jnp.fft.rfft(frames, axis=1)
+        power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)
+    else:  # GEMM-native DFT (MXU path; numerically ~f32-FFT with HIGHEST)
+        bins = fft_size // 2 + 1
+        wn = (2.0 * np.pi / fft_size) * np.outer(np.arange(fft_size),
+                                                 np.arange(bins))
+        cos_m = jnp.asarray(np.cos(wn), dtype=jnp.float32)
+        sin_m = jnp.asarray(np.sin(wn), dtype=jnp.float32)
+        re = frames @ cos_m
+        im = frames @ sin_m
+        power = re * re + im * im
+
+    # ---- MFCC ---------------------------------------------------------------
+    mel_e = power @ mel_fb                                   # [F, 42]
+    log_e = jnp.log10(jnp.maximum(mel_e, C.MEL_LOG_FLOOR))
+    coeffs = (log_e @ dct) * C.MFCC_SCALE + C.MFCC_OFFSET    # [F, num_coeffs]
+
+    # ---- Loudness -----------------------------------------------------------
+    band_p = power @ bark_fb                                 # [F, 24]
+    band_db = 10.0 * jnp.log10(jnp.maximum(band_p, 1e-12)) + power_cal_db
+    band_db = jnp.maximum(band_db, C.BAND_DB_FLOOR)
+
+    # upward spread of masking along bands: running max of (db − slope·Δbark)
+    slope = C.SPREAD_DB_PER_BARK * (1.0 - smask)
+    ramp_b = slope * jnp.arange(C.BARK_BANDS, dtype=jnp.float32)
+    band_db = jax.lax.cummax(band_db + ramp_b[None, :], axis=1) - ramp_b[None, :]
+
+    # temporal masking: running max with linear decay, carried across blocks
+    decay = C.TEMPORAL_DECAY_DB_PER_FRAME / jnp.maximum(tmask, 1e-3)
+    ramp_t = decay * jnp.arange(num_frames, dtype=jnp.float32)
+    local = jax.lax.cummax(band_db + ramp_t[:, None], axis=0) - ramp_t[:, None]
+    carried = carry[None, :] - decay * (jnp.arange(num_frames, dtype=jnp.float32)[:, None] + 1.0)
+    band_db = jnp.maximum(local, carried)
+    new_carry = band_db[-1]
+
+    phon = band_db
+    sones = jnp.where(
+        phon >= C.SONE_PIVOT_PHON,
+        jnp.exp2((phon - C.SONE_PIVOT_PHON) / 10.0),
+        (jnp.maximum(phon, 0.0) / C.SONE_PIVOT_PHON) ** C.LOW_PHON_EXPONENT,
+    )
+    loud = sones.sum(axis=1) / 32.0                          # [F]
+
+    feats = jnp.concatenate([loud[:, None], coeffs], axis=1).T  # [C, F]
+    return feats.astype(jnp.float32), new_carry
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+def extract_features(audio: np.ndarray, sample_rate: float,
+                     num_coeffs: int = 13, fft_size: int = 1024,
+                     fft_overlap: int = 2,
+                     smask: float = C.SPECTRAL_MASK_DEFAULT,
+                     tmask: float = C.TEMPORAL_MASK_DEFAULT,
+                     block_frames: int = BLOCK_FRAMES,
+                     progress=None) -> np.ndarray:
+    """Extract ``[num_coeffs+1, F]`` features (row 0 = loudness/32, rows 1.. =
+    MFCC) from a mono float32 signal.
+
+    ``F = ceil(len(audio)/step) − 1`` with the reference's frame alignment
+    (see module docstring).  ``progress`` is an optional callable fed the
+    fraction of blocks done.
+    """
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    step = fft_size // fft_overlap
+    total = num_output_frames(len(audio), step)
+    if total == 0:
+        return np.zeros((num_coeffs + 1, 0), dtype=np.float32)
+
+    basis = make_basis(float(sample_rate), fft_size, num_coeffs)
+    # window j covers [(j+1)·step − fft_size, (j+1)·step): left-pad by
+    # fft_size − step so window j = padded[j·step : j·step + fft_size]
+    left_pad = fft_size - step
+    padded_len = max((total - 1) * step + fft_size, left_pad + len(audio))
+    padded = np.zeros(padded_len, np.float32)
+    padded[left_pad:left_pad + len(audio)] = audio
+
+    hann = jnp.asarray(basis.hann)
+    mel_fb = jnp.asarray(basis.mel_fb)
+    dct = jnp.asarray(basis.dct)
+    bark_fb = jnp.asarray(basis.bark_fb)
+    cal = jnp.float32(basis.power_cal_db)
+    smask_j = jnp.float32(smask)
+    tmask_j = jnp.float32(tmask)
+
+    out = np.empty((num_coeffs + 1, total), dtype=np.float32)
+    carry = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
+    done = 0
+    while done < total:
+        nb = min(block_frames, total - done)
+        start = done * step
+        sl = jnp.asarray(padded[start:start + (nb - 1) * step + fft_size])
+        feats, carry = _extract_block(
+            sl, carry, hann, mel_fb, dct, bark_fb, cal, smask_j, tmask_j,
+            num_frames=nb, fft_size=fft_size, step=step)
+        out[:, done:done + nb] = np.asarray(feats)
+        done += nb
+        if progress is not None:
+            progress(done / total)
+    return out

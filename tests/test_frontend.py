@@ -1,0 +1,125 @@
+"""DSP front-end tests: frame timing, calibration, loudness law, MFCC
+properties, block-boundary continuity."""
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.dsp import constants as C
+from strugatzki_tpu.dsp.frontend import (extract_features, make_basis,
+                                         num_output_frames)
+
+
+def _sine(freq, dur, sr=44100.0, amp=1.0):
+    t = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_output_frame_count():
+    # ceil(inFrames/step) − 1 (NonRealtimeProcessor.scala:93,107-109)
+    assert num_output_frames(44100, 512) == (44100 + 511) // 512 - 1 == 86
+    assert num_output_frames(512, 512) == 0
+    assert num_output_frames(513, 512) == 1
+    f = extract_features(np.zeros(44100, np.float32), 44100.0)
+    assert f.shape == (14, 86)
+
+
+def test_full_scale_1k_sine_loudness_near_one():
+    """Calibration: 0 dBFS 1 kHz sine → ~90 phon → ~32 sones → loud ≈ 1
+    (the /32 headroom, FeatureExtractionImpl.scala:52)."""
+    f = extract_features(_sine(1000, 1.0), 44100.0)
+    loud = f[0, 20:-20]  # steady-state
+    assert 0.7 < loud.mean() < 1.5, loud.mean()
+
+
+def test_loudness_stevens_law():
+    """−10 dB amplitude ≈ −10 phon ≈ half the sones: the exact relation the
+    boost estimator inverts (notes/BoostFactor.txt: exp(Δln/0.6) at 1 kHz)."""
+    l1 = extract_features(_sine(1000, 0.6), 44100.0)[0, 20:-20].mean()
+    l2 = extract_features(_sine(1000, 0.6, amp=10 ** (-10 / 20)), 44100.0)[0, 20:-20].mean()
+    ratio = l1 / l2
+    assert 1.8 < ratio < 2.2, ratio
+    # and the estimator recovers the amplitude ratio at 1 kHz within a few %
+    boost = np.exp((np.log(l1) - np.log(l2)) / 0.6)
+    true = 10 ** (10 / 20)
+    assert abs(boost - true) / true < 0.12, boost
+
+
+def test_loudness_monotone_in_level():
+    louds = []
+    for db in (-40, -30, -20, -10, 0):
+        x = _sine(1000, 0.4, amp=10 ** (db / 20))
+        louds.append(extract_features(x, 44100.0)[0, 10:-10].mean())
+    assert all(a < b for a, b in zip(louds, louds[1:])), louds
+
+
+def test_silence_is_quiet():
+    f = extract_features(np.zeros(22050, np.float32), 44100.0)
+    assert f[0].max() < 1e-3
+
+
+def test_mfcc_range_and_sensitivity():
+    """Coefficients land in ~0..1 and differ between timbres."""
+    rng = np.random.default_rng(0)
+    noise = (0.3 * rng.standard_normal(44100)).astype(np.float32)
+    tone = _sine(440, 1.0, amp=0.5)
+    fn = extract_features(noise, 44100.0)[1:, 20:-20]
+    ft = extract_features(tone, 44100.0)[1:, 20:-20]
+    # broadband material sits in ~0..1; extreme tonal input may exceed it
+    # (most mel bands at the log floor inflates low cepstra)
+    assert fn.min() > -0.2 and fn.max() < 1.2
+    assert ft.min() > -1.0 and ft.max() < 3.5
+    # distinct timbres → clearly different mean MFCC vectors
+    assert np.abs(fn.mean(axis=1) - ft.mean(axis=1)).max() > 0.05
+
+
+def test_mfcc_invariant_to_level():
+    """MFCCs come from log energies: for broadband material (all bands above
+    the log floor) scaling the signal shifts only c0 (dropped) — kept
+    coefficients barely move.  (Tonal input is not level-invariant: bands at
+    the absolute log floor don't scale, changing the contrast.)"""
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal(44100).astype(np.float32)
+    a = extract_features(0.5 * noise, 44100.0)[1:, 10:-10].mean(axis=1)
+    b = extract_features(0.05 * noise, 44100.0)[1:, 10:-10].mean(axis=1)
+    assert np.abs(a - b).max() < 0.02
+
+
+def test_block_boundary_continuity():
+    """Splitting into device blocks must not change results (incl. the
+    temporal-masking carry)."""
+    rng = np.random.default_rng(1)
+    x = (0.2 * rng.standard_normal(44100 * 2)).astype(np.float32)
+    f_big = extract_features(x, 44100.0, block_frames=4096)
+    f_small = extract_features(x, 44100.0, block_frames=64)
+    np.testing.assert_allclose(f_big, f_small, atol=2e-5)
+
+
+def test_frame_alignment_transient():
+    """A click at sample s must first appear in output frame
+    j = ceil(s/step) − 1 + 1 … i.e. the first window whose span includes s:
+    windows cover [(j+1)·step − fftSize, (j+1)·step)."""
+    step, fft = 512, 1024
+    s = 10000
+    x = np.zeros(20000, np.float32)
+    x[s] = 1.0
+    f = extract_features(x, 44100.0)
+    loud = f[0]
+    first = int(np.argmax(loud > loud.max() * 0.1))
+    # first window containing s: (j+1)*step > s  ->  j = floor(s/step)
+    expected = s // step
+    assert abs(first - expected) <= 1, (first, expected)
+
+
+def test_deterministic():
+    x = _sine(333, 0.3, amp=0.4)
+    f1 = extract_features(x, 44100.0)
+    f2 = extract_features(x, 44100.0)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_basis_cache():
+    b1 = make_basis(44100.0, 1024, 13)
+    b2 = make_basis(44100.0, 1024, 13)
+    assert b1 is b2
+    assert b1.mel_fb.shape == (513, C.MEL_BANDS)
+    assert b1.dct.shape == (C.MEL_BANDS, 13)
