@@ -1,0 +1,342 @@
+"""Database correlation search (punch-in/punch-out matcher).
+
+TPU-native re-implementation of impl/FeatureCorrelationImpl.scala — the
+reference's flagship algorithm.  The three hot loops become dense device
+computations; the data-dependent match selection is replayed on host in the
+reference's exact iteration order:
+
+* HOT LOOP 1 (:190-246) punch-in sliding correlation → one
+  ``correlation_trace`` call (conv + window sums on the MXU/VPU);
+* HOT LOOP 2 (:281-315) punch-out sliding correlation → a second
+  ``correlation_trace`` (the reference spills these to temp IRCAM files;
+  we keep them in memory — HBM/host RAM replaces the disk spill);
+* HOT LOOP 3 (:325-389) in×out combination — host replay over the dense
+  traces with the ``inSim > low²`` gate (:342), ``sim = √(inSim·outSim)``
+  (:370) and the priority-queue caching semantics (:339-379).
+
+Divergence note (documented in docs/PARITY.md): the reference's combine pass
+reads ``punchInLen − 1`` frames past the end of its punch-in temp file and up
+to ``punchOutLen − 1`` past the punch-out temp file (tIn/tOut hold
+``W − off`` entries but the loop runs ``tOutSize = numFrames − poOff0``
+iterations); behavior there depends on stale I/O buffers.  We iterate over
+the *defined* trace entries only.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CorrelationConfig, ExtractionConfig, Match
+from ..kernels import corr as K
+from ..kernels import mathref as M
+from ..runtime.processor import Processor, ProcessorFactory
+from ..span import Span, spacing
+from .common import feat_to_full, full_to_feat, load_norm, normalized, read_features
+from .topk import SimSortedSet
+
+__all__ = ["FeatureCorrelation", "InputTemplate", "sliding_traces",
+           "correlate_database"]
+
+
+# Padding buckets bound jit recompiles across differing file lengths.
+_BUCKET_GROWTH = 1.25
+_BUCKET_MIN = 1024
+
+
+def _bucket(n: int) -> int:
+    b = _BUCKET_MIN
+    while b < n:
+        b = int(math.ceil(b * _BUCKET_GROWTH))
+    return b
+
+
+class InputTemplate:
+    """A punch template: normalized feature block with per-group statistics
+    (reference ``InputMatrix``/``FeatureMatrix``, FeatureCorrelation.scala:279-289)."""
+
+    def __init__(self, block: np.ndarray, num_temporal: int = 1) -> None:
+        self.num_frames = block.shape[1]
+        self.num_temporal = num_temporal
+        self.temporal_centered, self.temporal_mean, self.temporal_std = \
+            K.prepare_template(block[:num_temporal])
+        self.spectral_centered, self.spectral_mean, self.spectral_std = \
+            K.prepare_template(block[num_temporal:])
+        # ln of the average (normalized) loudness (FeatureCorrelationImpl.scala:73)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.ln_avg_loudness = float(
+                np.log(np.float64(M.avg(block[0], 0, self.num_frames))))
+
+    @staticmethod
+    def from_features(features: np.ndarray, norm: Optional[np.ndarray],
+                      start: int, stop: int) -> "InputTemplate":
+        """Reference ``readInBuffer`` (:83-98): slice feature frames
+        ``[start, stop)``, zero-padded at EOF like a partial read, normalize,
+        compute stats."""
+        frame_num = stop - start
+        block = np.zeros((features.shape[0], frame_num), np.float32)
+        avail = features[:, start:min(stop, features.shape[1])]
+        block[:, :avail.shape[1]] = avail
+        M.normalize(norm, block, 0, frame_num)
+        return InputTemplate(block)
+
+
+def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
+                   template: InputTemplate, scan_len: int,
+                   temp_weight: float, max_boost: float
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """(sim, boost) for windows ``t = 0 .. scan_len − L`` (or the single
+    zero-padded window when ``scan_len < L``) of a prepared feature matrix.
+
+    ``xs_shifted``: group-shifted normalized features (``shift_per_group``),
+    full file.  ``scan_len`` is the reference's initial ``left`` (numFrames,
+    minus minPunch in punch-out mode, FeatureCorrelationImpl.scala:182-184).
+    """
+    L = template.num_frames
+    if scan_len <= 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.float32)
+    num_windows = scan_len - L + 1 if scan_len >= L else 1
+
+    pad_to = _bucket(num_windows - 1 + L)
+    xs = xs_shifted[:, :num_windows - 1 + L]
+    if xs.shape[1] < pad_to:
+        # padding represents literal zeros of the reference's freshly
+        # allocated buffer (normalized space), i.e. −shift in shifted space;
+        # only the scan_len < L single-window case actually reads it — the
+        # bucket tail is trimmed from the outputs below
+        pad = np.zeros((xs.shape[0], pad_to - xs.shape[1]), np.float32)
+        pad[:template.num_temporal] = -shift_t
+        pad[template.num_temporal:] = -shift_s
+        xs = np.concatenate([xs, pad], axis=1)
+
+    sims, boosts = K.correlation_trace(
+        jnp.asarray(xs),
+        jnp.asarray(template.temporal_centered),
+        jnp.asarray(template.spectral_centered),
+        jnp.float32(template.temporal_std), jnp.float32(template.spectral_std),
+        jnp.float32(template.ln_avg_loudness), jnp.float32(shift_t),
+        jnp.float32(temp_weight), jnp.float32(max_boost))
+    return (np.asarray(sims)[:num_windows].copy(),
+            np.asarray(boosts)[:num_windows].copy())
+
+
+def _prepare_file(features: np.ndarray, norm) -> Tuple[np.ndarray, float, float]:
+    """Normalize a DB file's features and group-shift them (f64 on host)."""
+    xn = normalized(features, norm)
+    return K.shift_per_group(xn)
+
+
+def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
+                       config: CorrelationConfig,
+                       check_aborted=lambda: None,
+                       progress=lambda f: None,
+                       verbose: bool = False,
+                       skip_nan: bool = False) -> List[Match]:
+    """Run the full search.  ``db_entries`` is a list of
+    ``(ExtractionConfig, features_loader)`` pairs.
+
+    ``skip_nan`` is a framework extension (off by default for faithful
+    reference behavior): in the reference, a NaN similarity — e.g.
+    ``√(inSim·outSim)`` of a negative product (FeatureCorrelationImpl
+    .scala:370) — once admitted ranks as the best match
+    (``java.lang.Float.compare`` total order) and, worse, poisons
+    ``lowestSim`` so the ``inSim > low²`` gate (:342) rejects every later
+    candidate.  With ``skip_nan=True`` NaN candidates are never admitted."""
+    cfg = config
+    step = meta_in.step_size
+
+    f2f = lambda n: full_to_feat(n, step)
+    t2f = lambda i: feat_to_full(i, step)
+
+    # --- input templates (reference :80-107) --------------------------------
+    in_feats = read_features(meta_in)
+    pi = cfg.punch_in
+    matrix_in = InputTemplate.from_features(
+        in_feats, norm, f2f(pi.span.start), f2f(pi.span.stop))
+    matrix_out = None
+    if cfg.punch_out is not None:
+        po = cfg.punch_out
+        matrix_out = InputTemplate.from_features(
+            in_feats, norm, f2f(po.span.start), f2f(po.span.stop))
+
+    punch_in_len = matrix_in.num_frames
+    punch_out_len = matrix_out.num_frames if matrix_out else 0
+    in_temp_weight = pi.temporal_weight
+    min_punch = f2f(cfg.min_punch)
+    max_punch = f2f(cfg.max_punch)
+
+    all_prio: SimSortedSet[Match] = SimSortedSet(descending=True)
+
+    for idx, (extr_db, load_features) in enumerate(db_entries):
+        check_aborted()
+
+        entry_prio: SimSortedSet[Match] = SimSortedSet(descending=True)
+        last_entry_match: Optional[Match] = None
+
+        def entry_has_space() -> bool:
+            max_sz = min(cfg.num_matches - len(all_prio), cfg.num_per_file)
+            return len(entry_prio) < max_sz
+
+        def lowest_sim() -> float:
+            if len(entry_prio):
+                return entry_prio.last_sim
+            if len(all_prio):
+                return all_prio.last_sim
+            return 0.0
+
+        def add_match(m: Match) -> None:
+            nonlocal last_entry_match
+            if (last_entry_match is not None
+                    and spacing(m.punch, last_entry_match.punch) < cfg.min_spacing):
+                if last_entry_match.sim < m.sim:
+                    entry_prio.remove_sim(last_entry_match.sim)
+                    entry_prio.add(m.sim, m)
+                    last_entry_match = m
+            else:
+                entry_prio.add(m.sim, m)
+                if len(entry_prio) > cfg.num_per_file:
+                    entry_prio.drop_last()
+                last_entry_match = m
+
+        features = load_features()
+        num_frames = features.shape[1]
+        xs, shift_t, shift_s = _prepare_file(features, norm)
+
+        scan_len = num_frames - (min_punch if matrix_out is not None else 0)
+        sims_in, boosts_in = sliding_traces(
+            xs, shift_t, shift_s, matrix_in, scan_len, in_temp_weight,
+            cfg.max_boost)
+        check_aborted()
+
+        if matrix_out is None:
+            # matches added inline during the punch-in scan (:233-240)
+            for t in range(len(sims_in)):
+                sim = float(sims_in[t])
+                if skip_nan and math.isnan(sim):
+                    continue
+                if entry_has_space() or sim > lowest_sim():
+                    add_match(Match(sim, extr_db.audio_input,
+                                    Span(t2f(t), t2f(t + punch_in_len)),
+                                    float(boosts_in[t]), 1.0))
+        else:
+            # trace-open gate (:213-223): hs/lowestSim are constant during the
+            # punch-in scan (no matches are added until the combine pass)
+            if entry_has_space():
+                t_in_off = 0
+            else:
+                low0 = lowest_sim()
+                above = np.nonzero(sims_in > low0)[0]
+                t_in_off = int(above[0]) if above.size else -1
+
+            if t_in_off >= 0 and len(sims_in) > t_in_off:
+                tin_sims = sims_in[t_in_off:]
+                tin_boosts = boosts_in[t_in_off:]
+
+                po_off0 = t_in_off + min_punch
+                t_out_size = num_frames - po_off0
+                if t_out_size >= punch_out_len:
+                    # punch-out trace over windows starting at po_off0 (:273-315)
+                    xs_tail = xs[:, po_off0:]
+                    tout_sims, tout_boosts = sliding_traces(
+                        xs_tail, shift_t, shift_s, matrix_out, t_out_size,
+                        cfg.punch_out.temporal_weight, cfg.max_boost)
+                    check_aborted()
+
+                    w_out = len(tout_sims)
+                    scan_span = max_punch - min_punch + 1
+                    for i in range(len(tin_sims)):
+                        in_sim = float(tin_sims[i])
+                        boost_in = float(boosts_in[t_in_off + i])
+                        low = lowest_sim()
+                        hs = entry_has_space()
+                        if in_sim > low * low:
+                            seek = i
+                            n2 = min(t_out_size - seek, scan_span, w_out - seek)
+                            if n2 <= 0:
+                                continue
+                            seg = tout_sims[seek:seek + n2]
+                            sims_c = np.sqrt(np.float32(in_sim) * seg).astype(np.float32)
+                            pi_off = t_in_off + i
+                            k = 0
+                            while k < n2:
+                                if not hs:
+                                    # jump to the next candidate above `low`
+                                    cand = np.nonzero(sims_c[k:] > low)[0]
+                                    if cand.size == 0:
+                                        break
+                                    k += int(cand[0])
+                                sim = float(sims_c[k])
+                                if skip_nan and math.isnan(sim):
+                                    k += 1
+                                    continue
+                                if hs or sim > low:
+                                    add_match(Match(
+                                        sim, extr_db.audio_input,
+                                        Span(t2f(pi_off),
+                                             t2f(pi_off + min_punch + k)),
+                                        boost_in, float(tout_boosts[seek + k])))
+                                    low = lowest_sim()
+                                    hs = entry_has_space()
+                                k += 1
+                        if i % 8192 == 0:
+                            check_aborted()
+
+        # merge entry results (:399-400)
+        all_prio.update(entry_prio)
+        all_prio.truncate(cfg.num_matches)
+        progress((idx + 1) / max(len(db_entries), 1))
+
+    return all_prio.items()
+
+
+class FeatureCorrelation(ProcessorFactory):
+    """``FeatureCorrelation.run(config, observer) -> Processor[list[Match]]``."""
+
+    name = "correlation"
+    Config = CorrelationConfig
+    #: extension: reject NaN similarities instead of the reference's
+    #: NaN-ranks-first-and-poisons-gates behavior (see correlate_database)
+    skip_nan = False
+
+    @classmethod
+    def _make_body(cls, config: CorrelationConfig):
+        cfg = config.build()
+
+        def body(proc: Processor):
+            meta_in = ExtractionConfig.from_xml_file(cfg.meta_input)
+            step = meta_in.step_size
+
+            # scan database folder (:42-55)
+            folder = cfg.database_folder
+            meta_abs = os.path.abspath(cfg.meta_input)
+            names = sorted(n for n in os.listdir(folder)
+                           if n.endswith("_feat.xml"))
+            paths = [os.path.join(folder, n) for n in names]
+            paths = [p for p in paths if os.path.abspath(p) != meta_abs]
+            if cls.verbose:
+                print(f"Number of files in database : {len(paths)}")
+
+            entries = []
+            for p in paths:
+                e = ExtractionConfig.from_xml_file(p)
+                if (e.num_coeffs == meta_in.num_coeffs
+                        and e.step_size == step):
+                    entries.append(
+                        (e, (lambda e_=e: read_features(e_))))
+            if cls.verbose:
+                print(f"Number of compatible files in database : {len(entries)}")
+
+            norm = load_norm(folder, meta_in.num_coeffs) if cfg.normalize else None
+
+            return correlate_database(
+                meta_in, entries, norm, cfg,
+                check_aborted=proc.check_aborted,
+                progress=proc.set_progress,
+                verbose=cls.verbose,
+                skip_nan=cls.skip_nan)
+
+        return body
