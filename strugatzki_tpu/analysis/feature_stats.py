@@ -1,0 +1,105 @@
+"""Feature database statistics (the ``feat_norms.aif`` producer).
+
+Exact re-implementation of impl/FeatureStatsImpl.scala: per feature file and
+channel, a two-pass skewed-histogram estimate of the 1st/99th percentiles
+(reported as the (min, max) normalization range), then an element-wise
+min/max across files (:38-49).  The algorithm *defines* the values stored in
+``feat_norms.aif``, so it is kept bit-faithful (float64 math over float32
+samples, Java double→int truncation semantics) rather than replaced by a sort
+— it is IO-bound either way.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..io import audiofile as af
+from ..runtime.processor import Processor, ProcessorFactory
+
+__all__ = ["FeatureStats", "stats_for_file"]
+
+
+def _to_int_java(x: np.ndarray) -> np.ndarray:
+    """Java ``Double.toInt`` semantics: truncate toward zero, NaN → 0,
+    ±Inf clamps (FeatureStatsImpl.scala:108 does ``(…).toInt``)."""
+    out = np.where(np.isnan(x), 0.0, x)
+    out = np.clip(out, -2147483648.0, 2147483647.0)
+    return np.trunc(out).astype(np.int64)
+
+
+def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
+    """(p01, p99) arrays per channel for one feature file
+    (impl/FeatureStatsImpl.scala:56-140)."""
+    data, spec = af.read(path)          # [C, T] float32
+    num_ch, n = data.shape
+    if n == 0:
+        raise ValueError(f"empty feature file: {path}")
+    d64 = data.astype(np.float64)
+
+    mins = d64.min(axis=1)
+    maxs = d64.max(axis=1)
+    means = d64.sum(axis=1) / n          # f64 accumulation (:79, :87)
+    d = maxs - mins
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mn = (means - mins) / d
+        skews = np.log(0.5) / np.log(mn)                     # (:86-91)
+
+    p01 = np.zeros(num_ch)
+    p99 = np.zeros(num_ch)
+    p01n = int(n * 0.01)
+    p99n = int(n * 0.99)
+    for ch in range(num_ch):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.power((d64[ch] - mins[ch]) / d[ch], skews[ch]) * 2047 + 0.5
+        bins = _to_int_java(norm)
+        counts = np.bincount(np.clip(bins, 0, 2047), minlength=2048)
+        # walk the histogram exactly like the reference (:123-132): advance
+        # i while the running count is below the target — the final i is one
+        # past the bin that crossed the threshold; value = unskewed i/2048
+        cnt = 0
+        i = 0
+        while cnt < p01n:
+            cnt += int(counts[i])
+            i += 1
+        skew_r = 1.0 / skews[ch]
+        p01[ch] = np.power(i / 2048.0, skew_r) * d[ch] + mins[ch]
+        while cnt < p99n:
+            cnt += int(counts[i])
+            i += 1
+        p99[ch] = np.power(i / 2048.0, skew_r) * d[ch] + mins[ch]
+    return p01, p99
+
+
+class FeatureStats(ProcessorFactory):
+    """``FeatureStats.run(paths, observer) -> Processor[list[(min, max)]]``.
+
+    Config is simply the sequence of feature-file paths
+    (reference FeatureStats.scala:23); the product is the per-channel
+    (min, max) — robust p01/p99 — ranges across all files.
+    """
+
+    name = "stats"
+
+    @classmethod
+    def _make_body(cls, config: Sequence):
+        paths = [str(p) for p in config]
+
+        def body(proc: Processor) -> List[Tuple[float, float]]:
+            all_mins = all_maxs = None
+            for i, path in enumerate(paths):
+                proc.check_aborted()
+                mins, maxs = stats_for_file(path)
+                if all_mins is None:
+                    all_mins, all_maxs = mins, maxs
+                else:
+                    if len(mins) != len(all_mins):
+                        raise ValueError(
+                            f"channel count mismatch in {path}")
+                    all_mins = np.minimum(all_mins, mins)
+                    all_maxs = np.maximum(all_maxs, maxs)
+                proc.set_progress((i + 1) / len(paths))
+            return list(zip(all_mins.tolist(), all_maxs.tolist()))
+
+        return body

@@ -1,0 +1,185 @@
+"""Self-/cross-similarity matrix image.
+
+TPU-native re-implementation of impl/SelfSimilarityImpl.scala.  The
+reference's O(n²/2) per-cell loop re-reads both half-windows from disk for
+every cell (:127-165, its own "XXX inefficient" comment); here the whole
+gram matrix is computed in MXU blocks: windows are gathered once, per-window
+sums precomputed, and each (row-block × col-block) pair is one matmul
+(kernels/corr.py::gram_similarity_block).
+
+Parity notes:
+* decimation subsamples window starts (stride ``decim``), exactly like the
+  reference — it does not average (:162-164);
+* auto-decimation raises ``decim`` so the image extent stays ≤ 0xB504
+  (:81-91), with the same warning print;
+* cell (i, j) correlates file-1's window i (first half) against file-2's
+  window j (second half) with joint statistics; only i ≤ j is computed and
+  both symmetric pixels are written y-flipped (:152-155);
+* pixel color = palette(pow(max(0, sim), colorWarp) / colorCeil) (:150).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ColorScheme, ExtractionConfig, SelfSimilarityConfig
+from ..kernels import corr as K
+from ..runtime.processor import Processor, ProcessorFactory
+from ..util.palette import apply_palette
+from ..util.png import write_png
+from .common import full_to_feat, load_norm, normalized, read_features
+
+__all__ = ["SelfSimilarity", "self_similarity_matrix"]
+
+_MAX_EXTENT = 0xB504
+_BLOCK = 512
+
+
+def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                           decim: int, temp_weight: float,
+                           check_aborted=lambda: None,
+                           progress=lambda f: None) -> np.ndarray:
+    """Similarity matrix ``[n, n]`` over decimated window starts of two
+    prepared (normalized, *jointly* shifted) feature matrices."""
+    af_len = min(x1.shape[1], x2.shape[1])
+    win_len = half_win * 2
+    num_corrs = max(0, af_len - win_len + 1)
+    n = num_corrs // decim
+    if n == 0:
+        return np.zeros((0, 0), np.float32)
+
+    starts = np.arange(n, dtype=np.int64) * decim
+    xj1 = jnp.asarray(x1)
+    xj2 = jnp.asarray(x2)
+    tw = jnp.float32(temp_weight)
+
+    # gather per-block windows + stats lazily; cache device blocks
+    def block(xj, b):
+        s = starts[b * _BLOCK:(b + 1) * _BLOCK]
+        win = K.extract_windows(xj, jnp.asarray(s), half_win)
+        return win, K.window_stats(win)
+
+    num_blocks = (n + _BLOCK - 1) // _BLOCK
+    out = np.empty((n, n), np.float32)
+    blocks1 = {}
+    blocks2 = {}
+    total_pairs = num_blocks * (num_blocks + 1) // 2
+    done = 0
+    for bi in range(num_blocks):
+        if bi not in blocks1:
+            blocks1[bi] = block(xj1, bi)
+        wi, si = blocks1[bi]
+        for bj in range(bi, num_blocks):
+            check_aborted()
+            if bj not in blocks2:
+                blocks2[bj] = block(xj2, bj)
+            wj, sj = blocks2[bj]
+            sims = np.asarray(K.gram_similarity_block(wi, wj, si, sj, tw))
+            r0, r1 = bi * _BLOCK, bi * _BLOCK + sims.shape[0]
+            c0, c1 = bj * _BLOCK, bj * _BLOCK + sims.shape[1]
+            out[r0:r1, c0:c1] = sims
+            out[c0:c1, r0:r1] = sims.T
+            done += 1
+            progress(done / total_pairs)
+    return out
+
+
+def render_image(sims: np.ndarray, colors: str, color_warp: float,
+                 color_ceil: float, color_inv: bool) -> np.ndarray:
+    """Similarity matrix → RGB image with the reference's pixel layout:
+    x = i, y = flipped j (SelfSimilarityImpl.scala:152-155)."""
+    v = np.power(np.maximum(sims, 0.0), color_warp) * (1.0 / color_ceil)
+    if color_inv:
+        v = 1.0 - v
+    if colors == ColorScheme.GRAY_SCALE:
+        g = np.clip(v * 255 + 0.5, 0, 255).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=-1)
+    else:
+        rgb = apply_palette(v)
+    # image[y, x] with y = extent−1−j, x = i  → flip the j (column) axis and
+    # transpose so rows become y
+    return rgb.transpose(1, 0, 2)[::-1]
+
+
+class SelfSimilarity(ProcessorFactory):
+    """``SelfSimilarity.run(config, observer) -> Processor[None]`` (writes PNG)."""
+
+    name = "self similarity"
+    Config = SelfSimilarityConfig
+
+    @classmethod
+    def _make_body(cls, config: SelfSimilarityConfig):
+        cfg = config.build()
+
+        def body(proc: Processor):
+            extr1 = ExtractionConfig.from_xml_file(cfg.meta_input)
+            extr2 = ExtractionConfig.from_xml_file(cfg.meta_input2) \
+                if cfg.meta_input2 else extr1
+            if (extr1.fft_size != extr2.fft_size
+                    or extr1.fft_overlap != extr2.fft_overlap
+                    or extr1.num_coeffs != extr2.num_coeffs):
+                raise ValueError("analysis settings of the two inputs differ")
+            step = extr1.step_size
+            half_win = full_to_feat(cfg.corr_len, step)
+
+            norm = load_norm(cfg.database_folder, extr1.num_coeffs) \
+                if cfg.normalize else None
+
+            f1 = read_features(extr1)
+            f2 = f1 if extr2.feature_output == extr1.feature_output \
+                else read_features(extr2)
+            af_frames = min(f1.shape[1], f2.shape[1])
+
+            af_start = max(0, full_to_feat(cfg.span.start, step)) \
+                if cfg.span.has_start else 0
+            af_stop = min(af_frames, full_to_feat(cfg.span.stop, step)) \
+                if cfg.span.has_stop else af_frames
+            af_len = af_stop - af_start
+
+            win_len = half_win * 2
+            num_corrs = max(0, af_len - win_len + 1)
+            if num_corrs > 0x7FFFFFFF:
+                raise ValueError("32-bit overflow")
+
+            decim = cfg.decimation
+            if decim < 1:
+                raise ValueError(f"Illegal decimation setting of {decim}")
+            img_ext = num_corrs // decim
+            if img_ext > _MAX_EXTENT:
+                decim = (num_corrs + _MAX_EXTENT - 1) // _MAX_EXTENT
+                print("Warning: Decimation is too small to produce a "
+                      f"reasonable image size. Automatically adjusting to {decim}")
+                img_ext = num_corrs // decim
+            if cls.verbose:
+                print(f"Image extent is {img_ext} (yielding a matrix of "
+                      f"{img_ext * img_ext} pixels)")
+            if img_ext == 0:
+                raise ValueError("span too short for the correlation length")
+
+            # normalize both, joint group shift (same constant on both sides
+            # keeps correlateHalf exact — see kernels/corr.py)
+            xn1 = normalized(f1[:, af_start:af_stop], norm)
+            xn2 = xn1 if f2 is f1 else normalized(f2[:, af_start:af_stop], norm)
+            joint = xn1 if xn2 is xn1 else np.concatenate([xn1, xn2], axis=1)
+            _, sh_t, sh_s = K.shift_per_group(joint)
+            def shift(x):
+                out = x.copy()
+                out[:1] -= np.float32(sh_t)
+                out[1:] -= np.float32(sh_s)
+                return out
+            x1 = shift(xn1)
+            x2 = x1 if xn2 is xn1 else shift(xn2)
+
+            with proc.sub(0.95):
+                sims = self_similarity_matrix(
+                    x1, x2, half_win, decim, cfg.temporal_weight,
+                    check_aborted=proc.check_aborted,
+                    progress=proc.set_progress)
+            rgb = render_image(sims, cfg.colors, cfg.color_warp,
+                               cfg.color_ceil, cfg.color_inv)
+            write_png(cfg.image_output, rgb)
+            proc.set_progress(1.0)
+            return None
+
+        return body

@@ -1,0 +1,56 @@
+"""Intensity color palette.
+
+Re-creation of the ``de.sciss.intensitypalette.IntensityPalette`` ramp the
+reference uses for self-similarity images (SelfSimilarityImpl.scala:109-110):
+a psycho-optically even gradient "from black over violet towards yellow and
+finally white" (SelfSimilarity.scala:48-54), originally from Niklas Werner's
+Sonasound.  The exact table is not in the reference repository; this is a
+perceptually equivalent piecewise-linear reconstruction over the same hue
+trajectory — swap the anchor table to calibrate byte-exactly if needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["intensity_rgb", "apply_palette", "NUM_COLORS"]
+
+NUM_COLORS = 1024
+
+# anchor points (position, (r, g, b)): black → violet → magenta/red →
+# orange → yellow → white
+_ANCHORS = [
+    (0.00, (0, 0, 0)),
+    (0.15, (50, 0, 100)),
+    (0.30, (120, 0, 160)),
+    (0.45, (190, 40, 110)),
+    (0.60, (230, 110, 40)),
+    (0.75, (250, 180, 20)),
+    (0.90, (255, 240, 80)),
+    (1.00, (255, 255, 255)),
+]
+
+
+def _build_table() -> np.ndarray:
+    xs = np.array([a[0] for a in _ANCHORS])
+    cols = np.array([a[1] for a in _ANCHORS], dtype=np.float64)
+    t = np.linspace(0.0, 1.0, NUM_COLORS)
+    rgb = np.stack([np.interp(t, xs, cols[:, c]) for c in range(3)], axis=1)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+_TABLE = _build_table()
+
+
+def intensity_rgb(value: float) -> tuple:
+    """Single value in [0, 1] → (r, g, b); out-of-range clamps
+    (cf. IntensityPalette.apply)."""
+    idx = int(np.clip(value, 0.0, 1.0) * (NUM_COLORS - 1) + 0.5)
+    return tuple(int(v) for v in _TABLE[idx])
+
+
+def apply_palette(values: np.ndarray) -> np.ndarray:
+    """Vectorized map: float array [..] in [0,1] → uint8 rgb [.., 3]."""
+    v = np.nan_to_num(np.asarray(values, dtype=np.float64), nan=0.0)
+    idx = (np.clip(v, 0.0, 1.0) * (NUM_COLORS - 1) + 0.5).astype(np.int32)
+    return _TABLE[idx]

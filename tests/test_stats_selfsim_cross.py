@@ -1,0 +1,195 @@
+"""Tests for FeatureStats (vs a line-by-line transcription), SelfSimilarity
+(matrix parity + PNG output) and CrossSimilarity (template detection)."""
+
+import math
+import os
+
+import numpy as np
+
+from strugatzki_tpu.analysis.feature_stats import FeatureStats, stats_for_file
+from strugatzki_tpu.analysis.self_similarity import (SelfSimilarity,
+                                                     render_image,
+                                                     self_similarity_matrix)
+from strugatzki_tpu.analysis.cross_similarity import CrossSimilarity
+from strugatzki_tpu.config import (CrossSimilarityConfig, ExtractionConfig,
+                                   SelfSimilarityConfig)
+from strugatzki_tpu.io import audiofile as af
+from strugatzki_tpu.kernels import corr as K
+from strugatzki_tpu.kernels import mathref as M
+
+
+def _write_feat(path, data, rate=44100 / 512):
+    af.write(path, data.astype(np.float32),
+             af.feature_spec(data.shape[0], rate))
+
+
+def _write_meta(meta_path, audio, feat):
+    ExtractionConfig(audio_input=str(audio), feature_output=str(feat),
+                     meta_output=str(meta_path)).save_xml(meta_path)
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+def _scala_stats(data):
+    """Transcription of FeatureStatsImpl.body1 (:56-140), scalar."""
+    num_ch, n = data.shape
+    mins = [float(np.float32(data[ch].min())) for ch in range(num_ch)]
+    maxs = [float(np.float32(data[ch].max())) for ch in range(num_ch)]
+    sums = [float(data[ch].astype(np.float64).sum()) for ch in range(num_ch)]
+    log05 = math.log(0.5)
+    skews, p01, p99 = [], [], []
+    for ch in range(num_ch):
+        mean = sums[ch] / n
+        d = maxs[ch] - mins[ch]
+        mn = (mean - mins[ch]) / d
+        skews.append(log05 / math.log(mn))
+    for ch in range(num_ch):
+        cp = [0] * 2048
+        for f in data[ch]:
+            norm = int(((float(f) - mins[ch]) / (maxs[ch] - mins[ch]))
+                       ** skews[ch] * 2047 + 0.5)
+            cp[norm] += 1
+        p01n = int(n * 0.01)
+        p99n = int(n * 0.99)
+        cnt = i = 0
+        while cnt < p01n:
+            cnt += cp[i]
+            i += 1
+        skew_r = 1.0 / skews[ch]
+        p01.append((i / 2048.0) ** skew_r * (maxs[ch] - mins[ch]) + mins[ch])
+        while cnt < p99n:
+            cnt += cp[i]
+            i += 1
+        p99.append((i / 2048.0) ** skew_r * (maxs[ch] - mins[ch]) + mins[ch])
+    return np.array(p01), np.array(p99)
+
+
+def test_stats_matches_transcription(tmp_path):
+    rng = np.random.default_rng(0)
+    data = np.abs(0.5 + 0.2 * rng.standard_normal((4, 3000))).astype(np.float32)
+    p = tmp_path / "a_feat.aif"
+    _write_feat(p, data)
+    p01, p99 = stats_for_file(p)
+    r01, r99 = _scala_stats(data)
+    np.testing.assert_allclose(p01, r01, atol=1e-9)
+    np.testing.assert_allclose(p99, r99, atol=1e-9)
+    # robust percentiles bracket the bulk of the data
+    for ch in range(4):
+        assert p01[ch] <= np.percentile(data[ch], 3)
+        assert p99[ch] >= np.percentile(data[ch], 97)
+
+
+def test_stats_across_files(tmp_path):
+    rng = np.random.default_rng(1)
+    d1 = np.abs(0.5 + 0.1 * rng.standard_normal((3, 2000))).astype(np.float32)
+    d2 = np.abs(0.9 + 0.3 * rng.standard_normal((3, 2000))).astype(np.float32)
+    p1, p2 = tmp_path / "x_feat.aif", tmp_path / "y_feat.aif"
+    _write_feat(p1, d1)
+    _write_feat(p2, d2)
+    res = FeatureStats.run([str(p1), str(p2)]).result(timeout=60)
+    assert len(res) == 3
+    a1, b1 = stats_for_file(p1)
+    a2, b2 = stats_for_file(p2)
+    for ch in range(3):
+        assert res[ch][0] == min(a1[ch], a2[ch])
+        assert res[ch][1] == max(b1[ch], b2[ch])
+
+
+# ---------------------------------------------------------------------------
+# self-similarity
+# ---------------------------------------------------------------------------
+
+def test_selfsim_matrix_matches_mathref():
+    rng = np.random.default_rng(3)
+    x = np.abs(0.5 + 0.15 * rng.standard_normal((5, 160))).astype(np.float32)
+    h, d = 20, 3
+    xs, _, _ = K.shift_per_group(x)
+    sims = self_similarity_matrix(xs, xs, h, d, 0.5)
+    n = (160 - 2 * h + 1) // d
+    assert sims.shape == (n, n)
+    for i in range(0, n, 7):
+        for j in range(i, n, 11):
+            win = np.concatenate([x[:, i * d:i * d + h],
+                                  x[:, j * d:j * d + h]], axis=1)
+            st = M.correlate_half(1, h, win, 0, 0)
+            ss = M.correlate_half(4, h, win, 0, 1)
+            ref = st * 0.5 + ss * 0.5
+            assert abs(sims[i, j] - ref) < 2e-5
+    np.testing.assert_allclose(np.diag(sims), 1.0, atol=1e-4)
+
+
+def test_selfsim_processor_writes_png(tmp_path):
+    rng = np.random.default_rng(4)
+    a = 0.5 + 0.05 * rng.standard_normal((14, 150))
+    b = 0.7 + 0.05 * rng.standard_normal((14, 150))
+    feats = np.abs(np.concatenate([a, b], axis=1)).astype(np.float32)
+    feat_p = tmp_path / "p_feat.aif"
+    meta_p = tmp_path / "p_feat.xml"
+    _write_feat(feat_p, feats)
+    _write_meta(meta_p, tmp_path / "p.aif", feat_p)
+
+    out = tmp_path / "out.png"
+    cfg = SelfSimilarityConfig(
+        meta_input=str(meta_p), image_output=str(out),
+        corr_len=20 * 512, decimation=2, normalize=False)
+    SelfSimilarity.run(cfg).result(timeout=120)
+    raw = out.read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode via zlib to check dimensions
+    import struct, zlib
+    w, hh = struct.unpack(">II", raw[16:24])
+    n = (300 - 40 + 1) // 2
+    assert (w, hh) == (n, n)
+    pix = zlib.decompress(raw[raw.index(b"IDAT") + 4:raw.rindex(b"IEND") - 4])
+    img = np.frombuffer(pix, np.uint8).reshape(hh, 1 + w * 3)[:, 1:].reshape(hh, w, 3)
+    # block-diagonal structure: the two homogeneous sections are bright,
+    # cross blocks darker; diagonal brightest
+    ys = hh - 1 - np.arange(n)  # y flip
+    diag_mean = img[ys, np.arange(n)].mean()
+    cross = img[ys[int(n * 0.75)], int(n * 0.25)].mean()
+    assert diag_mean > 200
+    assert cross < diag_mean - 40
+
+
+def test_render_image_orientation():
+    sims = np.zeros((3, 3), np.float32)
+    sims[0, 2] = 1.0
+    sims[2, 0] = 1.0
+    img = render_image(sims, "gray", 1.0, 1.0, False)
+    # cell (i=0, j=2) → x=0, y = extent−1−2 = 0 → top-left bright
+    assert img[0, 0, 0] == 255
+    assert img[2, 2, 0] == 255  # mirrored cell (2,0) → x=2,y=2
+
+
+# ---------------------------------------------------------------------------
+# cross-similarity
+# ---------------------------------------------------------------------------
+
+def test_cross_similarity_detects_template(tmp_path):
+    rng = np.random.default_rng(5)
+    long = np.abs(0.5 + 0.12 * rng.standard_normal((14, 400))).astype(np.float32)
+    tmpl = long[:, 250:290].copy()
+
+    fl, ml = tmp_path / "long_feat.aif", tmp_path / "long_feat.xml"
+    ft, mt = tmp_path / "tmpl_feat.aif", tmp_path / "tmpl_feat.xml"
+    _write_feat(fl, long)
+    _write_feat(ft, tmpl)
+    _write_meta(ml, tmp_path / "long.aif", fl)
+    _write_meta(mt, tmp_path / "tmpl.aif", ft)
+
+    out = tmp_path / "sims.aif"
+    cfg = CrossSimilarityConfig(
+        meta_input1=str(mt), meta_input2=str(ml),
+        normalize=False)
+    cfg.set_audio_output(str(out))
+    CrossSimilarity.run(cfg).result(timeout=120)
+
+    sims, spec = af.read(out)
+    assert spec.num_channels == 1
+    assert spec.num_frames == 400 - 40 + 1
+    # rate taken from meta_input1's feature file
+    assert abs(spec.sample_rate - 44100 / 512) < 1e-4
+    assert int(np.argmax(sims[0])) == 250
+    assert sims[0, 250] > 0.999
