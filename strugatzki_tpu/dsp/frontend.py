@@ -26,6 +26,10 @@ from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
+from ..runtime.platform import configure as _configure_platform
+
+_configure_platform()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

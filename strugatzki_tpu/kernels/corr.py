@@ -39,6 +39,10 @@ from __future__ import annotations
 
 from functools import partial
 
+from ..runtime.platform import configure as _configure_platform
+
+_configure_platform()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
