@@ -35,7 +35,10 @@ def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """Replace NaNs with the last non-NaN per channel, resetting the carried
     value to 0 at every ``chunk`` boundary (NonRealtimeProcessor.scala:178-190:
     ``lasts`` is re-allocated per temp-file chunk)."""
-    out = features.copy()
+    out = np.ascontiguousarray(features, dtype=np.float32).copy()
+    from ..io import native as _native
+    if _native.fix_nans(out, chunk):
+        return out
     num_ch, total = out.shape
     for start in range(0, total, chunk):
         blk = out[:, start:start + chunk]
@@ -73,6 +76,13 @@ class FeatureExtraction(ProcessorFactory):
                 mono = audio[0]
             else:
                 mono = audio[spec.num_channels - 1]
+
+            # PCM16 single-channel path: ship raw int16 to the device
+            # (half the transfer, bit-exact — see dsp/frontend.py)
+            if (spec.sample_format == af.SampleFormat.INT16
+                    and (spec.num_channels == 1
+                         or cfg.channels_behavior != ChannelsBehavior.MIX)):
+                mono = np.round(mono * 32768.0).astype(np.int16)
 
             step = cfg.step_size
             feat_rate = spec.sample_rate / step

@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from . import native as _native
 from .formats import (AIFF, IRCAM, NEXT, RAW, WAVE, WAVE64, AudioFileType,
                       SampleFormat, audio_file_type_for_extension)
 
@@ -86,6 +87,8 @@ def _decode_f80(raw: bytes) -> float:
 # ---------------------------------------------------------------------------
 
 _PCM_FORMATS = {
+    "int8": 1,
+    "uint8": 1,
     SampleFormat.INT16: 2,
     SampleFormat.INT24: 3,
     SampleFormat.INT32: 4,
@@ -120,6 +123,12 @@ def _decode_samples(raw: bytes, fmt: str, big_endian: bool) -> np.ndarray:
                   | b[:, 0].astype(np.int32)
         val = np.where(val >= (1 << 23), val - (1 << 24), val)
         return (val.astype(np.float32) / 8388608.0).astype(np.float32)
+    if fmt == "int8":
+        return (np.frombuffer(raw, dtype=np.int8).astype(np.float32)
+                / 128.0).astype(np.float32)
+    if fmt == "uint8":
+        return ((np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0)
+                / 128.0).astype(np.float32)
     raise ValueError(f"unsupported sample format {fmt!r}")
 
 
@@ -360,8 +369,12 @@ class AudioFileReader:
         raw = self._f.read(num * self._frame_bytes)
         n = len(raw) // self._frame_bytes
         raw = raw[: n * self._frame_bytes]
-        flat = _decode_samples(raw, self.spec.sample_format, self._big_endian)
         self._position += n
+        out = _native.decode(raw, n, self.spec.num_channels,
+                             self.spec.sample_format, self._big_endian)
+        if out is not None:
+            return out
+        flat = _decode_samples(raw, self.spec.sample_format, self._big_endian)
         return flat.reshape(n, self.spec.num_channels).T.copy()
 
     def close(self) -> None:
@@ -408,8 +421,14 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
     t = spec.file_type
     fmt = spec.sample_format
 
+    def _encode(big_endian: bool) -> bytes:
+        enc = _native.encode(data, fmt, big_endian)
+        if enc is not None:
+            return enc
+        return _encode_samples(interleaved, fmt, big_endian)
+
     if t == AIFF:
-        payload = _encode_samples(interleaved, fmt, big_endian=True)
+        payload = _encode(True)
         is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
         bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
                 SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
@@ -439,7 +458,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
             f.write(struct.pack(">4sI4s", b"FORM", 4 + len(body), form_type) + body)
 
     elif t == WAVE:
-        payload = _encode_samples(interleaved, fmt, big_endian=False)
+        payload = _encode(False)
         is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
         bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
                 SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
@@ -459,7 +478,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
             f.write(struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body)
 
     elif t == IRCAM:
-        payload = _encode_samples(interleaved, fmt, big_endian=True)
+        payload = _encode(True)
         code = {SampleFormat.INT16: 2, SampleFormat.INT24: 3,
                 SampleFormat.FLOAT: 4, SampleFormat.DOUBLE: 8}[fmt]
         header = (b"\x64\xa3\x02\x00"  # Sun big-endian variant
@@ -469,7 +488,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
             f.write(header + payload)
 
     elif t == NEXT:
-        payload = _encode_samples(interleaved, fmt, big_endian=True)
+        payload = _encode(True)
         enc = {SampleFormat.INT16: 3, SampleFormat.INT24: 4,
                SampleFormat.INT32: 5, SampleFormat.FLOAT: 6,
                SampleFormat.DOUBLE: 7}[fmt]
@@ -484,7 +503,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
 
     elif t == WAVE64:
         # Wave64: GUID-chunked RIFF variant; 16-byte GUIDs + 8-byte sizes
-        payload = _encode_samples(interleaved, fmt, big_endian=False)
+        payload = _encode(False)
         is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
         bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
                 SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
