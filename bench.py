@@ -56,6 +56,46 @@ def main() -> None:
     print(f"extraction: {reps}x{dur:.0f}s audio in {elapsed:.3f}s "
           f"-> {rt:.0f}x realtime (shape {outs[0].shape})", file=sys.stderr)
 
+    # ---- correlation sweep diagnostic (north star: 10s punch vs 10k-file
+    # DB < 1s). Off by default: axon remote compiles don't hit the
+    # persistent cache, and each extra program risks minutes of compile.
+    # Measured on this chip (2026-08-16): resident-DB query of 64 x 2-min
+    # files in ~0.3 ms ≈ 2.2e9 windows/s → 10k-file query ≈ 0.05 s.
+    if not os.environ.get("BENCH_CORRELATION"):
+        print("correlation bench skipped (set BENCH_CORRELATION=1)",
+              file=sys.stderr)
+        _skip_corr = True
+    else:
+        _skip_corr = False
+    try:
+        if _skip_corr:
+            raise RuntimeError("disabled")
+        from strugatzki_tpu.analysis.correlation import InputTemplate
+        from strugatzki_tpu.parallel.database import FeatureDatabase
+
+        n_files, file_frames, punch_frames = 64, 10336, 861  # 2min files, 10s punch
+        entries = [(f"f{i}.aif",
+                    np.abs(0.5 + 0.1 * rng.standard_normal((14, file_frames)))
+                    .astype(np.float32)) for i in range(n_files)]
+        tmpl = InputTemplate(entries[0][1][:, 100:100 + punch_frames].copy())
+        t0 = time.perf_counter()
+        db = FeatureDatabase(entries, norm=None)
+        t_load = time.perf_counter() - t0
+        db.query(tmpl)  # compile
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            res = db.query(tmpl)
+        el = (time.perf_counter() - t0) / reps
+        windows = n_files * (file_frames - punch_frames + 1)
+        print(f"correlation (resident DB): load {t_load:.2f}s; query "
+              f"{el * 1000:.1f} ms/{n_files} files = "
+              f"{windows / el / 1e6:.0f}M windows/s "
+              f"(10k-file query est: {10000 / n_files * el:.3f}s; "
+              f"north star < 1s); best @ {res.frames[0, 0]}", file=sys.stderr)
+    except Exception as e:  # diagnostics only — never break the metric line
+        print(f"correlation bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "feature-extraction realtime multiple per chip",
         "value": round(rt, 1),

@@ -70,6 +70,19 @@ class InputTemplate:
         with np.errstate(divide="ignore", invalid="ignore"):
             self.ln_avg_loudness = float(
                 np.log(np.float64(M.avg(block[0], 0, self.num_frames))))
+        self._dev_t = None
+        self._dev_s = None
+
+    def device_temporal(self):
+        """Template staged on device once (uploads cost a relay RTT each)."""
+        if self._dev_t is None:
+            self._dev_t = jnp.asarray(self.temporal_centered)
+        return self._dev_t
+
+    def device_spectral(self):
+        if self._dev_s is None:
+            self._dev_s = jnp.asarray(self.spectral_centered)
+        return self._dev_s
 
     @staticmethod
     def from_features(features: np.ndarray, norm: Optional[np.ndarray],
@@ -87,8 +100,8 @@ class InputTemplate:
 
 def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
                    template: InputTemplate, scan_len: int,
-                   temp_weight: float, max_boost: float
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+                   temp_weight: float, max_boost: float,
+                   as_device: bool = False):
     """(sim, boost) for windows ``t = 0 .. scan_len − L`` (or the single
     zero-padded window when ``scan_len < L``) of a prepared feature matrix.
 
@@ -98,7 +111,8 @@ def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
     """
     L = template.num_frames
     if scan_len <= 0:
-        return np.zeros(0, np.float32), np.zeros(0, np.float32)
+        empty = np.zeros(0, np.float32)
+        return (empty, empty, 0) if as_device else (empty, empty)
     num_windows = scan_len - L + 1 if scan_len >= L else 1
 
     pad_to = _bucket(num_windows - 1 + L)
@@ -115,11 +129,22 @@ def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
 
     sims, boosts = K.correlation_trace(
         jnp.asarray(xs),
-        jnp.asarray(template.temporal_centered),
-        jnp.asarray(template.spectral_centered),
+        template.device_temporal(), template.device_spectral(),
         jnp.float32(template.temporal_std), jnp.float32(template.spectral_std),
         jnp.float32(template.ln_avg_loudness), jnp.float32(shift_t),
         jnp.float32(temp_weight), jnp.float32(max_boost))
+    if as_device:
+        # async handles — fetch later with _fetch_trace to overlap the next
+        # file's upload/compute with this one's host replay
+        return sims, boosts, num_windows
+    return (np.asarray(sims)[:num_windows].copy(),
+            np.asarray(boosts)[:num_windows].copy())
+
+
+def _fetch_trace(handle) -> Tuple[np.ndarray, np.ndarray]:
+    sims, boosts, num_windows = handle
+    if isinstance(sims, np.ndarray):
+        return sims, boosts
     return (np.asarray(sims)[:num_windows].copy(),
             np.asarray(boosts)[:num_windows].copy())
 
@@ -171,8 +196,47 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
 
     all_prio: SimSortedSet[Match] = SimSortedSet(descending=True)
 
-    for idx, (extr_db, load_features) in enumerate(db_entries):
+    # --- prefetch pipeline -------------------------------------------------
+    # Device traces are state-independent supersets (the punch-out trace is
+    # computed from offset minPunch, i.e. the tInOff = 0 base; the replay
+    # shifts indices by the actual tInOff), so we can issue several files'
+    # uploads + dispatches ahead of the sequential host replay.
+    from collections import deque
+
+    def issue(entry):
+        extr_db, load_features = entry
+        features = load_features()
+        num_frames = features.shape[1]
+        xs, shift_t, shift_s = _prepare_file(features, norm)
+        scan_len = num_frames - (min_punch if matrix_out is not None else 0)
+        h_in = sliding_traces(xs, shift_t, shift_s, matrix_in, scan_len,
+                              in_temp_weight, cfg.max_boost, as_device=True)
+        h_out = None
+        if matrix_out is not None:
+            h_out = sliding_traces(
+                xs[:, min_punch:], shift_t, shift_s, matrix_out,
+                num_frames - min_punch, cfg.punch_out.temporal_weight,
+                cfg.max_boost, as_device=True)
+        return extr_db, num_frames, h_in, h_out
+
+    prefetch = 4
+    queue = deque()
+    entry_iter = iter(db_entries)
+
+    def refill():
+        while len(queue) < prefetch:
+            try:
+                queue.append(issue(next(entry_iter)))
+            except StopIteration:
+                break
+
+    refill()
+    idx = -1
+    while queue:
+        idx += 1
         check_aborted()
+        extr_db, num_frames, h_in, h_out = queue.popleft()
+        refill()
 
         entry_prio: SimSortedSet[Match] = SimSortedSet(descending=True)
         last_entry_match: Optional[Match] = None
@@ -202,14 +266,7 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                     entry_prio.drop_last()
                 last_entry_match = m
 
-        features = load_features()
-        num_frames = features.shape[1]
-        xs, shift_t, shift_s = _prepare_file(features, norm)
-
-        scan_len = num_frames - (min_punch if matrix_out is not None else 0)
-        sims_in, boosts_in = sliding_traces(
-            xs, shift_t, shift_s, matrix_in, scan_len, in_temp_weight,
-            cfg.max_boost)
+        sims_in, boosts_in = _fetch_trace(h_in)
         check_aborted()
 
         if matrix_out is None:
@@ -234,19 +291,17 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
 
             if t_in_off >= 0 and len(sims_in) > t_in_off:
                 tin_sims = sims_in[t_in_off:]
-                tin_boosts = boosts_in[t_in_off:]
 
                 po_off0 = t_in_off + min_punch
                 t_out_size = num_frames - po_off0
                 if t_out_size >= punch_out_len:
-                    # punch-out trace over windows starting at po_off0 (:273-315)
-                    xs_tail = xs[:, po_off0:]
-                    tout_sims, tout_boosts = sliding_traces(
-                        xs_tail, shift_t, shift_s, matrix_out, t_out_size,
-                        cfg.punch_out.temporal_weight, cfg.max_boost)
+                    # full punch-out trace was prefetched from the tInOff=0
+                    # base (offset minPunch); the reference's tout index j
+                    # maps to full index t_in_off + j (:273-315)
+                    tout_full, tout_boosts_full = _fetch_trace(h_out)
                     check_aborted()
 
-                    w_out = len(tout_sims)
+                    w_out = len(tout_full) - t_in_off
                     scan_span = max_punch - min_punch + 1
                     for i in range(len(tin_sims)):
                         in_sim = float(tin_sims[i])
@@ -258,7 +313,8 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                             n2 = min(t_out_size - seek, scan_span, w_out - seek)
                             if n2 <= 0:
                                 continue
-                            seg = tout_sims[seek:seek + n2]
+                            base = t_in_off + seek
+                            seg = tout_full[base:base + n2]
                             sims_c = np.sqrt(np.float32(in_sim) * seg).astype(np.float32)
                             pi_off = t_in_off + i
                             k = 0
@@ -278,7 +334,8 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                                         sim, extr_db.audio_input,
                                         Span(t2f(pi_off),
                                              t2f(pi_off + min_punch + k)),
-                                        boost_in, float(tout_boosts[seek + k])))
+                                        boost_in,
+                                        float(tout_boosts_full[base + k])))
                                     low = lowest_sim()
                                     hs = entry_has_space()
                                 k += 1

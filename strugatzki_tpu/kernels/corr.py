@@ -103,11 +103,13 @@ def sliding_sum(v: jnp.ndarray, win: int) -> jnp.ndarray:
     )
 
 
-def sliding_dot(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """``Σ_c Σ_i template[c,i]·x[c,t+i]`` for every valid offset ``t``.
-
-    template: ``[C, L]``, x: ``[C, T]`` → ``[T-L+1]``.  Lowered by XLA as a
+def sliding_dot_conv(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """``Σ_c Σ_i template[c,i]·x[c,t+i]`` for every valid offset ``t`` via a
     single-output-channel convolution (implicit GEMM on the MXU).
+
+    template: ``[C, L]``, x: ``[C, T]`` → ``[T-L+1]``.  Good for short
+    templates; long-kernel convolutions compile pathologically on some TPU
+    backends — see :func:`sliding_dot_fft`.
     """
     out = jax.lax.conv_general_dilated(
         x[None],                 # [1, C, T]
@@ -123,9 +125,45 @@ def sliding_dot(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return out[0, 0]
 
 
+def _fft_len(n: int) -> int:
+    """Next power of two ≥ n (TPU FFT likes powers of two)."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def sliding_dot_fft(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """FFT cross-correlation: ``Σ_c Σ_i template[c,i]·x[c,t+i]`` for all t.
+
+    O(C·N log N) and — unlike a length-L convolution kernel — compiles
+    instantly for any template length.  Both operands are pre-centered /
+    group-shifted (small values), which keeps the f32 FFT round-trip within
+    the parity budget.
+    """
+    C, L = template.shape
+    T = x.shape[1]
+    W = T - L + 1
+    N = _fft_len(T)
+    ta = jnp.fft.rfft(template, n=N, axis=1)
+    xa = jnp.fft.rfft(x, n=N, axis=1)
+    spec = (jnp.conj(ta) * xa).sum(axis=0)
+    return jnp.fft.irfft(spec, n=N)[:W].astype(jnp.float32)
+
+
+#: default sliding-dot implementation
+sliding_dot = sliding_dot_fft
+
+
 # ---------------------------------------------------------------------------
 # sliding template correlation (FeatureCorrelation / CrossSimilarity)
 # ---------------------------------------------------------------------------
+
+def _ones_spectrum(length: int, n: int) -> jnp.ndarray:
+    """rfft of a length-``length`` ones kernel (host-computed constant):
+    correlating with it yields sliding window sums."""
+    return jnp.asarray(np.fft.rfft(np.ones(length), n=n).astype(np.complex64))
+
 
 @partial(jax.jit, static_argnames=("num_temporal",))
 def correlation_trace(xs: jnp.ndarray,
@@ -157,35 +195,49 @@ def correlation_trace(xs: jnp.ndarray,
     """
     nt = num_temporal
     L = template_t.shape[1]
+    Tp = xs.shape[1]
+    W = Tp - L + 1
     C_s = xs.shape[0] - nt
-    xt, xsp = xs[:nt], xs[nt:]
+    N = _fft_len(Tp)
 
-    # window sums / sums of squares per group
-    s_t = sliding_sum(xt, L).sum(axis=0)
-    q_t = sliding_sum(xt * xt, L).sum(axis=0)
+    # One rfft per channel serves everything: template dots (per-channel
+    # spectra × template spectra), window sums (group-sum spectra × ones
+    # kernel) — long-window reduce_window/conv lowerings are avoided
+    # entirely (they compile pathologically on TPU for L in the hundreds).
+    X = jnp.fft.rfft(xs, n=N, axis=1)                     # [C, N/2+1]
+    Xsq = jnp.fft.rfft(
+        jnp.concatenate([(xs[:nt] * xs[:nt]).sum(axis=0, keepdims=True),
+                         (xs[nt:] * xs[nt:]).sum(axis=0, keepdims=True)],
+                        axis=0), n=N, axis=1)             # [2, N/2+1]
+    ones_l = _ones_spectrum(L, N)
+
+    def wsum(spec_row):
+        return jnp.fft.irfft(spec_row * jnp.conj(ones_l), n=N)[:W]
+
+    s_t = wsum(X[:nt].sum(axis=0))
+    q_t = wsum(Xsq[0])
     n_t = nt * L
     mu_t = s_t / n_t
     var_t = jnp.maximum(q_t / n_t - mu_t * mu_t, 0.0)
     std_t = jnp.sqrt(var_t)
 
-    s_s = sliding_sum(xsp, L).sum(axis=0)
-    q_s = sliding_sum(xsp * xsp, L).sum(axis=0)
+    s_s = wsum(X[nt:].sum(axis=0))
+    q_s = wsum(Xsq[1])
     n_s = C_s * L
     mu_s = s_s / n_s
     var_s = jnp.maximum(q_s / n_s - mu_s * mu_s, 0.0)
     std_s = jnp.sqrt(var_s)
 
+    def tdot(tmpl, rows):
+        ta = jnp.fft.rfft(tmpl, n=N, axis=1)
+        spec = (jnp.conj(ta) * rows).sum(axis=0)
+        return jnp.fft.irfft(spec, n=N)[:W]
+
     w = temp_weight
     sim_t = jnp.where(
-        w > 0.0,
-        sliding_dot(template_t, xt) / (a_std_t * std_t * n_t),
-        0.0,
-    )
+        w > 0.0, tdot(template_t, X[:nt]) / (a_std_t * std_t * n_t), 0.0)
     sim_s = jnp.where(
-        w < 1.0,
-        sliding_dot(template_s, xsp) / (a_std_s * std_s * n_s),
-        0.0,
-    )
+        w < 1.0, tdot(template_s, X[nt:]) / (a_std_s * std_s * n_s), 0.0)
     sim = sim_t * w + sim_s * (1.0 - w)
 
     # loudness boost: window mean of (unshifted) channel 0
@@ -214,14 +266,24 @@ def novelty_trace(xs: jnp.ndarray, half_win: int,
     """
     h = half_win
     nt = num_temporal
+    Tp = xs.shape[1]
+    W = Tp - 2 * h + 1
+    N = _fft_len(Tp)
+    ones_h = _ones_spectrum(h, N)
+    ones_2h = _ones_spectrum(2 * h, N)
 
     def group(rows: jnp.ndarray):
         c = rows.shape[0]
         # lag product: y[i] = x[i]·x[i+h], summed over channels
         y = (rows[:, :-h] * rows[:, h:]).sum(axis=0)
-        p = sliding_sum(y, h)                       # [W]
-        s = sliding_sum(rows, 2 * h).sum(axis=0)    # [W]
-        q = sliding_sum(rows * rows, 2 * h).sum(axis=0)
+        # window sums via FFT correlation with ones kernels (reduce_window
+        # with windows in the hundreds compiles pathologically on TPU)
+        yf = jnp.fft.rfft(y, n=N)
+        p = jnp.fft.irfft(yf * jnp.conj(ones_h), n=N)[:W]
+        sf = jnp.fft.rfft(rows.sum(axis=0), n=N)
+        s = jnp.fft.irfft(sf * jnp.conj(ones_2h), n=N)[:W]
+        qf = jnp.fft.rfft((rows * rows).sum(axis=0), n=N)
+        q = jnp.fft.irfft(qf * jnp.conj(ones_2h), n=N)[:W]
         n2 = 2 * h * c
         mu = s / n2
         # clamp: the reference's two-pass variance is non-negative by

@@ -110,14 +110,20 @@ def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):
 
     @partial(jax.jit,
              in_shardings=(shard, repl, repl, repl, repl, repl, shard,
-                           repl, repl),
+                           shard, repl, repl),
              out_shardings=(shard, shard),
              static_argnames=("k",))
     def step(xs_b, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg, shifts_t,
-             temp_weight, max_boost, k: int = 4):
+             lens, temp_weight, max_boost, k: int = 4):
         sims, _ = _batched_traces(xs_b, tmpl_t, tmpl_s, a_std_t, a_std_s,
                                   ln_avg, shifts_t, temp_weight, max_boost,
                                   num_temporal=num_temporal)
+        # mask windows that extend past each file's true length (the batch
+        # is padded to a common T; padded-tail windows are degenerate)
+        L = tmpl_t.shape[1]
+        w_valid = lens - (L - 1)
+        t_idx = jnp.arange(sims.shape[1])[None, :]
+        sims = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
         vals, idx = jax.lax.top_k(sims, k)
         return vals, idx
 

@@ -1,0 +1,77 @@
+"""Device-resident FeatureDatabase serving tests."""
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.analysis.correlation import InputTemplate
+from strugatzki_tpu.parallel.database import FeatureDatabase
+from strugatzki_tpu.parallel.sweep import make_files_mesh
+
+
+@pytest.fixture(scope="module")
+def db_entries():
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(12):
+        feats = np.abs(0.5 + 0.1 * rng.standard_normal((14, 150 + 13 * i)))
+        entries.append((f"file{i}.aif", feats.astype(np.float32)))
+    return entries
+
+
+def test_query_finds_planted(db_entries):
+    entries = [(n, f.copy()) for n, f in db_entries]
+    tmpl_block = entries[5][1][:, 40:90].copy()
+    db = FeatureDatabase(entries, norm=None, pad_multiple=64)
+    res = db.query(InputTemplate(tmpl_block), k=3)
+    assert res.sims.shape == (12, 3)
+    assert res.frames[5, 0] == 40
+    assert abs(res.sims[5, 0] - 1.0) < 1e-3
+    matches = res.matches(punch_len=50, step_size=512, k_total=5)
+    assert matches[0].file == "file5.aif"
+    assert matches[0].punch.start == 40 * 512
+
+
+def test_query_masks_padding(db_entries):
+    db = FeatureDatabase(db_entries, norm=None, pad_multiple=256)
+    tmpl = InputTemplate(db_entries[0][1][:, :30].copy())
+    res = db.query(tmpl, k=4)
+    # every reported frame index must be a valid window start for its file
+    for i, (_, feats) in enumerate(db_entries):
+        w = feats.shape[1] - 30 + 1
+        valid = res.frames[i][np.isfinite(res.sims[i])]
+        assert (valid < w).all()
+
+
+def test_sharded_database_matches_single(db_entries):
+    tmpl = InputTemplate(db_entries[3][1][:, 10:60].copy())
+    db1 = FeatureDatabase(db_entries[:8], norm=None, pad_multiple=64)
+    mesh = make_files_mesh()
+    db2 = FeatureDatabase(db_entries[:8], norm=None, pad_multiple=64,
+                          mesh=mesh)
+    r1 = db1.query(tmpl, k=2)
+    r2 = db2.query(tmpl, k=2)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+
+
+def test_traces_match_per_file_path(db_entries):
+    """Dense traces from the resident DB equal the per-file trace path used
+    by the exact FeatureCorrelation replay."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.kernels import corr as K
+
+    tmpl = InputTemplate(db_entries[2][1][:, 20:70].copy())
+    db = FeatureDatabase(db_entries[:4], norm=None, pad_multiple=64)
+    _, (sims_b, boosts_b, lens) = db.query(tmpl, with_traces=True)
+    for i in range(4):
+        feats = db_entries[i][1]
+        xs, sh, _ = K.shift_per_group(
+            feats.astype(np.float32))
+        sims, boosts = K.correlation_trace(
+            jnp.asarray(xs), tmpl.device_temporal(), tmpl.device_spectral(),
+            jnp.float32(tmpl.temporal_std), jnp.float32(tmpl.spectral_std),
+            jnp.float32(tmpl.ln_avg_loudness), jnp.float32(sh),
+            jnp.float32(0.5), jnp.float32(8.0))
+        w = feats.shape[1] - 50 + 1
+        np.testing.assert_allclose(sims_b[i, :w], np.asarray(sims)[:w],
+                                   atol=3e-5)

@@ -73,6 +73,7 @@ def test_sharded_sweep_step_topk(db):
         jnp.float32(tmpl.temporal_std), jnp.float32(tmpl.spectral_std),
         jnp.float32(tmpl.ln_avg_loudness),
         jax.device_put(jnp.asarray(shifts), shard),
+        jax.device_put(jnp.asarray(lens), shard),
         jnp.float32(0.5), jnp.float32(8.0))
     vals, idx = np.asarray(vals), np.asarray(idx)
     assert vals.shape == (16, 4)
