@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused feature-database preparation.
+
+Staging a database for resident serving requires, per file:
+
+1. per-channel min/max normalization (MathUtil.scala:132-152 semantics,
+   unclipped, inf/NaN on degenerate ranges),
+2. subtracting a per-group constant (≈ the group mean) so downstream f32
+   window sums are cancellation-free (see kernels/corr.py), and
+3. remembering the temporal shift for the loudness-boost reconstruction.
+
+Done on host this is three NumPy passes over the whole database (gigabytes
+for the 10k-file target); this kernel fuses them into a single HBM pass on
+device, one grid step per file.  Correctness note: Pearson correlation is
+invariant to *any* per-group constant, so the device's f32 mean needs no f64
+parity with the host version — the shift cancels exactly in the math and
+``μ + shift`` reconstructs the true window mean to f32 rounding either way.
+
+Falls back to a plain-XLA implementation off-TPU (CPU tests, interpret).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["prepare_database", "prepare_database_xla"]
+
+
+def _prep_kernel(lens_ref, feats_ref, norm_ref, out_ref, shifts_ref,
+                 *, num_temporal: int):
+    """One grid step = one file: normalize, group-shift, emit temporal shift.
+
+    feats_ref: [1, C, T] VMEM block; norm_ref: [C, 2] (min, max) replicated;
+    lens_ref: scalar-prefetched true lengths [B] (SMEM).
+    """
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    x = feats_ref[0]                                     # [C, T]
+    mins = norm_ref[:, 0:1]
+    rng = norm_ref[:, 1:2] - mins
+    y = (x - mins) / rng                                 # unclipped, like ref
+
+    n = lens_ref[b]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, dimension=1)
+    valid = t_idx < n
+
+    # group membership as masks (Mosaic dislikes sublane-misaligned row
+    # slices; masked full-array reductions lower cleanly)
+    nt = num_temporal
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, dimension=0)
+    is_t = (c_idx < nt).astype(jnp.float32)
+    is_s = 1.0 - is_t
+    vf = valid.astype(jnp.float32)
+
+    denom_t = jnp.maximum(n * nt, 1).astype(jnp.float32)
+    denom_s = jnp.maximum(n * (y.shape[0] - nt), 1).astype(jnp.float32)
+    y0 = jnp.where(valid, y, 0.0)
+    shift_t = (y0 * is_t).sum() / denom_t
+    shift_s = (y0 * is_s).sum() / denom_s
+
+    shift_rows = is_t * shift_t + is_s * shift_s         # [C, T]
+    # padded tail must not hold inf/NaN (it would poison FFT traces): the
+    # valid windows never read it, so write the shift-consistent constant
+    out_ref[0] = jnp.where(valid, y, 0.0) - shift_rows
+    shifts_ref[b, 0] = shift_t
+
+
+def _supports_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def prepare_database_xla(feats: jnp.ndarray, norm: jnp.ndarray,
+                         lens: jnp.ndarray, num_temporal: int = 1):
+    """XLA fallback: identical math, vmapped over files."""
+    nt = num_temporal
+
+    def one(x, n):
+        mins = norm[:, 0:1]
+        rng = norm[:, 1:2] - mins
+        y = (x - mins) / rng
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        valid = t_idx < n
+        yt = jnp.where(valid[:nt], y[:nt], 0.0)
+        ys = jnp.where(valid[nt:], y[nt:], 0.0)
+        shift_t = yt.sum() / jnp.maximum(n * nt, 1).astype(jnp.float32)
+        shift_s = ys.sum() / jnp.maximum(n * (y.shape[0] - nt), 1).astype(jnp.float32)
+        out = jnp.concatenate([y[:nt] - shift_t, y[nt:] - shift_s], axis=0)
+        out = jnp.where(valid, out, jnp.concatenate(
+            [jnp.full_like(y[:nt], -shift_t),
+             jnp.full_like(y[nt:], -shift_s)], axis=0))
+        return out.astype(jnp.float32), shift_t
+
+    return jax.vmap(one)(feats, lens)
+
+
+def prepare_database(feats, norm, lens, num_temporal: int = 1,
+                     interpret: bool = False):
+    """[B, C, T] raw features (+[C,2] norm, [B] lengths) → (prepared [B,C,T],
+    temporal shifts [B]), all on device.  ``norm`` may be None (identity).
+
+    ``interpret=True`` forces the Pallas kernel in interpreter mode (used by
+    CPU tests to validate the kernel itself)."""
+    feats = jnp.asarray(feats, dtype=jnp.float32)
+    B, C, T = feats.shape
+    if norm is None:
+        norm_arr = jnp.concatenate(
+            [jnp.zeros((C, 1), jnp.float32), jnp.ones((C, 1), jnp.float32)],
+            axis=1)
+    else:
+        norm_arr = jnp.asarray(norm, dtype=jnp.float32)
+    lens = jnp.asarray(lens, dtype=jnp.int32)
+
+    # pallas path needs the per-file block resident in VMEM (~16 MB/core)
+    if not interpret and (not _supports_pallas()
+                          or C * T * 4 > 8 * 1024 * 1024):
+        return prepare_database_xla(feats, norm_arr, lens,
+                                    num_temporal=num_temporal)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # lens
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, T), lambda b, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 2), lambda b, lens: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, T), lambda b, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole [B, 1] scalar buffer shared across grid steps (per-step
+            # sub-blocks of SMEM scalars violate TPU tiling rules); each
+            # step writes its own row
+            pl.BlockSpec((B, 1), lambda b, lens: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    out, shifts = pl.pallas_call(
+        partial(_prep_kernel, num_temporal=num_temporal),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, C, T), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        interpret=interpret,
+    )(lens, feats, norm_arr)
+    return out, shifts[:, 0]

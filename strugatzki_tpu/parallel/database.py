@@ -89,28 +89,27 @@ class FeatureDatabase:
     def __init__(self, entries: Sequence[Tuple[str, np.ndarray]],
                  norm: Optional[np.ndarray], step_size: int = 512,
                  mesh=None, pad_multiple: int = 512) -> None:
+        from ..kernels.pallas_prep import prepare_database
+
         self.files = [name for name, _ in entries]
         self.step_size = step_size
-        prepared, shifts = [], []
-        for _, feats in entries:
-            xs, sh_t, _sh_s = K.shift_per_group(normalized(feats, norm))
-            prepared.append(xs)
-            shifts.append(sh_t)
-        xs_b, lens = pad_stack(prepared, multiple=pad_multiple)
+        # stack RAW features; normalization + group shift run on device in
+        # one fused pass (kernels/pallas_prep.py) — no host prep passes
+        raw, lens = pad_stack([np.asarray(f, np.float32) for _, f in entries],
+                              multiple=pad_multiple)
         self._lens = lens
         self.norm = norm
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P("files"))
-            self._xs = jax.device_put(jnp.asarray(xs_b), shard)
-            self._shifts = jax.device_put(
-                jnp.asarray(np.asarray(shifts, np.float32)), shard)
+            raw_dev = jax.device_put(jnp.asarray(raw), shard)
             self._lens_dev = jax.device_put(jnp.asarray(lens), shard)
         else:
-            self._xs = jnp.asarray(xs_b)
-            self._shifts = jnp.asarray(np.asarray(shifts, np.float32))
+            raw_dev = jnp.asarray(raw)
             self._lens_dev = jnp.asarray(lens)
+        self._xs, self._shifts = prepare_database(raw_dev, norm,
+                                                  self._lens_dev)
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
 
