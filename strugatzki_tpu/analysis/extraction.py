@@ -24,11 +24,14 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import ChannelsBehavior, ExtractionConfig
-from ..dsp.frontend import extract_features
+from ..dsp.frontend import extract_features, extract_features_streaming
 from ..io import audiofile as af
 from ..runtime.processor import Processor, ProcessorFactory
 
 __all__ = ["FeatureExtraction", "fix_nans"]
+
+#: files longer than this many samples stream through bounded-memory chunks
+STREAMING_THRESHOLD = 1 << 24  # ~6.3 min mono at 44.1k
 
 
 def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
@@ -56,6 +59,45 @@ def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
     return out
 
 
+def _stream_body(proc: Processor, cfg: ExtractionConfig, spec) -> None:
+    """Bounded-memory path: chunked read → streaming extraction → incremental
+    feature-file write (the reference streams through scsynth + a chunked
+    stitch, NonRealtimeProcessor.scala:98-200)."""
+    step = cfg.step_size
+    feat_rate = spec.sample_rate / step
+
+    reader = af.open_read(cfg.audio_input)
+    writer = af.open_write(cfg.feature_output,
+                           af.feature_spec(cfg.num_features, feat_rate))
+    try:
+        def read_samples(n):
+            proc.check_aborted()
+            block = reader.read_frames(n)
+            if cfg.channels_behavior == ChannelsBehavior.MIX:
+                return block.sum(axis=0)
+            if cfg.channels_behavior == ChannelsBehavior.FIRST:
+                return block[0]
+            return block[spec.num_channels - 1]
+
+        def emit(feats):
+            writer.write_frames(fix_nans(feats))
+
+        with proc.sub(0.95):
+            extract_features_streaming(
+                read_samples, spec.num_frames, spec.sample_rate, emit,
+                num_coeffs=cfg.num_coeffs, fft_size=cfg.fft_size,
+                fft_overlap=cfg.fft_overlap,
+                progress=proc.set_progress)
+    finally:
+        reader.close()
+        writer.close()
+
+    if cfg.meta_output:
+        cfg.save_xml(cfg.meta_output)
+    proc.set_progress(1.0)
+    return None
+
+
 class FeatureExtraction(ProcessorFactory):
     """``FeatureExtraction.run(config, observer) -> Processor[None]``."""
 
@@ -67,6 +109,9 @@ class FeatureExtraction(ProcessorFactory):
         cfg = config.build()
 
         def body(proc: Processor):
+            spec = af.read_spec(cfg.audio_input)
+            if spec.num_frames * spec.num_channels > STREAMING_THRESHOLD:
+                return _stream_body(proc, cfg, spec)
             audio, spec = af.read(cfg.audio_input)
             proc.check_aborted()
 

@@ -212,15 +212,14 @@ _extract_block = partial(jax.jit, static_argnames=(
 
 @partial(jax.jit, static_argnames=("num_blocks", "block", "fft_size", "step",
                                    "use_fft"))
-def _extract_scan(padded_audio: jnp.ndarray,
+def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
                   hann, mel_fb, dct, bark_fb, power_cal_db, smask, tmask,
                   num_blocks: int, block: int, fft_size: int, step: int,
                   use_fft: bool = True) -> jnp.ndarray:
-    """Whole file in ONE dispatch: ``lax.scan`` over fixed-size blocks with
-    the temporal-masking carry threaded through.  ``padded_audio`` length is
-    ``num_blocks·block·step + fft_size − step``.  Returns
-    ``[num_blocks, C, block]`` features (trim on host)."""
-    carry0 = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
+    """Whole file (or chunk) in ONE dispatch: ``lax.scan`` over fixed-size
+    blocks with the temporal-masking carry threaded through.
+    ``padded_audio`` length is ``num_blocks·block·step + fft_size − step``.
+    Returns ``([num_blocks, C, block]`` features (trim on host), carry)."""
     span = (block - 1) * step + fft_size
 
     # int16 inputs are shipped raw (half the host→device bytes for PCM16
@@ -236,8 +235,8 @@ def _extract_scan(padded_audio: jnp.ndarray,
             use_fft=use_fft)
         return carry, feats
 
-    _, feats = jax.lax.scan(body, carry0, jnp.arange(num_blocks))
-    return feats
+    carry, feats = jax.lax.scan(body, carry0, jnp.arange(num_blocks))
+    return feats, carry
 
 
 def _bucket_blocks(n: int) -> int:
@@ -284,7 +283,8 @@ def extract_features(audio: np.ndarray, sample_rate: float,
                      smask: float = C.SPECTRAL_MASK_DEFAULT,
                      tmask: float = C.TEMPORAL_MASK_DEFAULT,
                      block_frames: int = BLOCK_FRAMES,
-                     progress=None, as_device: bool = False):
+                     progress=None, as_device: bool = False,
+                     carry=None, return_carry: bool = False):
     """Extract ``[num_coeffs+1, F]`` features (row 0 = loudness/32, rows 1.. =
     MFCC) from a mono float32 signal.
 
@@ -301,9 +301,12 @@ def extract_features(audio: np.ndarray, sample_rate: float,
         audio = audio.astype(np.float32, copy=False)
     audio = audio.reshape(-1)
     step = fft_size // fft_overlap
+    if carry is None:
+        carry = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
     total = num_output_frames(len(audio), step)
     if total == 0:
-        return np.zeros((num_coeffs + 1, 0), dtype=np.float32)
+        empty = np.zeros((num_coeffs + 1, 0), dtype=np.float32)
+        return (empty, carry) if return_carry else empty
 
     consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
                             float(smask), float(tmask))
@@ -321,21 +324,87 @@ def extract_features(audio: np.ndarray, sample_rate: float,
     padded[left_pad:left_pad + min(len(audio), padded_len - left_pad)] = \
         audio[:padded_len - left_pad]
 
-    feats = _extract_scan(
-        jnp.asarray(padded), *consts,
+    feats, carry_out = _extract_scan(
+        jnp.asarray(padded), carry, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
     if as_device:
         # async handle: [num_blocks, C, block] device array + true length;
         # lets batch pipelines overlap the next file's upload with this
         # file's compute (finish with finalize_features)
-        return feats, total
+        return (feats, total, carry_out) if return_carry else (feats, total)
     out = finalize_features(feats, total)
     if progress is not None:
         progress(1.0)
-    return out
+    return (out, carry_out) if return_carry else out
 
 
 def finalize_features(feats, total: int) -> np.ndarray:
     """Fetch + reshape a device result from ``extract_features(as_device=True)``."""
     out = np.asarray(feats).transpose(1, 0, 2).reshape(feats.shape[1], -1)
     return out[:, :total].copy()
+
+
+def extract_features_streaming(read_samples, num_samples: int,
+                               sample_rate: float,
+                               emit, num_coeffs: int = 13,
+                               fft_size: int = 1024, fft_overlap: int = 2,
+                               smask: float = C.SPECTRAL_MASK_DEFAULT,
+                               tmask: float = C.TEMPORAL_MASK_DEFAULT,
+                               chunk_frames: int = 16384,
+                               progress=None) -> int:
+    """Bounded-memory extraction for arbitrarily long inputs.
+
+    ``read_samples(n)`` returns the next ≤ n mono samples (float32 or raw
+    int16); ``emit(feats)`` receives consecutive ``[C, nc]`` feature chunks
+    (e.g. an :class:`io.audiofile.AudioFileWriter`).  The temporal-masking
+    carry is threaded across chunks, and ``chunk_frames`` is kept a multiple
+    of 1024 so the NaN-fixup state resets land on the same boundaries as the
+    whole-file path (NonRealtimeProcessor.scala:178-190 parity).
+
+    Returns the number of feature frames produced
+    (``ceil(num_samples/step) − 1``).
+    """
+    step = fft_size // fft_overlap
+    total = num_output_frames(num_samples, step)
+    if total == 0:
+        return 0
+    chunk_frames = max(1024, (chunk_frames // 1024) * 1024)
+    consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
+                            float(smask), float(tmask))
+    carry = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
+
+    overlap = fft_size - step          # samples shared between chunks
+    tail = np.zeros(overlap, np.float32)  # zeros: scsynth's initial buffer
+    done = 0
+    consumed = 0                        # samples pulled from read_samples
+    while done < total:
+        nc = min(chunk_frames, total - done)
+        # frames [done, done+nc): windows end at (done+1..done+nc)·step,
+        # needing samples [done·step − overlap, (done+nc−1)·step + fft)
+        need_to = (done + nc) * step
+        fresh = read_samples(need_to - consumed)
+        fresh = np.asarray(fresh)
+        if fresh.dtype == np.int16:
+            fresh = fresh.astype(np.float32) / 32768.0
+        else:
+            fresh = fresh.astype(np.float32, copy=False)
+        consumed += len(fresh)
+
+        block, num_blocks = _plan_shapes(nc, chunk_frames)
+        padded_len = num_blocks * block * step + fft_size - step
+        padded = np.zeros(padded_len, np.float32)
+        padded[:overlap] = tail
+        padded[overlap:overlap + len(fresh)] = fresh
+
+        feats, carry = _extract_scan(
+            jnp.asarray(padded), carry, *consts,
+            num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
+        emit(finalize_features(feats, nc))
+
+        # next chunk's first window needs the last `overlap` samples
+        # before need_to
+        tail = np.concatenate([tail, fresh])[-overlap:]
+        done += nc
+        if progress is not None:
+            progress(done / total)
+    return total

@@ -33,7 +33,7 @@ from .formats import (AIFF, IRCAM, NEXT, RAW, WAVE, WAVE64, AudioFileType,
                       SampleFormat, audio_file_type_for_extension)
 
 __all__ = ["AudioFileSpec", "read", "read_spec", "write", "AudioFileReader",
-           "open_read", "feature_spec"]
+           "AudioFileWriter", "open_read", "open_write", "feature_spec"]
 
 
 @dataclass(frozen=True)
@@ -534,6 +534,104 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
         raise ValueError(f"unsupported container {t!r}")
 
     return replace(spec, num_frames=num_frames)
+
+
+class AudioFileWriter:
+    """Incremental frame writer (AIFF/AIFC and WAV): stream blocks with
+    :meth:`write_frames`, sizes are patched into the headers on
+    :meth:`close` — bounded memory for arbitrarily long outputs (cf.
+    synth.io's streaming AudioFile used by the reference's stitch loop)."""
+
+    def __init__(self, path, spec: AudioFileSpec) -> None:
+        self.path = os.fspath(path)
+        self.spec = spec
+        if spec.file_type not in (AIFF, WAVE):
+            raise ValueError(
+                f"incremental writing supports aiff/wav, not {spec.file_type.id}")
+        self._big_endian = spec.file_type == AIFF
+        self._frames_written = 0
+        self._f = open(self.path, "wb")
+        self._write_header(0)
+
+    def _write_header(self, num_frames: int) -> None:
+        fmt = self.spec.sample_format
+        ch = self.spec.num_channels
+        bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
+                SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
+                SampleFormat.DOUBLE: 64}[fmt]
+        payload_len = num_frames * ch * (bits // 8)
+        f = self._f
+        f.seek(0)
+        if self.spec.file_type == AIFF:
+            is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
+            if is_float:
+                comp = b"fl32" if fmt == SampleFormat.FLOAT else b"fl64"
+                name = b"\x0c32-bit float\x00" if fmt == SampleFormat.FLOAT \
+                    else b"\x0c64-bit float\x00"
+                comm = (struct.pack(">hIh", ch, num_frames, bits)
+                        + _encode_f80(self.spec.sample_rate) + comp + name)
+                form_type = b"AIFC"
+            else:
+                comm = (struct.pack(">hIh", ch, num_frames, bits)
+                        + _encode_f80(self.spec.sample_rate))
+                form_type = b"AIFF"
+            body = b""
+            if form_type == b"AIFC":
+                body += struct.pack(">4sI", b"FVER", 4) + struct.pack(">I", 0xA2805140)
+            body += struct.pack(">4sI", b"COMM", len(comm)) + comm
+            if len(comm) & 1:
+                body += b"\x00"
+            body += struct.pack(">4sI", b"SSND", 8 + payload_len) + struct.pack(">II", 0, 0)
+            f.write(struct.pack(">4sI4s", b"FORM", 4 + len(body) + payload_len,
+                                form_type) + body)
+        else:  # WAV
+            is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
+            wformat = 3 if is_float else 1
+            block_align = ch * bits // 8
+            fmt_chunk = struct.pack("<HHIIHH", wformat, ch,
+                                    int(self.spec.sample_rate),
+                                    int(self.spec.sample_rate) * block_align,
+                                    block_align, bits)
+            body = struct.pack("<4sI", b"fmt ", len(fmt_chunk)) + fmt_chunk
+            if is_float:
+                body += struct.pack("<4sI", b"fact", 4) + struct.pack("<I", num_frames)
+            body += struct.pack("<4sI", b"data", payload_len)
+            f.write(struct.pack("<4sI4s", b"RIFF", 4 + len(body) + payload_len,
+                                b"WAVE") + body)
+        self._data_start = f.tell()
+
+    def write_frames(self, data: np.ndarray) -> None:
+        """Append ``[channels, n]`` float32 frames."""
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 1:
+            data = data[None, :]
+        enc = _native.encode(data, self.spec.sample_format, self._big_endian)
+        if enc is None:
+            enc = _encode_samples(np.ascontiguousarray(data.T),
+                                  self.spec.sample_format, self._big_endian)
+        self._f.write(enc)
+        self._frames_written += data.shape[1]
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        end = self._f.tell()
+        self._write_header(self._frames_written)
+        self._f.seek(0, 2)
+        if self._f.tell() < end:
+            self._f.seek(end)
+        self._f.close()
+
+    def __enter__(self) -> "AudioFileWriter":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False
+
+
+def open_write(path, spec: AudioFileSpec) -> AudioFileWriter:
+    return AudioFileWriter(path, spec)
 
 
 def identify(path) -> Optional[AudioFileType]:

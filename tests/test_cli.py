@@ -1,0 +1,132 @@
+"""CLI end-to-end tests (subprocess, CPU backend): the full reference
+command surface — extract, stats, correlate, segment, self-similarity,
+cross-similarity — over a tiny synthetic database."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.io import audiofile as af
+from strugatzki_tpu.io.formats import AIFF
+from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, cwd=None):
+    env = dict(os.environ)
+    env["STRUGATZKI_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "strugatzki_tpu", *args],
+        capture_output=True, text=True, env=env, cwd=cwd or REPO, timeout=600)
+
+
+@pytest.fixture(scope="module")
+def demo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clidb")
+    snd = root / "snd"
+    db = root / "db"
+    snd.mkdir()
+    db.mkdir()
+    sr = 44100
+    rng = np.random.default_rng(0)
+    t = np.arange(2 * sr) / sr
+    tones = (0.4 * np.sin(2 * np.pi * 330 * t)
+             + 0.2 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    noise = (0.25 * rng.standard_normal(2 * sr)).astype(np.float32)
+    mixed = (0.25 * rng.standard_normal(2 * sr)).astype(np.float32)
+    # plant tones[0.5s..1s) at a frame-aligned offset in mixed
+    src = int(0.5 * sr)
+    dst = src + 512 * 43  # multiple of the step
+    mixed[dst:dst + src] = tones[src:2 * src]
+    for name, x in (("tones", tones), ("noise", noise), ("mixed", mixed)):
+        af.write(snd / f"{name}.aif", x[None],
+                 AudioFileSpec(AIFF, SampleFormat.INT16, 1, float(sr)))
+    r = run_cli("-f", "-d", str(db), str(snd))
+    assert r.returncode == 0, r.stderr
+    r = run_cli("--stats", "-d", str(db))
+    assert r.returncode == 0, r.stderr
+    return root, snd, db, dst
+
+
+def test_extraction_outputs(demo):
+    _, _, db, _ = demo
+    names = sorted(os.listdir(db))
+    assert names == ["feat_norms.aif", "mixed_feat.aif", "mixed_feat.xml",
+                     "noise_feat.aif", "noise_feat.xml", "tones_feat.aif",
+                     "tones_feat.xml"]
+    data, spec = af.read(db / "tones_feat.aif")
+    assert spec.num_channels == 14
+    assert spec.num_frames == (2 * 44100 + 511) // 512 - 1
+
+
+def test_correlate_finds_planted(demo):
+    _, snd, db, dst = demo
+    r = run_cli("-c", "-d", str(db), "--in-start", "0.5", "--in-stop", "1.0",
+                "--in-temp", "0.0", "--dur-min", "0.25", "--dur-max", "1.0",
+                "-m", "2", str(db / "tones_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    assert "Success." in r.stdout
+    assert "mixed.aif" in r.stdout
+    # best match span start: template starts at feature frame
+    # fullToFeat(0.5s); the copy is 43 frames later; positions are
+    # feature-frame quantized (featToFull)
+    expected = ((int(0.5 * 44100) + 256) // 512 + 43) * 512
+    start_line = [l for l in r.stdout.splitlines() if "Span start" in l][0]
+    assert int(start_line.split(":")[1]) == expected
+
+
+def test_segmentation_runs(demo):
+    _, _, db, _ = demo
+    r = run_cli("-s", "-d", str(db), "--length", "0.3", "-m", "2",
+                "--spacing", "0.4", str(db / "mixed_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    assert "Similarity:" in r.stdout and "Position:" in r.stdout
+
+
+def test_segmentation_requires_dir_for_norm(demo):
+    _, _, db, _ = demo
+    r = run_cli("-s", str(db / "mixed_feat.xml"))
+    assert r.returncode == 1
+
+
+def test_selfsimilarity_png(demo, tmp_path):
+    _, _, db, _ = demo
+    out = tmp_path / "ss.png"
+    r = run_cli("-x", "-d", str(db), "--length", "0.4", "-m", "2",
+                str(db / "mixed_feat.xml"), str(out))
+    assert r.returncode == 0, r.stderr
+    raw = out.read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", raw[16:24])
+    assert w == h > 10
+
+
+def test_crosssimilarity_wav_output(demo, tmp_path):
+    _, _, db, _ = demo
+    out = tmp_path / "sim.wav"
+    r = run_cli("-y", "-d", str(db), "--span1-start", "0.5",
+                "--span1-stop", "1.0", str(db / "tones_feat.xml"),
+                str(db / "mixed_feat.xml"), str(out))
+    assert r.returncode == 0, r.stderr
+    sims, spec = af.read(out)
+    assert spec.file_type.id == "wav"   # container switched by extension
+    assert spec.num_channels == 1
+    assert sims.shape[1] > 100
+
+
+def test_cross_requires_norm_dir():
+    r = run_cli("-y", "a.xml", "b.xml", "out.aif")
+    assert r.returncode == 1
+    assert "no-norm" in r.stderr
+
+
+def test_usage_on_unknown_switch():
+    r = run_cli("--bogus")
+    assert r.returncode == 1
+    assert "Usage" in r.stderr
