@@ -55,4 +55,10 @@ def __getattr__(name):
     if name == "FeatureStats":
         from .analysis.feature_stats import FeatureStats
         return FeatureStats
+    if name == "FeatureDatabase":
+        from .parallel.database import FeatureDatabase
+        return FeatureDatabase
+    if name == "extract_features":
+        from .dsp.frontend import extract_features
+        return extract_features
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
