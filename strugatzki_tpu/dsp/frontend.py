@@ -239,6 +239,59 @@ def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
     return feats, carry
 
 
+@partial(jax.jit, static_argnames=("num_blocks", "block", "fft_size", "step",
+                                   "use_fft"))
+def _extract_scan_batch(padded_b: jnp.ndarray, carry_b: jnp.ndarray,
+                        hann, mel_fb, dct, bark_fb, power_cal_db, smask,
+                        tmask, num_blocks: int, block: int, fft_size: int,
+                        step: int, use_fft: bool = True):
+    """vmap of :func:`_extract_scan` over a files axis: ``padded_b``
+    ``[B, Tp]`` → (``[B, num_blocks, C, block]``, carries ``[B, bands]``).
+    Shardable over a ``files`` mesh axis (see parallel/sweep.py)."""
+    def one(a, c):
+        return _extract_scan(a, c, hann, mel_fb, dct, bark_fb, power_cal_db,
+                             smask, tmask, num_blocks=num_blocks, block=block,
+                             fft_size=fft_size, step=step, use_fft=use_fft)
+
+    return jax.vmap(one)(padded_b, carry_b)
+
+
+def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
+                           fft_size: int = 1024, fft_overlap: int = 2,
+                           smask: float = C.SPECTRAL_MASK_DEFAULT,
+                           tmask: float = C.TEMPORAL_MASK_DEFAULT,
+                           block_frames: int = BLOCK_FRAMES) -> np.ndarray:
+    """Batch extraction: list of equal-rate mono signals → ``[B, C, F_max]``
+    features (each file's valid length is ``num_output_frames(len_i, step)``;
+    the tail beyond it holds silence features).  One device dispatch for the
+    whole batch — the 1k-file sweep path."""
+    step = fft_size // fft_overlap
+    audios = [np.asarray(a) for a in audios]
+    totals = [num_output_frames(len(a), step) for a in audios]
+    total_max = max(totals)
+    if total_max == 0:
+        return np.zeros((len(audios), num_coeffs + 1, 0), np.float32)
+    consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
+                            float(smask), float(tmask))
+    block, num_blocks = _plan_shapes(total_max, block_frames)
+    left_pad = fft_size - step
+    padded_len = num_blocks * block * step + fft_size - step
+    dtype = np.int16 if all(a.dtype == np.int16 for a in audios) else np.float32
+    padded = np.zeros((len(audios), padded_len), dtype)
+    for i, a in enumerate(audios):
+        a = a if dtype == np.int16 else a.astype(np.float32, copy=False)
+        n = min(len(a), padded_len - left_pad)
+        padded[i, left_pad:left_pad + n] = a[:n]
+    carry0 = jnp.full((len(audios), C.BARK_BANDS), C.BAND_DB_FLOOR,
+                      dtype=jnp.float32)
+    feats, _ = _extract_scan_batch(
+        jnp.asarray(padded), carry0, *consts,
+        num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
+    out = np.asarray(feats)  # [B, nb, C, block]
+    out = out.transpose(0, 2, 1, 3).reshape(len(audios), num_coeffs + 1, -1)
+    return out[:, :, :total_max].copy()
+
+
 def _bucket_blocks(n: int) -> int:
     """Round block counts up geometrically to bound jit specializations."""
     b = 1

@@ -1,0 +1,58 @@
+"""Batch extraction (one dispatch for many files) + concurrency stress."""
+
+import numpy as np
+
+from strugatzki_tpu.dsp.frontend import (extract_features,
+                                         extract_features_batch)
+
+
+def test_batch_matches_per_file():
+    rng = np.random.default_rng(0)
+    sr = 44100.0
+    audios = [(0.2 * rng.standard_normal(int(sr * d))).astype(np.float32)
+              for d in (2.0, 2.0, 2.0)]
+    batch = extract_features_batch(audios, sr)
+    for i, a in enumerate(audios):
+        single = extract_features(a, sr)
+        f = single.shape[1]
+        np.testing.assert_allclose(batch[i, 0, :f], single[0], atol=3e-4)
+        np.testing.assert_allclose(batch[i, 1:, :f], single[1:], atol=2e-5)
+
+
+def test_batch_mixed_lengths():
+    rng = np.random.default_rng(1)
+    sr = 44100.0
+    audios = [(0.2 * rng.standard_normal(n)).astype(np.float32)
+              for n in (44100, 66150, 22050)]
+    batch = extract_features_batch(audios, sr)
+    assert batch.shape[0] == 3 and batch.shape[1] == 14
+    # each file's valid prefix matches the single-file result
+    for i, a in enumerate(audios):
+        single = extract_features(a, sr)
+        f = single.shape[1]
+        np.testing.assert_allclose(batch[i, 1:, :f], single[1:], atol=2e-5)
+
+
+def test_concurrent_processors_isolated(tmp_path):
+    """Several processors running simultaneously on their own threads must
+    not interfere (the reference's one-thread-per-process model)."""
+    from strugatzki_tpu import ExtractionConfig, FeatureExtraction
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.io.formats import AIFF
+    from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+
+    rng = np.random.default_rng(2)
+    procs = []
+    refs = []
+    for i in range(4):
+        x = (0.3 * rng.standard_normal(44100)).astype(np.float32)
+        p = tmp_path / f"in{i}.aif"
+        af.write(p, x[None], AudioFileSpec(AIFF, SampleFormat.FLOAT, 1, 44100.0))
+        refs.append(extract_features(x, 44100.0))
+        cfg = ExtractionConfig(audio_input=str(p),
+                               feature_output=str(tmp_path / f"out{i}.aif"))
+        procs.append(FeatureExtraction.run(cfg))
+    for i, proc in enumerate(procs):
+        proc.result(timeout=300)
+        got, _ = af.read(tmp_path / f"out{i}.aif")
+        np.testing.assert_allclose(got, refs[i], atol=1e-6)
