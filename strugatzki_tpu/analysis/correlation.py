@@ -196,39 +196,82 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
 
     all_prio: SimSortedSet[Match] = SimSortedSet(descending=True)
 
-    # --- prefetch pipeline -------------------------------------------------
-    # Device traces are state-independent supersets (the punch-out trace is
-    # computed from offset minPunch, i.e. the tInOff = 0 base; the replay
-    # shifts indices by the actual tInOff), so we can issue several files'
-    # uploads + dispatches ahead of the sequential host replay.
+    # --- chunked batched traces ---------------------------------------------
+    # Device traces are state-independent supersets: both punch traces are
+    # computed over EVERY window start of every file (the replay slices the
+    # per-file valid prefixes and index-shifts by tInOff / poOff0), so whole
+    # chunks of files go through one fused prep (kernels/pallas_prep) + one
+    # batched FFT-trace dispatch each, ahead of the sequential host replay.
     from collections import deque
 
-    def issue(entry):
-        extr_db, load_features = entry
-        features = load_features()
-        num_frames = features.shape[1]
-        xs, shift_t, shift_s = _prepare_file(features, norm)
-        scan_len = num_frames - (min_punch if matrix_out is not None else 0)
-        h_in = sliding_traces(xs, shift_t, shift_s, matrix_in, scan_len,
-                              in_temp_weight, cfg.max_boost, as_device=True)
-        h_out = None
-        if matrix_out is not None:
-            h_out = sliding_traces(
-                xs[:, min_punch:], shift_t, shift_s, matrix_out,
-                num_frames - min_punch, cfg.punch_out.temporal_weight,
-                cfg.max_boost, as_device=True)
-        return extr_db, num_frames, h_in, h_out
+    import jax.numpy as jnp_  # local alias; module-level jnp already imported
 
-    prefetch = 4
+    from ..kernels.pallas_prep import prepare_database
+    from ..parallel.sweep import _batched_traces, pad_stack
+
+    chunk_size = 32
+
+    def _trace_batch(xs_dev, shifts_dev, template: InputTemplate,
+                     temp_weight: float):
+        sims, boosts = _batched_traces(
+            xs_dev,
+            template.device_temporal(), template.device_spectral(),
+            jnp_.float32(template.temporal_std),
+            jnp_.float32(template.spectral_std),
+            jnp_.float32(template.ln_avg_loudness), shifts_dev,
+            jnp_.float32(temp_weight), jnp_.float32(cfg.max_boost))
+        return sims, boosts
+
+    def load_chunk(chunk_entries):
+        feats_list = [load() for _, load in chunk_entries]
+        lens = [f.shape[1] for f in feats_list]
+        # pad the batch to a fixed chunk size and bucketed width so the
+        # whole sweep reuses a handful of jit keys
+        while len(feats_list) < chunk_size:
+            feats_list.append(np.zeros((feats_list[0].shape[0], 1), np.float32))
+            lens.append(0)
+        raw, lens_arr = pad_stack(feats_list)
+        t_pad = _bucket(raw.shape[2])
+        if raw.shape[2] < t_pad:
+            raw = np.pad(raw, ((0, 0), (0, 0), (0, t_pad - raw.shape[2])))
+        xs_dev, shifts_dev = prepare_database(raw, norm, lens_arr)
+        sims_in_b, boosts_in_b = _trace_batch(xs_dev, shifts_dev, matrix_in,
+                                              in_temp_weight)
+        out_b = None
+        if matrix_out is not None:
+            out_b = _trace_batch(xs_dev, shifts_dev, matrix_out,
+                                 cfg.punch_out.temporal_weight)
+        # fetch once per chunk; slice per-file valid prefixes
+        sims_in_b = np.asarray(sims_in_b)
+        boosts_in_b = np.asarray(boosts_in_b)
+        if out_b is not None:
+            sims_out_b = np.asarray(out_b[0])
+            boosts_out_b = np.asarray(out_b[1])
+        items = []
+        scan_delta = min_punch if matrix_out is not None else 0
+        for i, (entry, t_i) in enumerate(zip(chunk_entries, lens)):
+            scan = t_i - scan_delta
+            w_in = scan - punch_in_len + 1 if scan >= punch_in_len \
+                else (1 if scan > 0 else 0)
+            h_in = (sims_in_b[i, :w_in].copy(), boosts_in_b[i, :w_in].copy())
+            h_out = None
+            if matrix_out is not None:
+                w_outv = max(t_i - punch_out_len + 1, 0)
+                h_out = (sims_out_b[i, :w_outv].copy(),
+                         boosts_out_b[i, :w_outv].copy())
+            items.append((entry[0], t_i, h_in, h_out))
+        return items
+
     queue = deque()
-    entry_iter = iter(db_entries)
+    entries_list = list(db_entries)
+    chunk_iter = (entries_list[o:o + chunk_size]
+                  for o in range(0, len(entries_list), chunk_size))
 
     def refill():
-        while len(queue) < prefetch:
-            try:
-                queue.append(issue(next(entry_iter)))
-            except StopIteration:
-                break
+        if not queue:
+            nxt = next(chunk_iter, None)
+            if nxt:
+                queue.extend(load_chunk(nxt))
 
     refill()
     idx = -1
@@ -266,7 +309,7 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                     entry_prio.drop_last()
                 last_entry_match = m
 
-        sims_in, boosts_in = _fetch_trace(h_in)
+        sims_in, boosts_in = h_in
         check_aborted()
 
         if matrix_out is None:
@@ -295,13 +338,13 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                 po_off0 = t_in_off + min_punch
                 t_out_size = num_frames - po_off0
                 if t_out_size >= punch_out_len:
-                    # full punch-out trace was prefetched from the tInOff=0
-                    # base (offset minPunch); the reference's tout index j
-                    # maps to full index t_in_off + j (:273-315)
-                    tout_full, tout_boosts_full = _fetch_trace(h_out)
+                    # the prefetched punch-out trace covers EVERY window
+                    # start of the file; the reference's tout index j maps
+                    # to full index poOff0 + j (:273-315)
+                    tout_full, tout_boosts_full = h_out
                     check_aborted()
 
-                    w_out = len(tout_full) - t_in_off
+                    w_out = len(tout_full) - po_off0
                     scan_span = max_punch - min_punch + 1
                     for i in range(len(tin_sims)):
                         in_sim = float(tin_sims[i])
@@ -313,7 +356,7 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                             n2 = min(t_out_size - seek, scan_span, w_out - seek)
                             if n2 <= 0:
                                 continue
-                            base = t_in_off + seek
+                            base = po_off0 + seek
                             seg = tout_full[base:base + n2]
                             sims_c = np.sqrt(np.float32(in_sim) * seg).astype(np.float32)
                             pi_off = t_in_off + i
@@ -345,7 +388,7 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
         # merge entry results (:399-400)
         all_prio.update(entry_prio)
         all_prio.truncate(cfg.num_matches)
-        progress((idx + 1) / max(len(db_entries), 1))
+        progress((idx + 1) / max(len(entries_list), 1))
 
     return all_prio.items()
 
