@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..kernels import corr as K
 
 __all__ = ["make_files_mesh", "batched_correlation_traces",
-            "sharded_sweep_step", "pad_stack"]
+           "sharded_sweep_step", "pad_stack", "sharded_long_file_trace"]
 
 
 def make_files_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -94,6 +94,50 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
         xs_s = jax.device_put(args[0], shard)
         sims, boosts = fn(xs_s, *args[1:])
     return np.asarray(sims), np.asarray(boosts)
+
+
+def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
+                            temp_weight: float, max_boost: float,
+                            mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
+    """Correlation trace of ONE very long file, time axis sharded over the
+    mesh — the framework's sequence/context-parallel dimension (SURVEY §5's
+    ring-buffer streaming analog).
+
+    Window starts are split into contiguous per-chip ranges; each shard
+    receives its slab plus the ``L − 1``-frame halo so every window is
+    computed locally (no collectives in the hot path — only the trace
+    gather on fetch).  Results are bit-comparable to the single-chip trace.
+
+    ``xs``: prepared (normalized, group-shifted) features ``[C, T]``.
+    Returns ``(sims[W], boosts[W])``, ``W = T − L + 1``.
+    """
+    n_dev = mesh.devices.size
+    L = template.num_frames
+    C, T = xs.shape
+    W = T - L + 1
+    if W <= 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.float32)
+    per = -(-W // n_dev)                     # window starts per shard
+    slab = per + L - 1                       # samples per shard incl. halo
+    slabs = np.zeros((n_dev, C, slab), np.float32)
+    for d in range(n_dev):
+        s0 = d * per
+        src = xs[:, s0:s0 + slab]
+        slabs[d, :, :src.shape[1]] = src
+
+    shard = NamedSharding(mesh, P("files"))
+    shifts = np.full(n_dev, np.float32(shift_t))
+    sims, boosts = _batched_traces(
+        jax.device_put(jnp.asarray(slabs), shard),
+        jnp.asarray(template.temporal_centered),
+        jnp.asarray(template.spectral_centered),
+        jnp.float32(template.temporal_std), jnp.float32(template.spectral_std),
+        jnp.float32(template.ln_avg_loudness),
+        jax.device_put(jnp.asarray(shifts), shard),
+        jnp.float32(temp_weight), jnp.float32(max_boost))
+    sims = np.asarray(sims).reshape(-1)[:n_dev * per]
+    boosts = np.asarray(boosts).reshape(-1)[:n_dev * per]
+    return sims[:W].copy(), boosts[:W].copy()
 
 
 def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):

@@ -87,6 +87,8 @@ class Processor(Generic[T]):
         self._done = threading.Event()
         self._result: Optional[Result] = None
         self._progress = 0.0
+        self._on_complete: list = []
+        self._on_failure: list = []
         # weighted sub-progress support (reference ProcessorImpl.await(child, weight))
         self._progress_base = 0.0
         self._progress_weight = 1.0
@@ -105,8 +107,26 @@ class Processor(Generic[T]):
         except BaseException as e:  # noqa: BLE001 - must surface any failure
             self._result = Result(self, failure=e)
         finally:
+            # cleanup hooks, mirroring the reference's onFailure/onComplete
+            # temp-file lifecycle (NonRealtimeProcessor.scala:50-55)
+            hooks = list(self._on_complete)
+            if self._result.failure is not None:
+                hooks += list(self._on_failure)
+            for h in hooks:
+                try:
+                    h(self._result)
+                except Exception:  # noqa: BLE001 - hooks must not mask results
+                    pass
             self._done.set()
             self._dispatch(self._result)
+
+    def on_complete(self, hook: Callable[[Result], None]) -> None:
+        """Run ``hook`` at termination (success or failure)."""
+        self._on_complete.append(hook)
+
+    def on_failure(self, hook: Callable[[Result], None]) -> None:
+        """Run ``hook`` only on failure/abort."""
+        self._on_failure.append(hook)
 
     def _dispatch(self, event: Any) -> None:
         if self._observer is not None:
