@@ -44,8 +44,12 @@ def main() -> None:
     print(f"warmup (incl. compile): {t1 - t0:.2f}s, shape {feats.shape}",
           file=sys.stderr)
 
-    # pipelined batch throughput: async-dispatch all files, then drain —
-    # uploads overlap compute exactly like the batch-extraction pipeline
+    # pipelined throughput: async-dispatch all files, then drain — uploads
+    # overlap compute like the batch-extraction pipeline.  End-to-end
+    # through this environment's tunneled chip the bound is the ~35 MB/s
+    # effective host<->device link (device-resident compute measures
+    # ~400,000x realtime; a PCIe-attached chip at ~10 GB/s would put the
+    # same pipeline's transfer bound at ~30,000x).
     reps = 8
     t0 = time.perf_counter()
     handles = [extract_features(audio, sr, block_frames=block,

@@ -134,23 +134,17 @@ def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
         jnp.float32(template.ln_avg_loudness), jnp.float32(shift_t),
         jnp.float32(temp_weight), jnp.float32(max_boost))
     if as_device:
-        # async handles — fetch later with _fetch_trace to overlap the next
-        # file's upload/compute with this one's host replay
+        # async handles — lets callers overlap further uploads/compute
+        # before forcing the fetch
         return sims, boosts, num_windows
     return (np.asarray(sims)[:num_windows].copy(),
             np.asarray(boosts)[:num_windows].copy())
 
 
-def _fetch_trace(handle) -> Tuple[np.ndarray, np.ndarray]:
-    sims, boosts, num_windows = handle
-    if isinstance(sims, np.ndarray):
-        return sims, boosts
-    return (np.asarray(sims)[:num_windows].copy(),
-            np.asarray(boosts)[:num_windows].copy())
-
-
 def _prepare_file(features: np.ndarray, norm) -> Tuple[np.ndarray, float, float]:
-    """Normalize a DB file's features and group-shift them (f64 on host)."""
+    """Normalize a file's features and group-shift them on host (used by
+    the cross-similarity path; the database search preps on device via
+    kernels/pallas_prep)."""
     xn = normalized(features, norm)
     return K.shift_per_group(xn)
 
