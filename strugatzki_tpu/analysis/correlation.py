@@ -5,11 +5,11 @@ reference's flagship algorithm.  The three hot loops become dense device
 computations; the data-dependent match selection is replayed on host in the
 reference's exact iteration order:
 
-* HOT LOOP 1 (:190-246) punch-in sliding correlation → one
-  ``correlation_trace`` call (conv + window sums on the MXU/VPU);
-* HOT LOOP 2 (:281-315) punch-out sliding correlation → a second
-  ``correlation_trace`` (the reference spills these to temp IRCAM files;
-  we keep them in memory — HBM/host RAM replaces the disk spill);
+* HOT LOOPS 1+2 (:190-246, :281-315) punch-in/punch-out sliding
+  correlations → batched FFT traces (kernels/corr.py) over 32-file chunks,
+  prepared on device by the fused normalize+shift kernel
+  (kernels/pallas_prep.py); the reference's temp-IRCAM-file spill becomes
+  in-memory dense traces;
 * HOT LOOP 3 (:325-389) in×out combination — host replay over the dense
   traces with the ``inSim > low²`` gate (:342), ``sim = √(inSim·outSim)``
   (:370) and the priority-queue caching semantics (:339-379).
