@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 from ..runtime.platform import configure as _configure_platform
 
@@ -36,8 +36,9 @@ import numpy as np
 
 from . import constants as C
 
-__all__ = ["FrontendBasis", "extract_features", "num_output_frames",
-           "BLOCK_FRAMES"]
+__all__ = ["FrontendBasis", "extract_features", "extract_features_batch",
+           "extract_features_streaming", "finalize_features",
+           "num_output_frames", "BLOCK_FRAMES"]
 
 #: Frames per device block (≈ 24s of audio at the default resolution).
 BLOCK_FRAMES = 2048
@@ -103,15 +104,11 @@ def make_basis(sample_rate: float, fft_size: int, num_coeffs: int) -> FrontendBa
     bark_fb[0, :] = 0.0  # DC carries no loudness
 
     # --- calibration: full-scale 1 kHz sine → FULL_SCALE_PHON ---------------
-    # Hann coherent gain: |X_peak| = A·Σw/2 = A·fft_size/4 (A = 1 full scale);
-    # band power ≈ Σ|X|² over the main lobe = (fft_size/4)² · Σlobe²≈1.5
-    # — we calibrate against the actual windowed DFT for exactness:
+    # computed against the actual windowed DFT: the main-lobe energy of a
+    # 0 dBFS 1 kHz sine (±2 bins around the peak) is assigned 90 phon
     k = 1000.0 * fft_size / sample_rate
     phase = 2.0 * np.pi * k * n / fft_size
     spec = np.fft.rfft(np.sin(phase) * hann)
-    peak_band_power = float(np.sum(np.abs(spec) ** 2) / 2.0)
-    # (/2: a real sine's energy splits between ±k; rfft holds only +k — but
-    # |X|² over rfft bins already counts +k only, so take the +k lobe energy)
     peak_band_power = float(np.max(
         np.convolve(np.abs(spec) ** 2, np.ones(5), mode="same")))
     power_cal_db = C.FULL_SCALE_PHON - 10.0 * np.log10(peak_band_power)

@@ -30,7 +30,7 @@ import numpy as np
 
 from . import native as _native
 from .formats import (AIFF, IRCAM, NEXT, RAW, WAVE, WAVE64, AudioFileType,
-                      SampleFormat, audio_file_type_for_extension)
+                      SampleFormat)
 
 __all__ = ["AudioFileSpec", "read", "read_spec", "write", "AudioFileReader",
            "AudioFileWriter", "open_read", "open_write", "feature_spec"]
@@ -615,11 +615,8 @@ class AudioFileWriter:
     def close(self) -> None:
         if self._f.closed:
             return
-        end = self._f.tell()
+        # patch the final frame count into the (same-length) header
         self._write_header(self._frames_written)
-        self._f.seek(0, 2)
-        if self._f.tell() < end:
-            self._f.seek(end)
         self._f.close()
 
     def __enter__(self) -> "AudioFileWriter":

@@ -28,7 +28,7 @@ from ..analysis.correlation import InputTemplate
 from ..config import ExtractionConfig, Match
 from ..kernels import corr as K
 from ..span import Span
-from .sweep import make_files_mesh, pad_stack
+from .sweep import pad_stack
 
 __all__ = ["FeatureDatabase", "QueryResult"]
 
