@@ -88,15 +88,22 @@ class FeatureDatabase:
 
     def __init__(self, entries: Sequence[Tuple[str, np.ndarray]],
                  norm: Optional[np.ndarray], step_size: int = 512,
-                 mesh=None, pad_multiple: int = 512) -> None:
+                 mesh=None, pad_multiple: int = 512,
+                 _prestacked=None) -> None:
         from ..kernels.pallas_prep import prepare_database
 
-        self.files = [name for name, _ in entries]
+        if _prestacked is not None:
+            raw, lens = _prestacked
+            self.files = list(entries)
+        else:
+            self.files = [name for name, _ in entries]
+            # stack RAW features; normalization + group shift run on device
+            # in one fused pass (kernels/pallas_prep.py) — no host prep passes
+            raw, lens = pad_stack(
+                [np.asarray(f, np.float32) for _, f in entries],
+                multiple=pad_multiple)
         self.step_size = step_size
-        # stack RAW features; normalization + group shift run on device in
-        # one fused pass (kernels/pallas_prep.py) — no host prep passes
-        raw, lens = pad_stack([np.asarray(f, np.float32) for _, f in entries],
-                              multiple=pad_multiple)
+        self._raw = raw
         self._lens = lens
         self.norm = norm
 
@@ -133,6 +140,26 @@ class FeatureDatabase:
         if with_traces:
             return res, (np.asarray(sims), np.asarray(boosts), self._lens)
         return res
+
+    def save(self, path) -> None:
+        """Persist the stacked database (raw features + lengths + norm +
+        file names) so serving restarts skip the per-file AIFF parsing —
+        reload with :meth:`load` and the device staging re-runs in one
+        fused pass."""
+        np.savez_compressed(
+            path, raw=self._raw, lens=self._lens,
+            norm=(self.norm if self.norm is not None
+                  else np.zeros((0, 2), np.float32)),
+            files=np.array(self.files), step_size=self.step_size)
+
+    @staticmethod
+    def load(path, mesh=None) -> "FeatureDatabase":
+        z = np.load(path, allow_pickle=False)
+        norm = z["norm"] if z["norm"].size else None
+        return FeatureDatabase(
+            [str(f) for f in z["files"]], norm,
+            step_size=int(z["step_size"]), mesh=mesh,
+            _prestacked=(z["raw"], z["lens"]))
 
     @staticmethod
     def from_folder(folder: str, num_coeffs: int = 13, step_size: int = 512,

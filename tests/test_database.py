@@ -75,3 +75,17 @@ def test_traces_match_per_file_path(db_entries):
         w = feats.shape[1] - 50 + 1
         np.testing.assert_allclose(sims_b[i, :w], np.asarray(sims)[:w],
                                    atol=3e-5)
+
+
+def test_save_load_roundtrip(tmp_path, db_entries):
+    tmpl = InputTemplate(db_entries[2][1][:, 20:70].copy())
+    db = FeatureDatabase(db_entries[:6], norm=None, pad_multiple=64)
+    r1 = db.query(tmpl, k=2)
+    p = tmp_path / "db.npz"
+    db.save(p)
+    db2 = FeatureDatabase.load(p)
+    assert db2.files == db.files
+    assert db2.step_size == db.step_size
+    r2 = db2.query(tmpl, k=2)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
