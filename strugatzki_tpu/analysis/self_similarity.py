@@ -20,7 +20,10 @@ Parity notes:
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import ColorScheme, ExtractionConfig, SelfSimilarityConfig
@@ -34,6 +37,19 @@ __all__ = ["SelfSimilarity", "self_similarity_matrix"]
 
 _MAX_EXTENT = 0xB504
 _BLOCK = 512
+_PAIR_GROUP = 8
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def _gram_pair_group(wi_s, wj_s, stats_i, stats_j, temp_weight,
+                     num_temporal: int = 1):
+    """vmap of gram_similarity_block over a stacked group of block pairs —
+    amortizes dispatch overhead across ``_PAIR_GROUP`` matmuls."""
+    def one(a, b, sa, sb):
+        return K.gram_similarity_block(a, b, sa, sb, temp_weight,
+                                       num_temporal=num_temporal)
+
+    return jax.vmap(one)(wi_s, wj_s, stats_i, stats_j)
 
 
 def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
@@ -49,39 +65,50 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
     if n == 0:
         return np.zeros((0, 0), np.float32)
 
-    starts = np.arange(n, dtype=np.int64) * decim
+    # pad starts so every block is full → one jit key for all block pairs;
+    # the padded rows/cols are sliced away on write-back
+    num_blocks = (n + _BLOCK - 1) // _BLOCK
+    starts = np.minimum(np.arange(num_blocks * _BLOCK, dtype=np.int64), n - 1) * decim
     xj1 = jnp.asarray(x1)
     xj2 = jnp.asarray(x2)
     tw = jnp.float32(temp_weight)
 
-    # gather per-block windows + stats lazily; cache device blocks
-    def block(xj, b):
-        s = starts[b * _BLOCK:(b + 1) * _BLOCK]
-        win = K.extract_windows(xj, jnp.asarray(s), half_win)
-        return win, K.window_stats(win)
+    def blocks_of(xj):
+        out = []
+        for b in range(num_blocks):
+            s = starts[b * _BLOCK:(b + 1) * _BLOCK]
+            win = K.extract_windows(xj, jnp.asarray(s), half_win)
+            out.append((win, K.window_stats(win)))
+        return out
 
-    num_blocks = (n + _BLOCK - 1) // _BLOCK
+    blocks1 = blocks_of(xj1)
+    blocks2 = blocks1 if x2 is x1 else blocks_of(xj2)
+
+    pairs = [(bi, bj) for bi in range(num_blocks)
+             for bj in range(bi, num_blocks)]
     out = np.empty((n, n), np.float32)
-    blocks1 = {}
-    blocks2 = {}
-    total_pairs = num_blocks * (num_blocks + 1) // 2
     done = 0
-    for bi in range(num_blocks):
-        if bi not in blocks1:
-            blocks1[bi] = block(xj1, bi)
-        wi, si = blocks1[bi]
-        for bj in range(bi, num_blocks):
-            check_aborted()
-            if bj not in blocks2:
-                blocks2[bj] = block(xj2, bj)
-            wj, sj = blocks2[bj]
-            sims = np.asarray(K.gram_similarity_block(wi, wj, si, sj, tw))
-            r0, r1 = bi * _BLOCK, bi * _BLOCK + sims.shape[0]
-            c0, c1 = bj * _BLOCK, bj * _BLOCK + sims.shape[1]
-            out[r0:r1, c0:c1] = sims
-            out[c0:c1, r0:r1] = sims.T
-            done += 1
-            progress(done / total_pairs)
+    for g0 in range(0, len(pairs), _PAIR_GROUP):
+        check_aborted()
+        group = pairs[g0:g0 + _PAIR_GROUP]
+        # pad the final group to keep one jit key
+        padded_group = group + [group[-1]] * (_PAIR_GROUP - len(group))
+        wi_s = jnp.stack([blocks1[bi][0] for bi, _ in padded_group])
+        wj_s = jnp.stack([blocks2[bj][0] for _, bj in padded_group])
+        sti = tuple(jnp.stack([blocks1[bi][1][t] for bi, _ in padded_group])
+                    for t in range(4))
+        stj = tuple(jnp.stack([blocks2[bj][1][t] for _, bj in padded_group])
+                    for t in range(4))
+        sims_g = np.asarray(_gram_pair_group(wi_s, wj_s, sti, stj, tw))
+        for (bi, bj), sims in zip(group, sims_g):
+            r0 = bi * _BLOCK
+            c0 = bj * _BLOCK
+            r1 = min(r0 + _BLOCK, n)
+            c1 = min(c0 + _BLOCK, n)
+            out[r0:r1, c0:c1] = sims[:r1 - r0, :c1 - c0]
+            out[c0:c1, r0:r1] = sims[:r1 - r0, :c1 - c0].T
+        done += len(group)
+        progress(done / len(pairs))
     return out
 
 

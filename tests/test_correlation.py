@@ -311,3 +311,54 @@ def test_max_boost_gating():
     ours, ref = _run_both(inp, files, cfg)
     _assert_same(ours, ref)
     assert all(m.file != "db0.aif" for m in ours)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_parity_with_transcription(seed):
+    """Randomized configs and databases: the framework must agree with the
+    reference transcription match-for-match across edge combinations
+    (short files, punch-out, normalization, spacing, per-file caps,
+    boost gating, degenerate weights)."""
+    rng = np.random.default_rng(1000 + seed)
+    C = 14
+    num_files = int(rng.integers(1, 6))
+    files = []
+    for i in range(num_files):
+        T = int(rng.integers(30, 400))
+        base = rng.uniform(0.3, 0.7, size=(C, 1))
+        x = np.abs(base + 0.12 * rng.standard_normal((C, T))).astype(np.float32)
+        files.append((f"f{i}.aif", x))
+    inp_len = int(rng.integers(80, 300))
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, inp_len))).astype(np.float32)
+
+    in_a = int(rng.integers(0, inp_len - 20))
+    in_b = in_a + int(rng.integers(10, min(60, inp_len - in_a)))
+    punch_out = None
+    if rng.random() < 0.5 and inp_len - in_b > 15:
+        o_a = in_b + int(rng.integers(0, (inp_len - in_b) // 2))
+        o_b = o_a + int(rng.integers(5, max(6, inp_len - o_a)))
+        punch_out = Punch(Span(o_a * STEP, min(o_b, inp_len) * STEP),
+                          float(rng.choice([0.0, 0.4, 1.0])))
+
+    norm = None
+    if rng.random() < 0.5:
+        allf = np.concatenate([f for _, f in files] + [inp], axis=1)
+        norm = np.stack([allf.min(axis=1) - 1e-3, allf.max(axis=1) + 1e-3],
+                        axis=1).astype(np.float32)
+
+    min_p = int(rng.integers(5, 60))
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(in_a * STEP, in_b * STEP),
+                       float(rng.choice([0.0, 0.5, 1.0]))),
+        punch_out=punch_out,
+        min_punch=min_p * STEP,
+        max_punch=(min_p + int(rng.integers(0, 80))) * STEP,
+        normalize=norm is not None,
+        max_boost=float(rng.choice([1.5, 4.0, 8.0])),
+        num_matches=int(rng.integers(1, 6)),
+        num_per_file=int(rng.integers(1, 4)),
+        min_spacing=int(rng.integers(0, 40)) * STEP,
+    ).build()
+
+    ours, ref = _run_both(inp, files, cfg, norm=norm)
+    _assert_same(ours, ref)
