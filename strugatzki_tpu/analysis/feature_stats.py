@@ -87,19 +87,27 @@ class FeatureStats(ProcessorFactory):
         paths = [str(p) for p in config]
 
         def body(proc: Processor) -> List[Tuple[float, float]]:
+            # files are independent and the element-wise min/max merge is
+            # order-invariant, so fan the IO+histogram work over a thread
+            # pool (the reference is strictly sequential, README.md:83)
+            from concurrent.futures import ThreadPoolExecutor
+
             all_mins = all_maxs = None
-            for i, path in enumerate(paths):
-                proc.check_aborted()
-                mins, maxs = stats_for_file(path)
-                if all_mins is None:
-                    all_mins, all_maxs = mins, maxs
-                else:
-                    if len(mins) != len(all_mins):
-                        raise ValueError(
-                            f"channel count mismatch in {path}")
-                    all_mins = np.minimum(all_mins, mins)
-                    all_maxs = np.maximum(all_maxs, maxs)
-                proc.set_progress((i + 1) / len(paths))
+            done = 0
+            with ThreadPoolExecutor(max_workers=min(8, max(len(paths), 1))) as ex:
+                for path, (mins, maxs) in zip(paths,
+                                              ex.map(stats_for_file, paths)):
+                    proc.check_aborted()
+                    if all_mins is None:
+                        all_mins, all_maxs = mins, maxs
+                    else:
+                        if len(mins) != len(all_mins):
+                            raise ValueError(
+                                f"channel count mismatch in {path}")
+                        all_mins = np.minimum(all_mins, mins)
+                        all_maxs = np.maximum(all_maxs, maxs)
+                    done += 1
+                    proc.set_progress(done / len(paths))
             return list(zip(all_mins.tolist(), all_maxs.tolist()))
 
         return body

@@ -176,3 +176,18 @@ def test_span_xml_segmentation_always_present():
     xml = fs.to_xml()
     assert xml.find("span") is not None
     assert len(list(xml.find("span"))) == 0  # Span.all -> empty element
+
+
+def test_segmentation_open_span_roundtrips():
+    # half-open spans through the always-present <span> element
+    for span in (Span.from_(1234), Span.until(99999)):
+        fs = SegmentationConfig(span=span).build()
+        assert roundtrip(fs) == fs
+
+
+def test_selfsim_open_span_roundtrips():
+    # the reference's serializer would MatchError on half-open spans here
+    # (SelfSimilarity.scala:229 only matches All/closed); we serialize the
+    # defined ends — a strict superset that its reader parses fine
+    ss = SelfSimilarityConfig(span=Span.from_(555)).build()
+    assert roundtrip(ss) == ss
