@@ -193,3 +193,80 @@ def test_cross_similarity_detects_template(tmp_path):
     assert abs(spec.sample_rate - 44100 / 512) < 1e-4
     assert int(np.argmax(sims[0])) == 250
     assert sims[0, 250] > 0.999
+
+
+def test_selfsim_cross_mode_two_files(tmp_path):
+    """input2 switches to cross-mode: matrix cell (i,j) correlates file-1's
+    window i against file-2's window j over min(len1, len2) frames."""
+    rng = np.random.default_rng(8)
+    a = np.abs(0.5 + 0.1 * rng.standard_normal((14, 160))).astype(np.float32)
+    b = np.abs(0.5 + 0.1 * rng.standard_normal((14, 120))).astype(np.float32)
+    b[:, 40:70] = a[:, 10:40]  # plant a's window region inside b
+    fa, fb = tmp_path / "a_feat.aif", tmp_path / "b_feat.aif"
+    _write_feat(fa, a)
+    _write_feat(fb, b)
+    ma, mb = tmp_path / "a_feat.xml", tmp_path / "b_feat.xml"
+    _write_meta(ma, tmp_path / "a.aif", fa)
+    _write_meta(mb, tmp_path / "b.aif", fb)
+
+    from strugatzki_tpu.config import SelfSimilarityConfig
+    out = tmp_path / "cross.png"
+    cfg = SelfSimilarityConfig(
+        meta_input=str(ma), meta_input2=str(mb), image_output=str(out),
+        corr_len=15 * 512, decimation=1, normalize=False,
+        colors="gray")
+    SelfSimilarity.run(cfg).result(timeout=300)
+    import struct, zlib
+    raw = out.read_bytes()
+    w, h = struct.unpack(">II", raw[16:24])
+    # halfWin = fullToFeat(15*512) = 15, winLen = 30; extent bounded by
+    # min(len1, len2) = 120
+    n = 120 - 30 + 1
+    assert (w, h) == (n, n)
+    pix = zlib.decompress(raw[raw.index(b"IDAT") + 4:raw.rindex(b"IEND") - 4])
+    img = np.frombuffer(pix, np.uint8).reshape(h, 1 + w * 3)[:, 1:].reshape(h, w, 3)
+    # cell (i=10, j=40) should be bright (planted correspondence):
+    # pixel x=i, y = n−1−j
+    assert img[n - 1 - 40, 10, 0] > 200
+
+
+def test_selfsim_mismatched_settings_rejected(tmp_path):
+    rng = np.random.default_rng(9)
+    a = np.abs(rng.standard_normal((14, 100))).astype(np.float32)
+    fa = tmp_path / "a_feat.aif"
+    _write_feat(fa, a)
+    ma, mb = tmp_path / "a_feat.xml", tmp_path / "b_feat.xml"
+    ExtractionConfig(audio_input="a.aif", feature_output=str(fa)).save_xml(ma)
+    ExtractionConfig(audio_input="b.aif", feature_output=str(fa),
+                     fft_size=2048).save_xml(mb)
+    from strugatzki_tpu.config import SelfSimilarityConfig
+    cfg = SelfSimilarityConfig(meta_input=str(ma), meta_input2=str(mb),
+                               image_output=str(tmp_path / "x.png"),
+                               normalize=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SelfSimilarity.run(cfg).result(timeout=60)
+
+
+def test_cross_similarity_swaps_longer_template(tmp_path):
+    """When input1 is LONGER, input2 becomes the template; output length is
+    len1 − len2 + 1 and the rate still comes from input1's feature file
+    (CrossSimilarityImpl.scala:87-94)."""
+    rng = np.random.default_rng(10)
+    long = np.abs(0.5 + 0.12 * rng.standard_normal((14, 300))).astype(np.float32)
+    short = long[:, 100:160].copy()
+    f1, m1 = tmp_path / "long_feat.aif", tmp_path / "long_feat.xml"
+    f2, m2 = tmp_path / "short_feat.aif", tmp_path / "short_feat.xml"
+    _write_feat(f1, long, rate=22050 / 512)   # distinct rate for input1
+    _write_feat(f2, short)
+    _write_meta(m1, tmp_path / "l.aif", f1)
+    _write_meta(m2, tmp_path / "s.aif", f2)
+    out = tmp_path / "o.aif"
+    cfg = CrossSimilarityConfig(meta_input1=str(m1), meta_input2=str(m2),
+                                normalize=False)
+    cfg.set_audio_output(str(out))
+    CrossSimilarity.run(cfg).result(timeout=120)
+    sims, spec = af.read(out)
+    assert spec.num_frames == 300 - 60 + 1
+    assert abs(spec.sample_rate - 22050 / 512) < 1e-4  # input1's rate
+    assert int(np.argmax(sims[0])) == 100
