@@ -105,8 +105,16 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
             c0 = bj * _BLOCK
             r1 = min(r0 + _BLOCK, n)
             c1 = min(c0 + _BLOCK, n)
-            out[r0:r1, c0:c1] = sims[:r1 - r0, :c1 - c0]
-            out[c0:c1, r0:r1] = sims[:r1 - r0, :c1 - c0].T
+            s = sims[:r1 - r0, :c1 - c0]
+            if bi == bj:
+                # only i ≤ j cells are the reference's computed values
+                # (SelfSimilarityImpl.scala:136); mirror the upper triangle —
+                # in cross mode the i > j half of the block differs
+                s = np.triu(s) + np.triu(s, 1).T
+                out[r0:r1, c0:c1] = s
+            else:
+                out[r0:r1, c0:c1] = s
+                out[c0:c1, r0:r1] = s.T
         done += len(group)
         progress(done / len(pairs))
     return out
