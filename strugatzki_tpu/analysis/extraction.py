@@ -70,14 +70,23 @@ def _stream_body(proc: Processor, cfg: ExtractionConfig, spec) -> None:
     writer = af.open_write(cfg.feature_output,
                            af.feature_spec(cfg.num_features, feat_rate))
     try:
+        int16_path = (spec.sample_format == af.SampleFormat.INT16
+                      and (spec.num_channels == 1
+                           or cfg.channels_behavior != ChannelsBehavior.MIX))
+
         def read_samples(n):
             proc.check_aborted()
             block = reader.read_frames(n)
             if cfg.channels_behavior == ChannelsBehavior.MIX:
-                return block.sum(axis=0)
-            if cfg.channels_behavior == ChannelsBehavior.FIRST:
-                return block[0]
-            return block[spec.num_channels - 1]
+                mono = block.sum(axis=0)
+            elif cfg.channels_behavior == ChannelsBehavior.FIRST:
+                mono = block[0]
+            else:
+                mono = block[spec.num_channels - 1]
+            if int16_path:
+                # lossless for PCM16 sources; halves the upload bytes
+                mono = np.round(mono * 32768.0).astype(np.int16)
+            return mono
 
         def emit(feats):
             writer.write_frames(fix_nans(feats))

@@ -424,7 +424,7 @@ def extract_features_streaming(read_samples, num_samples: int,
     carry = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
 
     overlap = fft_size - step          # samples shared between chunks
-    tail = np.zeros(overlap, np.float32)  # zeros: scsynth's initial buffer
+    tail = None                        # zeros: scsynth's initial buffer
     done = 0
     consumed = 0                        # samples pulled from read_samples
     while done < total:
@@ -432,17 +432,18 @@ def extract_features_streaming(read_samples, num_samples: int,
         # frames [done, done+nc): windows end at (done+1..done+nc)·step,
         # needing samples [done·step − overlap, (done+nc−1)·step + fft)
         need_to = (done + nc) * step
-        fresh = read_samples(need_to - consumed)
-        fresh = np.asarray(fresh)
-        if fresh.dtype == np.int16:
-            fresh = fresh.astype(np.float32) / 32768.0
-        else:
+        fresh = np.asarray(read_samples(need_to - consumed))
+        if fresh.dtype != np.int16:
+            # int16 chunks ship raw (dequantized on device); anything else
+            # goes float32
             fresh = fresh.astype(np.float32, copy=False)
         consumed += len(fresh)
+        if tail is None:
+            tail = np.zeros(overlap, fresh.dtype)
 
         block, num_blocks = _plan_shapes(nc, chunk_frames)
         padded_len = num_blocks * block * step + fft_size - step
-        padded = np.zeros(padded_len, np.float32)
+        padded = np.zeros(padded_len, fresh.dtype)
         padded[:overlap] = tail
         padded[overlap:overlap + len(fresh)] = fresh
 

@@ -80,3 +80,30 @@ def test_streaming_processor_end_to_end(tmp_path, monkeypatch):
     assert abs(sa.sample_rate - sb.sample_rate) < 1e-9
     np.testing.assert_allclose(a[0], b[0], atol=3e-4)
     np.testing.assert_allclose(a[1:], b[1:], atol=2e-5)
+
+
+def test_streaming_pcm16_int16_path(tmp_path, monkeypatch):
+    """PCM16 sources stream as raw int16 (half the upload), bit-identical
+    to the float path."""
+    rng = np.random.default_rng(3)
+    sr = 44100
+    audio = np.clip(0.3 * rng.standard_normal(3 * sr), -0.99, 0.99)
+    audio = (np.round(audio * 32768.0).astype(np.int16)
+             .astype(np.float32) / 32768.0)
+    p = tmp_path / "pcm.aif"
+    af.write(p, audio[None], AudioFileSpec(AIFF, SampleFormat.INT16, 1,
+                                           float(sr)))
+
+    f_mem = tmp_path / "mem_feat.aif"
+    FeatureExtraction.run(ExtractionConfig(
+        audio_input=str(p), feature_output=str(f_mem))).result(timeout=300)
+
+    monkeypatch.setattr(ext, "STREAMING_THRESHOLD", 1000)
+    f_str = tmp_path / "str_feat.aif"
+    FeatureExtraction.run(ExtractionConfig(
+        audio_input=str(p), feature_output=str(f_str))).result(timeout=300)
+
+    a, _ = af.read(f_mem)
+    b, _ = af.read(f_str)
+    np.testing.assert_allclose(a[0], b[0], atol=3e-4)
+    np.testing.assert_allclose(a[1:], b[1:], atol=2e-5)
