@@ -59,6 +59,28 @@ class QueryResult:
 
 
 @partial(jax.jit, static_argnames=("num_temporal", "k"))
+def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
+                        ln_avg, shifts_t, temp_weight, max_boost,
+                        num_temporal: int = 1, k: int = 4):
+    """Q templates × B files in one dispatch: vmap over the template axis of
+    the per-file trace vmap.  Returns ``(vals [Q,B,k], idx [Q,B,k])``."""
+    def one_query(tt, ts, st_t, st_s, la):
+        def one_file(xs, shift_t):
+            return K.correlation_trace(
+                xs, tt, ts, st_t, st_s, la, shift_t,
+                temp_weight, max_boost, num_temporal=num_temporal)
+
+        sims, _ = jax.vmap(one_file)(xs_b, shifts_t)
+        L = tt.shape[1]
+        w_valid = lens - (L - 1)
+        t_idx = jnp.arange(sims.shape[1])[None, :]
+        masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
+        return jax.lax.top_k(masked, k)
+
+    return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
+
+
+@partial(jax.jit, static_argnames=("num_temporal", "k"))
 def _query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg,
                   shifts_t, temp_weight, max_boost,
                   num_temporal: int = 1, k: int = 4):
@@ -140,6 +162,32 @@ class FeatureDatabase:
         if with_traces:
             return res, (np.asarray(sims), np.asarray(boosts), self._lens)
         return res
+
+    def query_batch(self, templates: Sequence[InputTemplate],
+                    temp_weight: float = 0.5, max_boost: float = 8.0,
+                    k: int = 4) -> List[QueryResult]:
+        """Many punches against the resident database in ONE dispatch.
+
+        All templates must share the same frame length (they are stacked on
+        a leading axis and vmapped); use separate :meth:`query` calls for
+        mixed lengths.
+        """
+        lengths = {t.num_frames for t in templates}
+        if len(lengths) != 1:
+            raise ValueError(
+                f"query_batch needs equal-length templates, got {sorted(lengths)}")
+        tt = jnp.stack([jnp.asarray(t.temporal_centered) for t in templates])
+        ts = jnp.stack([jnp.asarray(t.spectral_centered) for t in templates])
+        st_t = jnp.asarray([t.temporal_std for t in templates], jnp.float32)
+        st_s = jnp.asarray([t.spectral_std for t in templates], jnp.float32)
+        la = jnp.asarray([t.ln_avg_loudness for t in templates], jnp.float32)
+        vals, idx = _multi_query_kernel(
+            self._xs, self._lens_dev, tt, ts, st_t, st_s, la, self._shifts,
+            jnp.float32(temp_weight), jnp.float32(max_boost), k=k)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        return [QueryResult(vals[q], idx[q], list(self.files))
+                for q in range(len(templates))]
 
     def save(self, path) -> None:
         """Persist the stacked database (raw features + lengths + norm +

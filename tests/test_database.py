@@ -89,3 +89,28 @@ def test_save_load_roundtrip(tmp_path, db_entries):
     r2 = db2.query(tmpl, k=2)
     np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)
     np.testing.assert_array_equal(r1.frames, r2.frames)
+
+
+def test_query_batch_matches_single(db_entries):
+    tmpls = [InputTemplate(db_entries[i][1][:, 10 + 7 * i:60 + 7 * i].copy())
+             for i in (0, 2, 4)]
+    db = FeatureDatabase(db_entries[:8], norm=None, pad_multiple=64)
+    batch = db.query_batch(tmpls, k=3)
+    assert len(batch) == 3
+    for q, tmpl in enumerate(tmpls):
+        single = db.query(tmpl, k=3)
+        np.testing.assert_allclose(batch[q].sims, single.sims, atol=1e-6)
+        np.testing.assert_array_equal(batch[q].frames, single.frames)
+    # each planted template finds itself in its own file
+    for q, i in enumerate((0, 2, 4)):
+        assert batch[q].frames[i, 0] == 10 + 7 * i
+        assert abs(batch[q].sims[i, 0] - 1.0) < 1e-3
+
+
+def test_query_batch_rejects_mixed_lengths(db_entries):
+    db = FeatureDatabase(db_entries[:4], norm=None, pad_multiple=64)
+    t1 = InputTemplate(db_entries[0][1][:, :40].copy())
+    t2 = InputTemplate(db_entries[0][1][:, :50].copy())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        db.query_batch([t1, t2])
