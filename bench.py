@@ -51,14 +51,18 @@ def main() -> None:
     # ~400,000x realtime; a PCIe-attached chip at ~10 GB/s would put the
     # same pipeline's transfer bound at ~30,000x).
     reps = 8
-    t0 = time.perf_counter()
-    handles = [extract_features(audio, sr, block_frames=block,
-                                as_device=True) for _ in range(reps)]
-    outs = [finalize_features(f, n) for f, n in handles]
-    elapsed = time.perf_counter() - t0
+    rounds = []
+    for r in range(3):  # best-of-3: the tunnel stalls randomly
+        t0 = time.perf_counter()
+        handles = [extract_features(audio, sr, block_frames=block,
+                                    as_device=True) for _ in range(reps)]
+        outs = [finalize_features(f, n) for f, n in handles]
+        rounds.append(time.perf_counter() - t0)
+    elapsed = min(rounds)
     rt = dur * reps / elapsed
-    print(f"extraction: {reps}x{dur:.0f}s audio in {elapsed:.3f}s "
-          f"-> {rt:.0f}x realtime (shape {outs[0].shape})", file=sys.stderr)
+    print(f"extraction: best of {[round(x, 2) for x in rounds]}s for "
+          f"{reps}x{dur:.0f}s audio -> {rt:.0f}x realtime "
+          f"(shape {outs[0].shape})", file=sys.stderr)
 
     # ---- correlation sweep diagnostic (north star: 10s punch vs 10k-file
     # DB < 1s). Off by default: axon remote compiles don't hit the

@@ -146,7 +146,7 @@ def feature_pre(args) -> int:
             raise SystemExit(f"Not a valid input: {f}")
 
     ok = True
-    for head in in_files:
+    for i, head in enumerate(in_files):
         name1 = os.path.splitext(os.path.basename(head))[0]
         cfg = ExtractionConfig(
             audio_input=head,
@@ -160,6 +160,12 @@ def feature_pre(args) -> int:
         else:
             _fail(res)
             ok = False
+        # the reference prints this (debug leftover, Strugatzki.scala:507);
+        # kept for transcript parity
+        tail = i + 1 < len(in_files)
+        print(f"success = {'true' if res.is_success else 'false'} - "
+              f"tail? {'true' if tail else 'false'}")
+        if not ok:
             break  # abort the chain on first failure (:506-508)
     return 0 if ok else 1
 
