@@ -5,10 +5,14 @@ These replace the reference's scalar ring-buffer loops
 impl/SelfSimilarityImpl.scala:127-165, impl/CrossSimilarityImpl.scala:135-170)
 with dense formulations that map onto the MXU/VPU:
 
-* **sliding template correlation** — one convolution (template × signal) plus
-  sliding window sums; serves FeatureCorrelation and CrossSimilarity.
+* **sliding template correlation** — FFT cross-correlation: one rfft per
+  channel serves the template dots AND, via a ones-kernel spectrum, the
+  sliding window sums/sums-of-squares; serves FeatureCorrelation and
+  CrossSimilarity.  (A direct conv formulation is kept for short templates
+  — long-kernel conv/reduce_window lowerings compile pathologically on
+  some TPU backends.)
 * **novelty curve** — ``correlateHalf`` for every window position from a
-  lag-product plus window sums; serves FeatureSegmentation.
+  lag-product plus FFT window sums; serves FeatureSegmentation.
 * **gram similarity** — ``correlateHalf`` over all window *pairs* from one
   ``X·Xᵀ`` matmul plus per-window sums; serves SelfSimilarity.
 

@@ -151,17 +151,21 @@ class FeatureDatabase:
               with_traces: bool = False):
         """One-dispatch punch query → :class:`QueryResult` (and optionally
         the dense (sims, boosts) traces for exact host-side replay)."""
-        vals, idx, sims, boosts = _query_kernel(
+        out = _query_kernel(
             self._xs, self._lens_dev,
             template.device_temporal(), template.device_spectral(),
             jnp.float32(template.temporal_std),
             jnp.float32(template.spectral_std),
             jnp.float32(template.ln_avg_loudness), self._shifts,
             jnp.float32(temp_weight), jnp.float32(max_boost), k=k)
-        res = QueryResult(np.asarray(vals), np.asarray(idx), list(self.files))
+        # one device_get: each separate small fetch costs a host round trip
+        # (~tens of ms on tunneled chips)
         if with_traces:
-            return res, (np.asarray(sims), np.asarray(boosts), self._lens)
-        return res
+            vals, idx, sims, boosts = jax.device_get(out)
+            return (QueryResult(vals, idx, list(self.files)),
+                    (sims, boosts, self._lens))
+        vals, idx = jax.device_get(out[:2])
+        return QueryResult(vals, idx, list(self.files))
 
     def query_batch(self, templates: Sequence[InputTemplate],
                     temp_weight: float = 0.5, max_boost: float = 8.0,
