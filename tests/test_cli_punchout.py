@@ -152,3 +152,29 @@ def test_correlation_abort(tmp_path):
     proc.abort()
     res = proc.ready(timeout=300)
     assert res.is_aborted or res.is_success
+
+
+def test_logging_trace_and_profile(tmp_path, monkeypatch):
+    from strugatzki_tpu.runtime.logging import logger, profile, trace
+    import logging
+    records = []
+
+    class H(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = H()
+    logger.addHandler(h)
+    old = logger.level
+    logger.setLevel(logging.DEBUG)
+    try:
+        with trace("unit-span", file="x.aif"):
+            pass
+        assert any("unit-span took" in m for m in records)
+        # profile is a no-op without STRUGATZKI_PROFILE
+        monkeypatch.delenv("STRUGATZKI_PROFILE", raising=False)
+        with profile("nothing"):
+            pass
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old)

@@ -126,3 +126,23 @@ def test_basis_cache():
     assert b1 is b2
     assert b1.mel_fb.shape == (513, C.MEL_BANDS)
     assert b1.dct.shape == (C.MEL_BANDS, 13)
+
+
+def test_gemm_dft_path_matches_fft():
+    """The MXU-native DFT path (use_fft=False) must match the rFFT path."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.dsp.frontend import _extract_block, _device_consts
+
+    rng = np.random.default_rng(7)
+    nb, fft, step = 256, 1024, 512
+    audio = jnp.asarray((0.3 * rng.standard_normal((nb - 1) * step + fft))
+                        .astype(np.float32))
+    carry = jnp.full((24,), -120.0, jnp.float32)
+    consts = _device_consts(44100.0, fft, 13, 0.25, 1.0)
+    f1, c1 = _extract_block(audio, carry, *consts, num_frames=nb,
+                            fft_size=fft, step=step, use_fft=True)
+    f2, c2 = _extract_block(audio, carry, *consts, num_frames=nb,
+                            fft_size=fft, step=step, use_fft=False)
+    np.testing.assert_allclose(np.asarray(f1[0]), np.asarray(f2[0]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(f1[1:]), np.asarray(f2[1:]),
+                               atol=3e-4)
