@@ -203,6 +203,9 @@ def correlation_trace(xs: jnp.ndarray,
     W = Tp - L + 1
     C_s = xs.shape[0] - nt
     N = _fft_len(Tp)
+    if xs.dtype != jnp.float32:
+        # bf16-stored databases (2x HBM capacity) upcast on the fly
+        xs = xs.astype(jnp.float32)
 
     # One rfft per channel serves everything: template dots (per-channel
     # spectra × template spectra), window sums (group-sum spectra × ones

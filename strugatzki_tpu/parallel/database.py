@@ -111,7 +111,7 @@ class FeatureDatabase:
     def __init__(self, entries: Sequence[Tuple[str, np.ndarray]],
                  norm: Optional[np.ndarray], step_size: int = 512,
                  mesh=None, pad_multiple: int = 512,
-                 _prestacked=None) -> None:
+                 storage_dtype=None, _prestacked=None) -> None:
         from ..kernels.pallas_prep import prepare_database
 
         if _prestacked is not None:
@@ -139,6 +139,11 @@ class FeatureDatabase:
             self._lens_dev = jnp.asarray(lens)
         self._xs, self._shifts = prepare_database(raw_dev, norm,
                                                   self._lens_dev)
+        if storage_dtype is not None:
+            # e.g. jnp.bfloat16: doubles resident capacity; queries upcast
+            # on the fly (similarities good to ~1e-2 — re-rank with an
+            # exact query or FeatureCorrelation when that matters)
+            self._xs = self._xs.astype(storage_dtype)
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
 

@@ -114,3 +114,16 @@ def test_query_batch_rejects_mixed_lengths(db_entries):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         db.query_batch([t1, t2])
+
+
+def test_bfloat16_storage_mode(db_entries):
+    import jax.numpy as jnp
+    tmpl = InputTemplate(db_entries[5][1][:, 40:90].copy())
+    db32 = FeatureDatabase(db_entries, norm=None, pad_multiple=64)
+    db16 = FeatureDatabase(db_entries, norm=None, pad_multiple=64,
+                           storage_dtype=jnp.bfloat16)
+    r32 = db32.query(tmpl, k=2)
+    r16 = db16.query(tmpl, k=2)
+    # half the HBM, top hits preserved, sims good to ~1e-2
+    assert r16.frames[5, 0] == r32.frames[5, 0] == 40
+    np.testing.assert_allclose(r16.sims, r32.sims, atol=2e-2)

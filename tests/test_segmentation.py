@@ -140,3 +140,50 @@ def test_short_span_single_window():
     assert len(ours) == len(ref) == 1
     assert ours[0].pos == ref[0].pos
     assert abs(ours[0].sim - ref[0].sim) < 2e-5
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_parity_with_transcription(seed):
+    """Randomized spans, lengths, norms and break counts: break-for-break
+    agreement with the reference loop transcription."""
+    rng = np.random.default_rng(2000 + seed)
+    C = int(rng.integers(3, 15))
+    T = int(rng.integers(40, 700))
+    base = rng.uniform(0.3, 0.7, size=(C, 1))
+    feats = np.abs(base + 0.15 * rng.standard_normal((C, T))).astype(np.float32)
+    step = 512
+
+    norm = None
+    if rng.random() < 0.5:
+        norm = np.stack([feats.min(axis=1) - 1e-3, feats.max(axis=1) + 1e-3],
+                        axis=1).astype(np.float32)
+
+    span = Span.all()
+    r = rng.random()
+    if r < 0.25:
+        a = int(rng.integers(0, T // 2)) * step
+        b = int(rng.integers(T // 2, T + 50)) * step
+        span = Span(a, b)
+    elif r < 0.5:
+        span = Span.from_(int(rng.integers(0, T // 2)) * step)
+    elif r < 0.75:
+        span = Span.until(int(rng.integers(T // 2, T + 50)) * step)
+
+    cfg = SegmentationConfig(
+        normalize=norm is not None,
+        span=span,
+        corr_len=int(rng.integers(2, 60)) * step,
+        temporal_weight=float(rng.choice([0.0, 0.5, 1.0])),
+        num_breaks=int(rng.integers(1, 8)),
+        min_spacing=int(rng.integers(0, 50)) * step,
+    ).build()
+
+    ours = segment_features(feats, norm, step, cfg)
+    ref = _scala_reference_segmentation(feats, norm, step, cfg)
+    assert len(ours) == len(ref)
+    for a, b in zip(ours, ref):
+        assert a.pos == b.pos, (a, b, cfg)
+        assert abs(a.sim - b.sim) < 3e-5
