@@ -307,15 +307,28 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
         check_aborted()
 
         if matrix_out is None:
-            # matches added inline during the punch-in scan (:233-240)
-            for t in range(len(sims_in)):
-                sim = float(sims_in[t])
-                if skip_nan and math.isnan(sim):
-                    continue
-                if entry_has_space() or sim > lowest_sim():
-                    add_match(Match(sim, extr_db.audio_input,
-                                    Span(t2f(t), t2f(t + punch_in_len)),
-                                    float(boosts_in[t]), 1.0))
+            # matches added inline during the punch-in scan (:233-240).
+            # While the entry queue is full, `lowestSim` is non-decreasing,
+            # so windows failing `sim > low` can be skipped with a vector
+            # scan — identical selection, not O(W) Python steps.
+            w_in = len(sims_in)
+            t = 0
+            while t < w_in:
+                if entry_has_space():
+                    sim = float(sims_in[t])
+                else:
+                    low = lowest_sim()
+                    rel = int(np.argmax(sims_in[t:] > low))
+                    sim = float(sims_in[t + rel])
+                    if not sim > low:
+                        break  # no further candidate in this file
+                    t += rel
+                if not (skip_nan and math.isnan(sim)):
+                    if entry_has_space() or sim > lowest_sim():
+                        add_match(Match(sim, extr_db.audio_input,
+                                        Span(t2f(t), t2f(t + punch_in_len)),
+                                        float(boosts_in[t]), 1.0))
+                t += 1
         else:
             # trace-open gate (:213-223): hs/lowestSim are constant during the
             # punch-in scan (no matches are added until the combine pass)
@@ -340,16 +353,23 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
 
                     w_out = len(tout_full) - po_off0
                     scan_span = max_punch - min_punch + 1
-                    for i in range(len(tin_sims)):
-                        in_sim = float(tin_sims[i])
-                        boost_in = float(boosts_in[t_in_off + i])
+                    n_in = len(tin_sims)
+                    i = 0
+                    while i < n_in:
                         low = lowest_sim()
                         hs = entry_has_space()
-                        if in_sim > low * low:
-                            seek = i
-                            n2 = min(t_out_size - seek, scan_span, w_out - seek)
-                            if n2 <= 0:
-                                continue
+                        # skip piOffs failing the inSim > low² gate with a
+                        # vector scan — no state changes at skipped
+                        # positions, so the replay is exact (:342)
+                        rel = int(np.argmax(tin_sims[i:] > low * low))
+                        if not tin_sims[i + rel] > low * low:
+                            break
+                        i += rel
+                        in_sim = float(tin_sims[i])
+                        boost_in = float(boosts_in[t_in_off + i])
+                        seek = i
+                        n2 = min(t_out_size - seek, scan_span, w_out - seek)
+                        if n2 > 0:
                             base = po_off0 + seek
                             seg = tout_full[base:base + n2]
                             sims_c = np.sqrt(np.float32(in_sim) * seg).astype(np.float32)
@@ -376,6 +396,7 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                                     low = lowest_sim()
                                     hs = entry_has_space()
                                 k += 1
+                        i += 1
                         if i % 8192 == 0:
                             check_aborted()
 
