@@ -270,3 +270,33 @@ def test_cross_similarity_swaps_longer_template(tmp_path):
     assert spec.num_frames == 300 - 60 + 1
     assert abs(spec.sample_rate - 22050 / 512) < 1e-4  # input1's rate
     assert int(np.argmax(sims[0])) == 100
+
+
+def test_selfsim_span_restriction(tmp_path):
+    """The span option restricts the matrix to fullToFeat-mapped frames
+    (SelfSimilarityImpl.scala:65-73)."""
+    from strugatzki_tpu.span import Span
+    rng = np.random.default_rng(11)
+    feats = np.abs(0.5 + 0.1 * rng.standard_normal((14, 300))).astype(np.float32)
+    fp, mp = tmp_path / "s_feat.aif", tmp_path / "s_feat.xml"
+    _write_feat(fp, feats)
+    _write_meta(mp, tmp_path / "s.aif", fp)
+    out = tmp_path / "s.png"
+    cfg = SelfSimilarityConfig(
+        meta_input=str(mp), image_output=str(out), normalize=False,
+        corr_len=10 * 512, span=Span(50 * 512, 250 * 512))
+    SelfSimilarity.run(cfg).result(timeout=120)
+    import struct
+    w, h = struct.unpack(">II", out.read_bytes()[16:24])
+    # afLen = 200, winLen = 20 -> 181 windows
+    assert (w, h) == (181, 181)
+
+
+def test_palette_monotonic_brightness():
+    from strugatzki_tpu.util.palette import apply_palette
+    v = np.linspace(0, 1, 256)
+    rgb = apply_palette(v).astype(np.int32)
+    luma = 0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1] + 0.0722 * rgb[:, 2]
+    # perceptually even ramp: luminance strictly rises overall
+    assert luma[0] < 10 and luma[-1] > 240
+    assert (np.diff(luma) >= -2).all()  # allow tiny local dips only
