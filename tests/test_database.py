@@ -127,3 +127,27 @@ def test_bfloat16_storage_mode(db_entries):
     # half the HBM, top hits preserved, sims good to ~1e-2
     assert r16.frames[5, 0] == r32.frames[5, 0] == 40
     np.testing.assert_allclose(r16.sims, r32.sims, atol=2e-2)
+
+
+def test_from_folder(tmp_path, db_entries):
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.config import ExtractionConfig, NORMALIZE_NAME
+    for i, (name, feats) in enumerate(db_entries[:4]):
+        fp = tmp_path / f"e{i}_feat.aif"
+        af.write(fp, feats, af.feature_spec(14, 44100 / 512))
+        ExtractionConfig(audio_input=f"/snd/{name}", feature_output=str(fp)
+                         ).save_xml(tmp_path / f"e{i}_feat.xml")
+    # norm file
+    allf = np.concatenate([f for _, f in db_entries[:4]], axis=1)
+    norm = np.stack([allf.min(axis=1) - 1e-3, allf.max(axis=1) + 1e-3], axis=1)
+    af.write(tmp_path / NORMALIZE_NAME, norm.astype(np.float32),
+             af.AudioFileSpec(num_channels=14, sample_rate=44100.0))
+    db = FeatureDatabase.from_folder(str(tmp_path))
+    assert db.num_files == 4
+    assert db.files == [f"/snd/{db_entries[i][0]}" for i in range(4)]
+    tmpl_block = db_entries[1][1][:, 20:60].astype(np.float32).copy()
+    from strugatzki_tpu.kernels import mathref as M
+    M.normalize(norm.astype(np.float32), tmpl_block, 0, 40)
+    res = db.query(InputTemplate(tmpl_block), k=1)
+    assert res.frames[1, 0] == 20
+    assert abs(res.sims[1, 0] - 1.0) < 1e-3
