@@ -61,8 +61,16 @@ def fmt_f32(value: float) -> str:
 
     The reference writes Scala ``Float``s; we keep values exact at float32
     precision so re-parsing on either side yields the identical f32.
+    Specials use Java spellings (``NaN``/``Infinity``) so the reference's
+    ``.toFloat`` can parse them (NaN similarities are reachable, see
+    analysis/topk.py).
     """
-    return np.format_float_positional(np.float32(value), unique=True, trim="-")
+    f = np.float32(value)
+    if np.isnan(f):
+        return "NaN"
+    if np.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    return np.format_float_positional(f, unique=True, trim="-")
 
 
 def _f32(value: float) -> float:

@@ -191,3 +191,19 @@ def test_selfsim_open_span_roundtrips():
     # defined ends — a strict superset that its reader parses fine
     ss = SelfSimilarityConfig(span=Span.from_(555)).build()
     assert roundtrip(ss) == ss
+
+
+def test_match_nan_and_inf_serialization():
+    """NaN sims are reachable (sqrt of a negative in-x-out product); they
+    must serialize with Java spellings and round-trip."""
+    import math
+    import xml.etree.ElementTree as _ET
+    m = Match(float("nan"), "x.aif", Span(1, 2), float("inf"), -float("inf"))
+    text = _ET.tostring(m.to_xml(), encoding="unicode")
+    assert "<sim>NaN</sim>" in text
+    assert "<boostIn>Infinity</boostIn>" in text
+    assert "<boostOut>-Infinity</boostOut>" in text
+    back = Match.from_xml(_ET.fromstring(text))
+    assert math.isnan(back.sim)
+    assert back.boost_in == float("inf")
+    assert back.boost_out == -float("inf")
