@@ -130,3 +130,21 @@ def test_usage_on_unknown_switch():
     r = run_cli("--bogus")
     assert r.returncode == 1
     assert "Usage" in r.stderr
+
+
+def test_cli_channels_flag(demo, tmp_path):
+    """-c first|last|mix selects the analysis channel (Strugatzki.scala:460-472)."""
+    _, snd, _, _ = demo
+    d1, d2 = tmp_path / "dbf", tmp_path / "dbl"
+    d1.mkdir()
+    d2.mkdir()
+    assert run_cli("-f", "-d", str(d1), "-c", "first",
+                   str(snd / "tones.aif")).returncode == 0
+    assert run_cli("-f", "-d", str(d2), "-c", "last",
+                   str(snd / "tones.aif")).returncode == 0
+    a, _ = af.read(d1 / "tones_feat.aif")
+    b, _ = af.read(d2 / "tones_feat.aif")
+    # mono source: first == last
+    np.testing.assert_array_equal(a, b)
+    r = run_cli("-f", "-d", str(d1), "-c", "bogus", str(snd / "tones.aif"))
+    assert r.returncode == 1

@@ -146,3 +146,33 @@ def test_gemm_dft_path_matches_fft():
     np.testing.assert_allclose(np.asarray(f1[0]), np.asarray(f2[0]), atol=3e-4)
     np.testing.assert_allclose(np.asarray(f1[1:]), np.asarray(f2[1:]),
                                atol=3e-4)
+
+
+@pytest.mark.parametrize("fft_size,overlap", [(1024, 4), (512, 2), (2048, 2)])
+def test_nondefault_fft_configs_match_numpy_reference(fft_size, overlap):
+    """Independent NumPy implementation of the documented spec (window j
+    covers [(j+1)·step − fftSize, (j+1)·step), Hann, mel→log→DCT scaling)
+    must agree with the device pipeline for non-default FFT configs."""
+    from strugatzki_tpu.dsp import constants as C
+
+    rng = np.random.default_rng(31)
+    sr = 44100.0
+    audio = (0.25 * rng.standard_normal(int(sr * 0.7))).astype(np.float32)
+    step = fft_size // overlap
+    feats = extract_features(audio, sr, num_coeffs=13, fft_size=fft_size,
+                             fft_overlap=overlap)
+    total = num_output_frames(len(audio), step)
+    assert feats.shape == (14, total)
+
+    basis = make_basis(sr, fft_size, 13)
+    padded = np.zeros(total * step + fft_size, np.float64)
+    padded[fft_size - step:fft_size - step + len(audio)] = audio
+    for j in (0, total // 2, total - 1):
+        frame = padded[j * step:j * step + fft_size] * basis.hann
+        power = np.abs(np.fft.rfft(frame)) ** 2
+        mel_e = power @ basis.mel_fb.astype(np.float64)
+        log_e = np.log10(np.maximum(mel_e, C.MEL_LOG_FLOOR))
+        coeffs = (log_e @ basis.dct.astype(np.float64)) * C.MFCC_SCALE \
+            + C.MFCC_OFFSET
+        np.testing.assert_allclose(feats[1:, j], coeffs, atol=5e-4,
+                                   err_msg=f"frame {j}")
