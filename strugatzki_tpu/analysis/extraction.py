@@ -107,6 +107,97 @@ def _stream_body(proc: Processor, cfg: ExtractionConfig, spec) -> None:
     return None
 
 
+def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
+    """Batch extraction for the CLI ``-f`` sweep.
+
+    Small files are grouped (same sample rate, up to 16) into single
+    vmapped device dispatches — per-file dispatch overhead dominates small
+    files on remote chips — while large files take the streaming path.
+    Prints the reference's per-file transcript (Strugatzki.scala:495-511
+    incl. the ``success = … - tail? …`` debug line) and aborts the chain on
+    the first failure.
+    """
+    import os
+    import traceback
+
+    from ..dsp.frontend import extract_features_batch, num_output_frames
+    from ..io import audiofile as af_
+
+    group: list = []           # (head, cfg, mono, sr)
+    results: list = []         # (head, ok)
+
+    def flush_group() -> bool:
+        if not group:
+            return True
+        sr = group[0][3]
+        feats_b = extract_features_batch([m for _, _, m, _ in group], sr)
+        for i, (head, cfg, mono, _) in enumerate(group):
+            total = num_output_frames(len(mono), cfg.step_size)
+            feats = fix_nans(feats_b[i, :, :total])
+            af_.write(cfg.feature_output, feats,
+                      af_.feature_spec(cfg.num_features, sr / cfg.step_size))
+            if cfg.meta_output:
+                cfg.save_xml(cfg.meta_output)
+            print(f"Starting extraction... {os.path.basename(head)}")
+            print("#" * 25 + "  Success.")
+            results.append((head, True))
+        group.clear()
+        return True
+
+    import os
+
+    ok = True
+    for head in in_files:
+        name1 = os.path.splitext(os.path.basename(head))[0]
+        cfg = ExtractionConfig(
+            audio_input=head,
+            feature_output=os.path.join(target_dir, f"{name1}_feat.aif"),
+            meta_output=os.path.join(target_dir, f"{name1}_feat.xml"),
+            channels_behavior=chan_mode).build()
+        try:
+            spec = af_.read_spec(head)
+            if spec.num_frames * spec.num_channels > STREAMING_THRESHOLD:
+                flush_group()
+                print(f"Starting extraction... {os.path.basename(head)}")
+                proc = FeatureExtraction.run(cfg)
+                proc.result()
+                print("#" * 25 + "  Success.")
+                results.append((head, True))
+                continue
+            audio, spec = af_.read(head)
+            if cfg.channels_behavior == ChannelsBehavior.MIX:
+                mono = audio.sum(axis=0)
+            elif cfg.channels_behavior == ChannelsBehavior.FIRST:
+                mono = audio[0]
+            else:
+                mono = audio[spec.num_channels - 1]
+            if (spec.sample_format == af_.SampleFormat.INT16
+                    and (spec.num_channels == 1
+                         or cfg.channels_behavior != ChannelsBehavior.MIX)):
+                mono = np.round(mono * 32768.0).astype(np.int16)
+            if group and group[0][3] != spec.sample_rate:
+                flush_group()
+            group.append((head, cfg, mono, spec.sample_rate))
+            if len(group) >= 16:
+                flush_group()
+        except Exception as e:  # noqa: BLE001 - per-file failure ends the chain
+            flush_group()
+            print(f"Starting extraction... {os.path.basename(head)}")
+            print("  Failed: ")
+            traceback.print_exception(type(e), e, e.__traceback__)
+            results.append((head, False))
+            ok = False
+            break
+    if ok:
+        flush_group()
+    # transcript parity: the reference's per-file debug line (:507)
+    for i, (_, success) in enumerate(results):
+        tail = i + 1 < len(in_files)
+        print(f"success = {'true' if success else 'false'} - "
+              f"tail? {'true' if tail else 'false'}")
+    return 0 if ok else 1
+
+
 class FeatureExtraction(ProcessorFactory):
     """``FeatureExtraction.run(config, observer) -> Processor[None]``."""
 

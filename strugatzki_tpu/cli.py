@@ -145,29 +145,9 @@ def feature_pre(args) -> int:
         else:
             raise SystemExit(f"Not a valid input: {f}")
 
-    ok = True
-    for i, head in enumerate(in_files):
-        name1 = os.path.splitext(os.path.basename(head))[0]
-        cfg = ExtractionConfig(
-            audio_input=head,
-            feature_output=os.path.join(ns.dir, f"{name1}_feat.aif"),
-            meta_output=os.path.join(ns.dir, f"{name1}_feat.xml"),
-            channels_behavior=chan_mode)
-        print(f"Starting extraction... {os.path.basename(head)}")
-        res = _go(FeatureExtraction, cfg)
-        if res.is_success:
-            print("  Success.")
-        else:
-            _fail(res)
-            ok = False
-        # the reference prints this (debug leftover, Strugatzki.scala:507);
-        # kept for transcript parity
-        tail = i + 1 < len(in_files)
-        print(f"success = {'true' if res.is_success else 'false'} - "
-              f"tail? {'true' if tail else 'false'}")
-        if not ok:
-            break  # abort the chain on first failure (:506-508)
-    return 0 if ok else 1
+    from .analysis.extraction import extract_batch_cli
+
+    return extract_batch_cli(in_files, ns.dir, chan_mode)
 
 
 def feature_corr(args) -> int:

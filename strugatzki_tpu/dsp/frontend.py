@@ -276,7 +276,8 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     dtype = np.int16 if all(a.dtype == np.int16 for a in audios) else np.float32
     padded = np.zeros((len(audios), padded_len), dtype)
     for i, a in enumerate(audios):
-        a = a if dtype == np.int16 else a.astype(np.float32, copy=False)
+        if dtype == np.float32 and a.dtype == np.int16:
+            a = a.astype(np.float32) / 32768.0  # dequantize mixed batches
         n = min(len(a), padded_len - left_pad)
         padded[i, left_pad:left_pad + n] = a[:n]
     carry0 = jnp.full((len(audios), C.BARK_BANDS), C.BAND_DB_FLOOR,
