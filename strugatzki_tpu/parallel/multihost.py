@@ -1,0 +1,48 @@
+"""Multi-host (multi-process) initialization.
+
+Single-host multi-chip sharding is implemented and dry-run tested
+(parallel/sweep.py, parallel/database.py).  Scaling the files axis across
+*hosts* needs only process-group initialization — the mesh/sharding code is
+process-count agnostic because every sharded array is placed with
+``jax.device_put(…, NamedSharding(mesh, P("files")))`` and queries are pure
+SPMD with replicated templates (all cross-chip traffic is the tiny top-k
+gather, riding ICI within a slice and DCN across hosts).
+
+UNTESTED in this environment (single host, one chip) — see docs/STATUS.md.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+__all__ = ["initialize", "global_files_mesh"]
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the JAX process group (no-op when single-process).
+
+    Arguments default to the standard ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` environment variables; on
+    Cloud TPU pods, calling with no arguments lets JAX auto-detect.
+    """
+    import jax
+
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1 and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
+def global_files_mesh():
+    """1-D ``files`` mesh over every device in the job (all hosts)."""
+    from .sweep import make_files_mesh
+    import jax
+
+    return make_files_mesh(jax.devices())
