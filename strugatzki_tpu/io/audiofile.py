@@ -308,14 +308,17 @@ def _parse(f, path: str) -> _Layout:
     file_size = os.fstat(f.fileno()).st_size
     magic = f.read(4)
     f.seek(0)
-    if magic == b"FORM":
-        return _parse_aiff(f)
-    if magic == b"RIFF":
-        return _parse_wav(f)
-    if magic == b".snd":
-        return _parse_au(f, file_size)
-    if magic in _IRCAM_MAGICS:
-        return _parse_ircam(f, file_size)
+    try:
+        if magic == b"FORM":
+            return _parse_aiff(f)
+        if magic == b"RIFF":
+            return _parse_wav(f)
+        if magic == b".snd":
+            return _parse_au(f, file_size)
+        if magic in _IRCAM_MAGICS:
+            return _parse_ircam(f, file_size)
+    except struct.error as e:
+        raise IOError(f"corrupt audio file {path}: {e}") from e
     raise IOError(f"unrecognized audio file format: {path}")
 
 

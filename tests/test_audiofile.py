@@ -119,3 +119,31 @@ def test_wav_extensible_and_double(tmp_path):
     p.write_bytes(raw)
     back, spec = af.read(p)
     np.testing.assert_allclose(back, data, atol=1e-7)
+
+
+def test_corrupt_files_raise_ioerror(tmp_path):
+    """Truncated/mutated headers must surface as IOError, never raw
+    struct errors or hangs."""
+    import io
+    data = _sig(2, 200)
+    good = tmp_path / "good.aif"
+    af.write(good, data, af.AudioFileSpec(AIFF, SampleFormat.FLOAT, 2, 44100.0))
+    raw = bytearray(good.read_bytes())
+
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        bad = bytearray(raw)
+        mode = trial % 3
+        if mode == 0:       # truncate inside the header
+            bad = bad[: rng.integers(4, 60)]
+        elif mode == 1:     # flip random header bytes
+            for _ in range(4):
+                bad[int(rng.integers(0, min(64, len(bad))))] = int(rng.integers(256))
+        else:               # corrupt a chunk size
+            bad[4:8] = rng.integers(0, 256, 4, dtype=np.uint8).tobytes()
+        p = tmp_path / "bad.aif"
+        p.write_bytes(bytes(bad))
+        try:
+            af.read(p)
+        except (IOError, ValueError):
+            pass   # acceptable failure modes
