@@ -178,3 +178,56 @@ def test_logging_trace_and_profile(tmp_path, monkeypatch):
     finally:
         logger.removeHandler(h)
         logger.setLevel(old)
+
+
+def test_cli_extracts_wav_inputs(tmp_path):
+    """Directory expansion identifies WAV (and skips non-audio) like the
+    reference's AudioFile.identify scan (Strugatzki.scala:479-487)."""
+    from strugatzki_tpu.io.formats import WAVE
+    snd = tmp_path / "snd"
+    db = tmp_path / "db"
+    snd.mkdir()
+    db.mkdir()
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal(44100)).astype(np.float32)
+    af.write(snd / "w.wav", np.stack([x, -x]),
+             AudioFileSpec(WAVE, SampleFormat.INT16, 2, 44100.0))
+    (snd / "readme.txt").write_text("not audio")
+    r = run_cli("-f", "-d", str(db), str(snd))
+    assert r.returncode == 0, r.stderr
+    names = sorted(os.listdir(db))
+    assert names == ["w_feat.aif", "w_feat.xml"]
+    data, spec = af.read(db / "w_feat.aif")
+    assert spec.num_channels == 14
+    # stereo mix of x and -x cancels -> near-silent loudness
+    assert data[0].max() < 1e-3
+
+
+def test_launcher_script_from_other_cwd(tmp_path):
+    import subprocess
+    env = dict(os.environ)
+    env["STRUGATZKI_PLATFORM"] = "cpu"
+    r = subprocess.run([os.path.join(REPO, "strugatzki"), "--bogus"],
+                       capture_output=True, text=True, cwd=str(tmp_path),
+                       env=env, timeout=120)
+    assert r.returncode == 1
+    assert "Usage" in r.stderr
+
+
+def test_selfsim_abort(tmp_path):
+    from strugatzki_tpu import ExtractionConfig, SelfSimilarityConfig
+    from strugatzki_tpu.analysis.self_similarity import SelfSimilarity
+    rng = np.random.default_rng(6)
+    feats = np.abs(0.5 + 0.1 * rng.standard_normal((14, 3000))).astype(np.float32)
+    fp = tmp_path / "a_feat.aif"
+    af.write(fp, feats, af.feature_spec(14, 44100 / 512))
+    mp = tmp_path / "a_feat.xml"
+    ExtractionConfig(audio_input=str(tmp_path / "a.aif"),
+                     feature_output=str(fp)).save_xml(mp)
+    cfg = SelfSimilarityConfig(meta_input=str(mp), normalize=False,
+                               image_output=str(tmp_path / "x.png"),
+                               corr_len=30 * 512)
+    proc = SelfSimilarity.run(cfg)
+    proc.abort()
+    res = proc.ready(timeout=300)
+    assert res.is_aborted or res.is_success
