@@ -300,3 +300,81 @@ def test_palette_monotonic_brightness():
     # perceptually even ramp: luminance strictly rises overall
     assert luma[0] < 10 and luma[-1] > 240
     assert (np.diff(luma) >= -2).all()  # allow tiny local dips only
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cross_similarity_fuzz_vs_mathref(seed):
+    """Randomized spans/lengths/norms: every output sample must equal the
+    f64 mathref computation of the documented semantics (shorter span as
+    template, len2−len1+1 windows, boost gate)."""
+    rng = np.random.default_rng(3000 + seed)
+    C = 14
+    t1 = int(rng.integers(40, 300))
+    t2 = int(rng.integers(40, 300))
+    f1 = np.abs(0.5 + 0.12 * rng.standard_normal((C, t1))).astype(np.float32)
+    f2 = np.abs(0.5 + 0.12 * rng.standard_normal((C, t2))).astype(np.float32)
+    norm = None
+    if rng.random() < 0.5:
+        allf = np.concatenate([f1, f2], axis=1)
+        norm = np.stack([allf.min(axis=1) - 1e-3, allf.max(axis=1) + 1e-3],
+                        axis=1).astype(np.float32)
+    w = float(rng.choice([0.0, 0.5, 1.0]))
+    max_boost = float(rng.choice([2.0, 8.0]))
+
+    import tempfile, os
+    from strugatzki_tpu.span import Span
+    d = tempfile.mkdtemp()
+    try:
+        p1, m1 = os.path.join(d, "a_feat.aif"), os.path.join(d, "a_feat.xml")
+        p2, m2 = os.path.join(d, "b_feat.aif"), os.path.join(d, "b_feat.xml")
+        _write_feat(p1, f1)
+        _write_feat(p2, f2)
+        _write_meta(m1, "a.aif", p1)
+        _write_meta(m2, "b.aif", p2)
+        out = os.path.join(d, "o.aif")
+        cfg = CrossSimilarityConfig(meta_input1=m1, meta_input2=m2,
+                                    temporal_weight=w, normalize=False,
+                                    max_boost=max_boost)
+        if norm is not None:
+            af.write(os.path.join(d, "feat_norms.aif"), norm,
+                     af.AudioFileSpec(num_channels=C, sample_rate=44100.0))
+            cfg.database_folder = d
+            cfg.normalize = True
+        cfg.set_audio_output(out)
+        CrossSimilarity.run(cfg).result(timeout=300)
+        sims, _ = af.read(out)
+        sims = sims[0]
+    finally:
+        import shutil
+        shutil.rmtree(d)
+
+    # f64 reference of the intended semantics
+    a, b = (f1, f2) if t1 < t2 else (f2, f1)
+    an = a.astype(np.float32).copy()
+    bn = b.astype(np.float32).copy()
+    M.normalize(norm, an, 0, an.shape[1])
+    M.normalize(norm, bn, 0, bn.shape[1])
+    L = an.shape[1]
+    mean_t, std_t = M.stat(an, 0, L, 0, 1)
+    mean_s, std_s = M.stat(an, 0, L, 1, C - 1)
+    ln_avg = np.log(np.float64(M.avg(an[0], 0, L)))
+    W = bn.shape[1] - L + 1
+    assert len(sims) == W
+    for t in range(0, W, max(1, W // 17)):
+        win = bn[:, t:t + L]
+        boost = np.float32(np.exp(
+            (ln_avg - np.log(np.float64(M.avg(win[0], 0, L)))) / 0.6))
+        if boost <= max_boost:
+            bm_t, bs_t = M.stat(win, 0, L, 0, 1)
+            bm_s, bs_s = M.stat(win, 0, L, 1, C - 1)
+            st = M.correlate(an[:1], mean_t, std_t, L, 1, win, bm_t, bs_t, 0, 0) \
+                if w > 0 else np.float32(0)
+            ss = M.correlate(an[1:], mean_s, std_s, L, C - 1, win, bm_s, bs_s, 0, 1) \
+                if w < 1 else np.float32(0)
+            ref = np.float32(st * np.float32(w) + ss * np.float32(1 - w))
+        else:
+            ref = np.float32(0)
+        assert abs(float(sims[t]) - float(ref)) < 3e-5, (seed, t)
