@@ -31,6 +31,7 @@ __all__ = [
     "Aborted", "Processor", "Progress", "Result",
     "FeatureExtraction", "FeatureCorrelation", "FeatureSegmentation",
     "SelfSimilarity", "CrossSimilarity", "FeatureStats",
+    "FeatureDatabase", "extract_features",
 ]
 
 

@@ -98,7 +98,13 @@ def shift_per_group(x: np.ndarray, num_temporal: int = 1):
 # ---------------------------------------------------------------------------
 
 def sliding_sum(v: jnp.ndarray, win: int) -> jnp.ndarray:
-    """Sum over every length-``win`` window of the last axis (VALID)."""
+    """Sum over every length-``win`` window of the last axis (VALID).
+
+    WARNING: ``reduce_window`` lowering — fine for small windows, but
+    compile time explodes on TPU for windows in the hundreds; the trace
+    kernels below use FFT ones-kernel correlation instead (see module
+    docstring).  Kept as a reference primitive.
+    """
     return jax.lax.reduce_window(
         v, 0.0, jax.lax.add,
         window_dimensions=(1,) * (v.ndim - 1) + (win,),
