@@ -141,6 +141,42 @@ def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
             np.asarray(boosts)[:num_windows].copy())
 
 
+def _single_window_trace(avail: np.ndarray, norm, template: InputTemplate,
+                         temp_weight: float, max_boost: float):
+    """(sim, boost) arrays for ONE zero-tailed window: ``avail`` holds the
+    frames the reference actually reads; the rest of the window is the
+    freshly-allocated buffer's zeros (normalized space)."""
+    L = template.num_frames
+    win = np.zeros((avail.shape[0], L), np.float32)
+    win[:, :avail.shape[1]] = avail
+    M.normalize(norm, win, 0, avail.shape[1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        boost = np.float32(np.exp(
+            (template.ln_avg_loudness
+             - np.log(np.float64(M.avg(win[0], 0, L)))) / 0.6))
+    if boost <= max_boost:
+        nt = template.num_temporal
+        sim_t = np.float32(0.0)
+        sim_s = np.float32(0.0)
+        if temp_weight > 0:
+            bm, bs = M.stat(win, 0, L, 0, nt)
+            sim_t = M.correlate(
+                template.temporal_centered + np.float32(template.temporal_mean),
+                template.temporal_mean, template.temporal_std, L, nt,
+                win, bm, bs, 0, 0)
+        if temp_weight < 1:
+            bm, bs = M.stat(win, 0, L, nt, win.shape[0] - nt)
+            sim_s = M.correlate(
+                template.spectral_centered + np.float32(template.spectral_mean),
+                template.spectral_mean, template.spectral_std, L,
+                win.shape[0] - nt, win, bm, bs, 0, nt)
+        sim = np.float32(sim_t * np.float32(temp_weight)
+                         + sim_s * np.float32(1 - temp_weight))
+    else:
+        sim = np.float32(0.0)
+    return (np.array([sim], np.float32), np.array([boost], np.float32))
+
+
 def _prepare_file(features: np.ndarray, norm) -> Tuple[np.ndarray, float, float]:
     """Normalize a file's features and group-shift them on host (used by
     the cross-similarity path; the database search preps on device via
@@ -248,6 +284,15 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
             w_in = scan - punch_in_len + 1 if scan >= punch_in_len \
                 else (1 if scan > 0 else 0)
             h_in = (sims_in_b[i, :w_in].copy(), boosts_in_b[i, :w_in].copy())
+            if matrix_out is not None and 0 < scan < punch_in_len:
+                # reference edge case: the punch-in loop reads only `scan`
+                # frames even though the file holds more (left = numFrames −
+                # minPunch, FeatureCorrelationImpl.scala:183-195); the single
+                # window's tail is the buffer's zeros, not file data —
+                # recompute it host-side with that exact padding
+                h_in = _single_window_trace(
+                    feats_list[i][:, :scan], norm, matrix_in,
+                    in_temp_weight, cfg.max_boost)
             h_out = None
             if matrix_out is not None:
                 w_outv = max(t_i - punch_out_len + 1, 0)

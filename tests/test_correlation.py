@@ -72,7 +72,10 @@ def _trace(features, norm, tmpl_block, temp_weight, max_boost, scan_len):
     boosts = np.zeros(W, np.float32)
     for t in range(W):
         win = np.zeros((C, L), np.float32)
-        avail = xn[:, t:t + L]
+        # the scala loop reads only scan_len frames in total; the window
+        # tail beyond that is the zero buffer even if the file has more
+        # data (punch-out mode reserves minPunch frames)
+        avail = xn[:, t:min(t + L, scan_len)]
         win[:, :avail.shape[1]] = avail
         with np.errstate(divide="ignore", invalid="ignore"):
             boost = np.float32(np.exp((ln_avg - np.log(np.float64(M.avg(win[0], 0, L)))) / 0.6))
@@ -361,4 +364,23 @@ def test_fuzz_parity_with_transcription(seed):
     ).build()
 
     ours, ref = _run_both(inp, files, cfg, norm=norm)
+    _assert_same(ours, ref)
+
+
+def test_punch_out_tiny_file_zero_tail():
+    """A file shorter than punchInLen + minPunch: the reference's single
+    punch-in window is zero-tailed at numFrames − minPunch even though the
+    file has more frames (it never reads them)."""
+    rng = np.random.default_rng(77)
+    C = 14
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, 200))).astype(np.float32)
+    tiny = np.abs(0.5 + 0.1 * rng.standard_normal((C, 70))).astype(np.float32)
+    big = np.abs(0.5 + 0.1 * rng.standard_normal((C, 300))).astype(np.float32)
+    files = [("tiny.aif", tiny), ("big.aif", big)]
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 80 * STEP), 0.5),   # L = 60
+        punch_out=Punch(Span(100 * STEP, 130 * STEP), 0.5),
+        min_punch=30 * STEP, max_punch=120 * STEP,          # tiny: scan = 40 < 60
+        normalize=False, num_matches=4, num_per_file=2).build()
+    ours, ref = _run_both(inp, files, cfg)
     _assert_same(ours, ref)
