@@ -5,9 +5,13 @@ TPU-native replacement for the reference's scsynth NRT render
 subprocess, no OSC file — one jitted XLA pipeline per block of frames:
 
     frames → Hann window → rFFT power → ┬→ mel(42) → log10 → DCT → scale   (MFCC)
-                                        └→ bark(24)·ear-weighting → dB →
-                                           spectral spread → temporal mask →
+                                        └→ ERB(42) bands → dB → smask →
+                                           tmask → contours (dB→phon) →
                                            phon→sone → Σ → /32              (loudness)
+
+The MFCC and loudness paths transcribe SuperCollider's ``MFCC``/``Loudness``
+UGens (server/plugins/ML.cpp — see dsp/constants.py, dsp/ml_tables.py and
+docs/ML_DERIVATION.md for the constant-by-constant derivation).
 
 Frame timing replicates the NRT graph's Impulse/Stepper capture semantics
 (NonRealtimeProcessor.scala:81-117) including the dropped first frame
@@ -17,7 +21,11 @@ output frame ``j`` is the window covering samples
 scsynth's initially-zero FFT buffer).
 
 Frames are processed in fixed-size blocks (bounded HBM, one jit
-specialization) with the temporal-masking running max carried across blocks.
+specialization).  The only cross-frame state is temporal masking, which
+depends on exactly the previous frame's excitation — the carry across
+blocks is that single 42-band vector, making results bit-independent of the
+block plan (streaming vs whole-file vs batch produce identical features up
+to elementwise f32 rounding).
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C
+from . import ml_tables as T
 
 __all__ = ["FrontendBasis", "extract_features", "extract_features_batch",
            "extract_features_streaming", "finalize_features",
@@ -65,8 +74,11 @@ class FrontendBasis:
     hann: np.ndarray          # [fft_size]
     mel_fb: np.ndarray        # [bins, MEL_BANDS]  power → mel energies
     dct: np.ndarray           # [MEL_BANDS, num_coeffs]
-    bark_fb: np.ndarray       # [bins, BARK_BANDS] ear-weighted power → bands
-    power_cal_db: float       # calibration offset: full-scale 1kHz sine → 90 phon
+    erb_fb: np.ndarray        # [bins, ERB_BANDS]  0/1 band partition
+    power_cal_db: float       # calibration: full-scale 1kHz sine band → 90 dB
+    contours_ext: np.ndarray  # [ERB_BANDS, 12] dB of each phon contour (+extrap)
+    phons_ext: np.ndarray     # [12] phon levels matching contours_ext
+    thresh_db: np.ndarray     # [ERB_BANDS] audibility threshold (2-phon row)
 
 
 @lru_cache(maxsize=32)
@@ -78,10 +90,11 @@ def make_basis(sample_rate: float, fft_size: int, num_coeffs: int) -> FrontendBa
     n = np.arange(fft_size)
     hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / fft_size)
 
-    # --- mel filterbank: MEL_BANDS triangles, peak 1, HTK mel scale --------
-    mel_lo = C.mel_of_hz(C.MEL_FMIN)
+    # --- MFCC mel filterbank: 42 triangles equally spaced in mel over
+    # [0, Nyquist] (44 edges at i·mel(nyq)/43), peak 1 — ML.cpp's layout
     mel_hi = C.mel_of_hz(sample_rate / 2.0)
-    edges = C.hz_of_mel(np.linspace(mel_lo, mel_hi, C.MEL_BANDS + 2))
+    edges = C.hz_of_mel(np.linspace(C.mel_of_hz(C.MEL_FMIN), mel_hi,
+                                    C.MEL_BANDS + 2))
     mel_fb = np.zeros((bins, C.MEL_BANDS))
     for b in range(C.MEL_BANDS):
         lo, ctr, hi = edges[b], edges[b + 1], edges[b + 2]
@@ -95,31 +108,40 @@ def make_basis(sample_rate: float, fft_size: int, num_coeffs: int) -> FrontendBa
     dct = np.sqrt(2.0 / C.MEL_BANDS) * np.cos(
         np.pi / C.MEL_BANDS * np.outer(b_idx + 0.5, j_idx))
 
-    # --- bark bands with ear weighting folded in ----------------------------
-    bark = C.bark_of_hz(freqs)
-    weights = 10.0 ** (C.ear_weighting_db(freqs) / 10.0)
-    bark_fb = np.zeros((bins, C.BARK_BANDS))
-    band = np.clip(np.floor(bark).astype(int), 0, C.BARK_BANDS - 1)
-    bark_fb[np.arange(bins), band] = weights
-    bark_fb[0, :] = 0.0  # DC carries no loudness
+    # --- Loudness ERB band partition (ML.cpp eqlbandbins) --------------------
+    band_edges = T.erb_band_edges(float(sample_rate), fft_size)
+    erb_fb = np.zeros((bins, T.ERB_BANDS))
+    for k in range(T.ERB_BANDS):
+        erb_fb[band_edges[k]:band_edges[k + 1], k] = 1.0
 
-    # --- calibration: full-scale 1 kHz sine → FULL_SCALE_PHON ---------------
-    # computed against the actual windowed DFT: the main-lobe energy of a
-    # 0 dBFS 1 kHz sine (±2 bins around the peak) is assigned 90 phon
+    # --- equal-loudness contours at band centres, + linear extrapolation
+    # point above the 100-phon contour so loud signals keep a defined slope
+    contours = T.contour_table(float(sample_rate), fft_size)
+    ext = contours[:, -1] + 4.0 * (contours[:, -1] - contours[:, -2])
+    contours_ext = np.concatenate([contours, ext[:, None]], axis=1)
+    phons_ext = np.concatenate([T.PHONS, [140.0]])
+
+    # --- calibration: the ERB band containing a full-scale 1 kHz sine reads
+    # FULL_SCALE_DB (→ ~90 phon → 32 sones, the /32 headroom)
     k = 1000.0 * fft_size / sample_rate
     phase = 2.0 * np.pi * k * n / fft_size
-    spec = np.fft.rfft(np.sin(phase) * hann)
-    peak_band_power = float(np.max(
-        np.convolve(np.abs(spec) ** 2, np.ones(5), mode="same")))
-    power_cal_db = C.FULL_SCALE_PHON - 10.0 * np.log10(peak_band_power)
+    spec_pow = np.abs(np.fft.rfft(np.sin(phase) * hann)) ** 2
+    band_1k = int(np.searchsorted(band_edges, k, side="right")) - 1
+    band_1k = min(max(band_1k, 0), T.ERB_BANDS - 1)
+    peak_band_power = float(
+        spec_pow[band_edges[band_1k]:band_edges[band_1k + 1]].sum())
+    power_cal_db = C.FULL_SCALE_DB - 10.0 * np.log10(peak_band_power)
 
     return FrontendBasis(
         sample_rate=float(sample_rate), fft_size=fft_size, num_coeffs=num_coeffs,
         hann=hann.astype(np.float32),
         mel_fb=mel_fb.astype(np.float32),
         dct=dct.astype(np.float32),
-        bark_fb=bark_fb.astype(np.float32),
+        erb_fb=erb_fb.astype(np.float32),
         power_cal_db=float(power_cal_db),
+        contours_ext=contours_ext.astype(np.float32),
+        phons_ext=phons_ext.astype(np.float32),
+        thresh_db=contours[:, 0].astype(np.float32),
     )
 
 
@@ -144,15 +166,18 @@ def _frame_block(audio: jnp.ndarray, num_frames: int, fft_size: int,
 
 def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
                     hann: jnp.ndarray, mel_fb: jnp.ndarray, dct: jnp.ndarray,
-                    bark_fb: jnp.ndarray, power_cal_db: jnp.ndarray,
+                    erb_fb: jnp.ndarray, power_cal_db: jnp.ndarray,
+                    contours_ext: jnp.ndarray, phons_ext: jnp.ndarray,
+                    thresh_db: jnp.ndarray,
                     smask: jnp.ndarray, tmask: jnp.ndarray,
                     num_frames: int, fft_size: int, step: int,
                     use_fft: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One block: audio slice → ``[num_coeffs+1, num_frames]`` features.
 
-    ``carry``: temporal-masking running max per bark band (dB), carried
-    across blocks; returns the updated carry.
+    ``carry``: the previous frame's spectrally-masked band excitation (dB,
+    [ERB_BANDS]) — temporal masking's only state; returns the updated carry.
     """
+    _hi = jax.lax.Precision.HIGHEST
     frames = _frame_block(audio, num_frames, fft_size, step) * hann[None, :]
     if use_fft:
         spec = jnp.fft.rfft(frames, axis=1)
@@ -163,39 +188,46 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
                                                  np.arange(bins))
         cos_m = jnp.asarray(np.cos(wn), dtype=jnp.float32)
         sin_m = jnp.asarray(np.sin(wn), dtype=jnp.float32)
-        re = frames @ cos_m
-        im = frames @ sin_m
+        re = jnp.matmul(frames, cos_m, precision=_hi)
+        im = jnp.matmul(frames, sin_m, precision=_hi)
         power = re * re + im * im
 
-    # ---- MFCC ---------------------------------------------------------------
-    mel_e = power @ mel_fb                                   # [F, 42]
+    # ---- MFCC (ML.cpp, Dan Stowell) ----------------------------------------
+    mel_e = jnp.matmul(power, mel_fb, precision=_hi)         # [F, 42]
     log_e = jnp.log10(jnp.maximum(mel_e, C.MEL_LOG_FLOOR))
-    coeffs = (log_e @ dct) * C.MFCC_SCALE + C.MFCC_OFFSET    # [F, num_coeffs]
+    coeffs = (jnp.matmul(log_e, dct, precision=_hi)
+              * C.MFCC_SCALE + C.MFCC_OFFSET)                # [F, num_coeffs]
 
-    # ---- Loudness -----------------------------------------------------------
-    band_p = power @ bark_fb                                 # [F, 24]
-    band_db = 10.0 * jnp.log10(jnp.maximum(band_p, 1e-12)) + power_cal_db
-    band_db = jnp.maximum(band_db, C.BAND_DB_FLOOR)
+    # ---- Loudness (ML.cpp, Nick Collins) -----------------------------------
+    # banded power → dB, clamped at 0 dB (inaudible floor; every contour
+    # threshold sits above 0.1 dB, so digital silence yields 0 sones)
+    band_p = jnp.matmul(power, erb_fb, precision=_hi)        # [F, 42]
+    band_db = jnp.maximum(10.0 * jnp.log10(jnp.maximum(band_p, 1e-30))
+                          + power_cal_db, 0.0)
 
-    # upward spread of masking along bands: running max of (db − slope·Δbark)
-    slope = C.SPREAD_DB_PER_BARK * (1.0 - smask)
-    ramp_b = slope * jnp.arange(C.BARK_BANDS, dtype=jnp.float32)
-    band_db = jax.lax.cummax(band_db + ramp_b[None, :], axis=1) - ramp_b[None, :]
+    # spectral masking: lower bands mask higher ones — excitation
+    # e_k = max(db_k, e_{k-1}·smask), unrolled over the 42 bands (cheap
+    # elementwise chain; deterministic order → plan-invariant)
+    cols = []
+    prev = jnp.zeros_like(band_db[:, 0])
+    for k in range(T.ERB_BANDS):
+        prev = jnp.maximum(band_db[:, k], prev * smask)
+        cols.append(prev)
+    exc = jnp.stack(cols, axis=1)                            # [F, 42]
 
-    # temporal masking: running max with linear decay, carried across blocks
-    decay = C.TEMPORAL_DECAY_DB_PER_FRAME / jnp.maximum(tmask, 1e-3)
-    ramp_t = decay * jnp.arange(num_frames, dtype=jnp.float32)
-    local = jax.lax.cummax(band_db + ramp_t[:, None], axis=0) - ramp_t[:, None]
-    carried = carry[None, :] - decay * (jnp.arange(num_frames, dtype=jnp.float32)[:, None] + 1.0)
-    band_db = jnp.maximum(local, carried)
-    new_carry = band_db[-1]
+    # temporal masking: a frame masks its successor —
+    # m_t = max(e_t, e_{t-1}·tmask); state is exactly one frame deep
+    prev_exc = jnp.concatenate([carry[None, :], exc[:-1]], axis=0)
+    masked = jnp.maximum(exc, prev_exc * tmask)
+    new_carry = exc[-1]
 
-    phon = band_db
-    sones = jnp.where(
-        phon >= C.SONE_PIVOT_PHON,
-        jnp.exp2((phon - C.SONE_PIVOT_PHON) / 10.0),
-        (jnp.maximum(phon, 0.0) / C.SONE_PIVOT_PHON) ** C.LOW_PHON_EXPONENT,
-    )
+    # dB → phon via the band's equal-loudness contour (linear interpolation
+    # across the 11 tabulated levels, extrapolated above 100 phon); bands
+    # below their 2-phon threshold are inaudible
+    phon = jax.vmap(jnp.interp, in_axes=(1, 0, None), out_axes=1)(
+        masked, contours_ext, phons_ext)
+    sones = jnp.where(masked > thresh_db[None, :],
+                      jnp.exp2((phon - C.SONE_PIVOT_PHON) * 0.1), 0.0)
     loud = sones.sum(axis=1) / 32.0                          # [F]
 
     feats = jnp.concatenate([loud[:, None], coeffs], axis=1).T  # [C, F]
@@ -210,7 +242,8 @@ _extract_block = partial(jax.jit, static_argnames=(
 @partial(jax.jit, static_argnames=("num_blocks", "block", "fft_size", "step",
                                    "use_fft"))
 def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
-                  hann, mel_fb, dct, bark_fb, power_cal_db, smask, tmask,
+                  hann, mel_fb, dct, erb_fb, power_cal_db, contours_ext,
+                  phons_ext, thresh_db, smask, tmask,
                   num_blocks: int, block: int, fft_size: int, step: int,
                   use_fft: bool = True) -> jnp.ndarray:
     """Whole file (or chunk) in ONE dispatch: ``lax.scan`` over fixed-size
@@ -227,8 +260,9 @@ def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
     def body(carry, i):
         sl = jax.lax.dynamic_slice(padded_audio, (i * (block * step),), (span,))
         feats, carry = _block_pipeline(
-            sl, carry, hann, mel_fb, dct, bark_fb, power_cal_db, smask,
-            tmask, num_frames=block, fft_size=fft_size, step=step,
+            sl, carry, hann, mel_fb, dct, erb_fb, power_cal_db,
+            contours_ext, phons_ext, thresh_db, smask, tmask,
+            num_frames=block, fft_size=fft_size, step=step,
             use_fft=use_fft)
         return carry, feats
 
@@ -239,15 +273,17 @@ def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
 @partial(jax.jit, static_argnames=("num_blocks", "block", "fft_size", "step",
                                    "use_fft"))
 def _extract_scan_batch(padded_b: jnp.ndarray, carry_b: jnp.ndarray,
-                        hann, mel_fb, dct, bark_fb, power_cal_db, smask,
-                        tmask, num_blocks: int, block: int, fft_size: int,
+                        hann, mel_fb, dct, erb_fb, power_cal_db, contours_ext,
+                        phons_ext, thresh_db, smask, tmask,
+                        num_blocks: int, block: int, fft_size: int,
                         step: int, use_fft: bool = True):
     """vmap of :func:`_extract_scan` over a files axis: ``padded_b``
     ``[B, Tp]`` → (``[B, num_blocks, C, block]``, carries ``[B, bands]``).
     Shardable over a ``files`` mesh axis (see parallel/sweep.py)."""
     def one(a, c):
-        return _extract_scan(a, c, hann, mel_fb, dct, bark_fb, power_cal_db,
-                             smask, tmask, num_blocks=num_blocks, block=block,
+        return _extract_scan(a, c, hann, mel_fb, dct, erb_fb,
+                             power_cal_db, contours_ext, phons_ext,
+                             thresh_db, smask, tmask, num_blocks=num_blocks, block=block,
                              fft_size=fft_size, step=step, use_fft=use_fft)
 
     return jax.vmap(one)(padded_b, carry_b)
@@ -280,8 +316,7 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
             a = a.astype(np.float32) / 32768.0  # dequantize mixed batches
         n = min(len(a), padded_len - left_pad)
         padded[i, left_pad:left_pad + n] = a[:n]
-    carry0 = jnp.full((len(audios), C.BARK_BANDS), C.BAND_DB_FLOOR,
-                      dtype=jnp.float32)
+    carry0 = jnp.zeros((len(audios), T.ERB_BANDS), dtype=jnp.float32)
     feats, _ = _extract_scan_batch(
         jnp.asarray(padded), carry0, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
@@ -319,8 +354,10 @@ def _device_consts(sample_rate: float, fft_size: int, num_coeffs: int,
     a tunneled chip), so constants must not be re-shipped per call."""
     basis = make_basis(sample_rate, fft_size, num_coeffs)
     return (jnp.asarray(basis.hann), jnp.asarray(basis.mel_fb),
-            jnp.asarray(basis.dct), jnp.asarray(basis.bark_fb),
-            jnp.float32(basis.power_cal_db), jnp.float32(smask),
+            jnp.asarray(basis.dct), jnp.asarray(basis.erb_fb),
+            jnp.float32(basis.power_cal_db),
+            jnp.asarray(basis.contours_ext), jnp.asarray(basis.phons_ext),
+            jnp.asarray(basis.thresh_db), jnp.float32(smask),
             jnp.float32(tmask))
 
 
@@ -353,7 +390,7 @@ def extract_features(audio: np.ndarray, sample_rate: float,
     audio = audio.reshape(-1)
     step = fft_size // fft_overlap
     if carry is None:
-        carry = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
+        carry = jnp.zeros((T.ERB_BANDS,), dtype=jnp.float32)
     total = num_output_frames(len(audio), step)
     if total == 0:
         empty = np.zeros((num_coeffs + 1, 0), dtype=np.float32)
@@ -422,7 +459,7 @@ def extract_features_streaming(read_samples, num_samples: int,
     chunk_frames = max(1024, (chunk_frames // 1024) * 1024)
     consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
                             float(smask), float(tmask))
-    carry = jnp.full((C.BARK_BANDS,), C.BAND_DB_FLOOR, dtype=jnp.float32)
+    carry = jnp.zeros((T.ERB_BANDS,), dtype=jnp.float32)
 
     overlap = fft_size - step          # samples shared between chunks
     tail = None                        # zeros: scsynth's initial buffer

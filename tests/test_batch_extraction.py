@@ -15,7 +15,7 @@ def test_batch_matches_per_file():
     for i, a in enumerate(audios):
         single = extract_features(a, sr)
         f = single.shape[1]
-        np.testing.assert_allclose(batch[i, 0, :f], single[0], atol=3e-4)
+        np.testing.assert_allclose(batch[i, 0, :f], single[0], atol=2e-5)
         np.testing.assert_allclose(batch[i, 1:, :f], single[1:], atol=2e-5)
 
 

@@ -91,9 +91,9 @@ def test_block_boundary_continuity():
     x = (0.2 * rng.standard_normal(44100 * 2)).astype(np.float32)
     f_big = extract_features(x, 44100.0, block_frames=4096)
     f_small = extract_features(x, 44100.0, block_frames=64)
-    # loudness row tolerates ~1e-4 cross-program f32 variation from the
-    # temporal-masking ramp; MFCC rows are plan-invariant
-    np.testing.assert_allclose(f_big[0], f_small[0], atol=3e-4)
+    # both rows are plan-invariant: the only cross-frame state is the
+    # one-frame temporal-masking carry
+    np.testing.assert_allclose(f_big[0], f_small[0], atol=2e-5)
     np.testing.assert_allclose(f_big[1:], f_small[1:], atol=2e-5)
 
 
@@ -137,7 +137,8 @@ def test_gemm_dft_path_matches_fft():
     nb, fft, step = 256, 1024, 512
     audio = jnp.asarray((0.3 * rng.standard_normal((nb - 1) * step + fft))
                         .astype(np.float32))
-    carry = jnp.full((24,), -120.0, jnp.float32)
+    from strugatzki_tpu.dsp.ml_tables import ERB_BANDS
+    carry = jnp.zeros((ERB_BANDS,), jnp.float32)
     consts = _device_consts(44100.0, fft, 13, 0.25, 1.0)
     f1, c1 = _extract_block(audio, carry, *consts, num_frames=nb,
                             fft_size=fft, step=step, use_fft=True)

@@ -42,8 +42,7 @@ def test_frontend_matches_golden():
         feats = extract_features(x, sr)
         ref = golden[name]
         assert feats.shape == ref.shape
-        # loudness row: cross-program plan tolerance; MFCC rows tight
-        np.testing.assert_allclose(feats[0], ref[0], atol=3e-4,
+        np.testing.assert_allclose(feats[0], ref[0], atol=3e-5,
                                    err_msg=f"{name} loudness")
         np.testing.assert_allclose(feats[1:], ref[1:], atol=3e-5,
                                    err_msg=f"{name} mfcc")

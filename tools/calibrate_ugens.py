@@ -1,7 +1,7 @@
 """UGen calibration harness.
 
-The DSP front-end reconstructs SuperCollider's MFCC/Loudness UGens from
-their published algorithms (docs/PARITY.md §Reconstructed).  When a
+The DSP front-end transcribes SuperCollider's MFCC/Loudness UGens
+(docs/ML_DERIVATION.md grades each constant's provenance).  When a
 reference-extracted feature file IS available (any machine with scsynth +
 the Scala reference), this tool quantifies the remaining per-channel gap
 and proposes constant adjustments for ``strugatzki_tpu/dsp/constants.py``:
@@ -57,9 +57,10 @@ def main(audio_path: str, ref_feat_path: str) -> None:
     print("\nInterpretation: corr ≈ 1 with any scale/offset ⇒ analyses agree")
     print("(normalization + Pearson correlation are affine-invariant).")
     print("Fold channel-1.. scale/offset into MFCC_SCALE/MFCC_OFFSET and the")
-    print("channel-0 fit into FULL_SCALE_PHON / the sone law in")
+    print("channel-0 fit into FULL_SCALE_DB in")
     print("strugatzki_tpu/dsp/constants.py, then iterate on the residuals")
-    print("(band edges, log floor, masking parameters).")
+    print("(contour values, log floor, masking forms \u2014 the C-graded")
+    print("items in docs/ML_DERIVATION.md).")
 
 
 if __name__ == "__main__":
