@@ -5,6 +5,19 @@ Prints ONE JSON line:
 
 North star (BASELINE.json): >= 1000x realtime extraction per chip;
 ``vs_baseline`` is value / 1000.  Extra diagnostics go to stderr.
+
+The headline is the honest driver-visible number: host PCM16 audio in,
+features out, through whatever link attaches the chip.  In this harness the
+chip is reached over a tunneled relay whose measured wire rate for
+incompressible payloads is ~20-40 MB/s (content-dependent: the relay
+compresses, so constant test patterns appear 3-5x faster than real audio
+— full experiment log in docs/BENCH_LINK.md).  That makes the pipeline
+transfer-bound: the wire-implied ceiling (bandwidth / 88200 bytes-per-
+audio-second) is printed alongside so every captured BENCH record carries
+its own context.  Device-resident compute throughput (~3,600x realtime,
+above the north star) is reported too; on a production PCIe-attached chip
+(>= 8 GB/s) the same pipeline's transfer bound sits above 90,000x
+realtime.
 """
 
 import json
@@ -18,13 +31,16 @@ import numpy as np
 
 
 def main() -> None:
-    from strugatzki_tpu.dsp.frontend import extract_features
+    from strugatzki_tpu.dsp import frontend as FE
 
     import jax
+    import jax.numpy as jnp
     print(f"bench devices: {jax.devices()}", file=sys.stderr)
+    dev = jax.devices()[0]
 
     sr = 44100.0
     dur = 120.0
+    reps = 8
     rng = np.random.default_rng(0)
     n = int(sr * dur)
     t = np.arange(n) / sr
@@ -33,36 +49,82 @@ def main() -> None:
                + 0.1 * np.sin(2 * np.pi * 1867 * t)).astype(np.float32)
     # PCM16 source material (the common case): ships as raw int16
     audio = np.clip(np.round(audio_f * 32768.0), -32768, 32767).astype(np.int16)
+    audios = [audio] * reps
 
-    from strugatzki_tpu.dsp.frontend import finalize_features
+    # ---- link measurement: forced-roundtrip put of incompressible int16 ----
+    # (block_until_ready does not actually await relay transfers here; a
+    # dependent scalar fetch does — docs/BENCH_LINK.md)
+    @jax.jit
+    def _probe(x):
+        return x[:4].astype(jnp.int32).sum()
 
-    block = 8192
-    # warmup / compile
+    probe_payload = rng.integers(-32768, 32767, 8 << 20).astype(np.int16)
+    int(_probe(jax.device_put(probe_payload, dev)))  # warm compile + path
+    bw = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        int(_probe(jax.device_put(probe_payload, dev)))
+        bw.append(probe_payload.nbytes / (time.perf_counter() - t0) / 1e6)
+    link = max(bw)
+    ceiling = link * 1e6 / (2 * sr)
+    print(f"link: {link:.1f} MB/s incompressible h2d -> wire-implied PCM16 "
+          f"extraction ceiling ~{ceiling:.0f}x realtime", file=sys.stderr)
+
+    # ---- warmup / compile (one batched program: all files, one dispatch) ---
     t0 = time.perf_counter()
-    feats = extract_features(audio, sr, block_frames=block)
+    feats = FE.extract_features_batch(audios, sr, block_frames=8192)
     t1 = time.perf_counter()
     print(f"warmup (incl. compile): {t1 - t0:.2f}s, shape {feats.shape}",
           file=sys.stderr)
 
-    # pipelined throughput: async-dispatch all files, then drain — uploads
-    # overlap compute like the batch-extraction pipeline.  End-to-end
-    # through this environment's tunneled chip the bound is the ~35 MB/s
-    # effective host<->device link (device-resident compute measures
-    # ~400,000x realtime; a PCIe-attached chip at ~10 GB/s would put the
-    # same pipeline's transfer bound at ~30,000x).
-    reps = 8
+    # ---- end-to-end throughput: staged chunked uploads (≤24 MB pieces; the
+    # relay collapses on larger single transfers), device-side assembly, one
+    # scan dispatch, result fetch.  Compute is ~0.3 s device-resident vs
+    # ~2.4 s of wire, so wall ≈ wire; best-of-3: the tunnel stalls randomly.
     rounds = []
-    for r in range(3):  # best-of-3: the tunnel stalls randomly
+    for _ in range(3):
         t0 = time.perf_counter()
-        handles = [extract_features(audio, sr, block_frames=block,
-                                    as_device=True) for _ in range(reps)]
-        outs = [finalize_features(f, n) for f, n in handles]
+        out = FE.extract_features_batch(audios, sr, block_frames=8192)
         rounds.append(time.perf_counter() - t0)
     elapsed = min(rounds)
     rt = dur * reps / elapsed
+    payload_mb = reps * audio.nbytes / 1e6
     print(f"extraction: best of {[round(x, 2) for x in rounds]}s for "
-          f"{reps}x{dur:.0f}s audio -> {rt:.0f}x realtime "
-          f"(shape {outs[0].shape})", file=sys.stderr)
+          f"{reps}x{dur:.0f}s audio ({payload_mb:.0f} MB up) -> "
+          f"{rt:.0f}x realtime (shape {out.shape}); wire share "
+          f"~{payload_mb / link / elapsed * 100:.0f}% of wall",
+          file=sys.stderr)
+
+    # ---- device-resident compute throughput (input already on chip) --------
+    try:
+        step, fft = 512, 1024
+        total = FE.num_output_frames(n, step)
+        block, nb = FE._plan_shapes(total, 8192)
+        consts = FE._device_consts(sr, fft, 13, 0.25, 1.0)
+        padded_len = nb * block * step + fft - step
+        padded = np.zeros((reps, padded_len), np.int16)
+        padded[:, fft - step:fft - step + n] = audio
+        x_dev = FE._staged_put(padded)
+        int(_probe(x_dev[0]))  # ensure resident
+        carry0 = jnp.zeros((reps, 42), jnp.float32)
+
+        @jax.jit
+        def _probe_out(o):
+            return o[:, -1, :, -4:].sum()
+
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o, _ = FE._extract_scan_batch(
+                x_dev, carry0, *consts, num_blocks=nb, block=block,
+                fft_size=fft, step=step)
+            float(_probe_out(o))
+            ts.append(time.perf_counter() - t0)
+        print(f"device-resident compute: best {min(ts) * 1e3:.1f} ms for "
+              f"{reps * dur:.0f}s audio -> {reps * dur / min(ts):.0f}x "
+              f"realtime (forced tail-probe)", file=sys.stderr)
+    except Exception as e:  # diagnostics only
+        print(f"resident-compute diagnostic skipped: {e}", file=sys.stderr)
 
     # ---- correlation sweep diagnostic (north star: 10s punch vs 10k-file
     # DB < 1s). Off by default: axon remote compiles don't hit the
@@ -72,43 +134,37 @@ def main() -> None:
     if not os.environ.get("BENCH_CORRELATION"):
         print("correlation bench skipped (set BENCH_CORRELATION=1)",
               file=sys.stderr)
-        _skip_corr = True
     else:
-        _skip_corr = False
-    try:
-        if _skip_corr:
-            raise RuntimeError("disabled")
-        from strugatzki_tpu.analysis.correlation import InputTemplate
-        from strugatzki_tpu.parallel.database import FeatureDatabase
+        try:
+            from strugatzki_tpu.analysis.correlation import InputTemplate
+            from strugatzki_tpu.parallel.database import FeatureDatabase
 
-        n_files, file_frames, punch_frames = 64, 10336, 861  # 2min files, 10s punch
-        entries = [(f"f{i}.aif",
-                    np.abs(0.5 + 0.1 * rng.standard_normal((14, file_frames)))
-                    .astype(np.float32)) for i in range(n_files)]
-        tmpl = InputTemplate(entries[0][1][:, 100:100 + punch_frames].copy())
-        t0 = time.perf_counter()
-        db = FeatureDatabase(entries, norm=None)
-        t_load = time.perf_counter() - t0
-        db.query(tmpl)  # compile
-        t0 = time.perf_counter()
-        res = db.query(tmpl)
-        lat = time.perf_counter() - t0          # incl. host fetch RTT
-        reps = 10
-        t0 = time.perf_counter()
-        for _ in range(reps):
+            n_files, file_frames, punch_frames = 64, 10336, 861
+            entries = [(f"f{i}.aif",
+                        np.abs(0.5 + 0.1 * rng.standard_normal((14, file_frames)))
+                        .astype(np.float32)) for i in range(n_files)]
+            tmpl = InputTemplate(entries[0][1][:, 100:100 + punch_frames].copy())
+            t0 = time.perf_counter()
+            db = FeatureDatabase(entries, norm=None)
+            t_load = time.perf_counter() - t0
+            db.query(tmpl)  # compile
+            t0 = time.perf_counter()
             res = db.query(tmpl)
-        amort = (time.perf_counter() - t0) / reps
-        windows = n_files * (file_frames - punch_frames + 1)
-        # per-query host overhead (fetch RTTs) is fixed; device trace
-        # compute measured separately at ~0.3 ms per 64 files of this shape
-        est10k = lat + (10000 / n_files - 1) * 0.0003
-        print(f"correlation (resident DB): load {t_load:.2f}s; query "
-              f"latency {lat * 1000:.1f} ms, amortized {amort * 1000:.1f} ms "
-              f"/{n_files} files = {windows / amort / 1e6:.0f}M windows/s; "
-              f"10k-file est ≈ {est10k:.2f}s (north star < 1s); "
-              f"best @ {res.frames[0, 0]}", file=sys.stderr)
-    except Exception as e:  # diagnostics only — never break the metric line
-        print(f"correlation bench skipped: {e}", file=sys.stderr)
+            lat = time.perf_counter() - t0          # incl. host fetch RTT
+            k = 10
+            t0 = time.perf_counter()
+            for _ in range(k):
+                res = db.query(tmpl)
+            amort = (time.perf_counter() - t0) / k
+            windows = n_files * (file_frames - punch_frames + 1)
+            est10k = lat + (10000 / n_files - 1) * 0.0003
+            print(f"correlation (resident DB): load {t_load:.2f}s; query "
+                  f"latency {lat * 1000:.1f} ms, amortized {amort * 1000:.1f} ms "
+                  f"/{n_files} files = {windows / amort / 1e6:.0f}M windows/s; "
+                  f"10k-file est ≈ {est10k:.2f}s (north star < 1s); "
+                  f"best @ {res.frames[0, 0]}", file=sys.stderr)
+        except Exception as e:  # never break the metric line
+            print(f"correlation bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "feature-extraction realtime multiple per chip",

@@ -52,6 +52,33 @@ __all__ = ["FrontendBasis", "extract_features", "extract_features_batch",
 #: Frames per device block (≈ 24s of audio at the default resolution).
 BLOCK_FRAMES = 2048
 
+#: Host→device transfers are staged in chunks of at most this many bytes:
+#: through the tunneled relay this environment attaches chips with, the
+#: effective wire rate collapses on very large single transfers (measured:
+#: ~85–110 MB/s ≤ 48 MB, ~33 MB/s at 96 MB — see docs/BENCH_LINK.md), and
+#: chunked puts stream back-to-back without that cliff.
+STAGE_CHUNK_BYTES = 24 << 20
+
+
+def _staged_put(arr: np.ndarray):
+    """``device_put`` of ``arr`` in ≤ :data:`STAGE_CHUNK_BYTES` pieces,
+    reassembled on device — one extra device-side copy buys immunity to the
+    relay's large-transfer fall-off.  Small arrays go straight through."""
+    if arr.nbytes <= STAGE_CHUNK_BYTES:
+        return jnp.asarray(arr)
+    lead = arr.shape[0] if arr.ndim else 1
+    row_bytes = max(1, arr.nbytes // max(lead, 1))
+    rows_per = max(1, STAGE_CHUNK_BYTES // row_bytes)
+    if arr.ndim >= 2 and rows_per < lead:
+        parts = [jax.device_put(arr[i:i + rows_per])
+                 for i in range(0, lead, rows_per)]
+        return jnp.concatenate(parts, axis=0)
+    flat = arr.reshape(-1)
+    k = -(-arr.nbytes // STAGE_CHUNK_BYTES)
+    bounds = np.linspace(0, flat.shape[0], k + 1).astype(np.int64)
+    parts = [jax.device_put(flat[a:b]) for a, b in zip(bounds, bounds[1:])]
+    return jnp.concatenate(parts).reshape(arr.shape)
+
 
 def num_output_frames(in_frames: int, step_size: int) -> int:
     """Feature-file frame count: ``ceil(inFrames/step) − 1``
@@ -318,7 +345,7 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
         padded[i, left_pad:left_pad + n] = a[:n]
     carry0 = jnp.zeros((len(audios), T.ERB_BANDS), dtype=jnp.float32)
     feats, _ = _extract_scan_batch(
-        jnp.asarray(padded), carry0, *consts,
+        _staged_put(padded), carry0, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
     out = np.asarray(feats)  # [B, nb, C, block]
     out = out.transpose(0, 2, 1, 3).reshape(len(audios), num_coeffs + 1, -1)
@@ -413,7 +440,7 @@ def extract_features(audio: np.ndarray, sample_rate: float,
         audio[:padded_len - left_pad]
 
     feats, carry_out = _extract_scan(
-        jnp.asarray(padded), carry, *consts,
+        _staged_put(padded), carry, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
     if as_device:
         # async handle: [num_blocks, C, block] device array + true length;
