@@ -30,14 +30,18 @@ from ..config import ColorScheme, ExtractionConfig, SelfSimilarityConfig
 from ..kernels import corr as K
 from ..runtime.processor import Processor, ProcessorFactory
 from ..util.palette import apply_palette
-from ..util.png import write_png
+from ..util.png import write_png, write_png_rows
 from .common import full_to_feat, load_norm, normalized, read_features
 
-__all__ = ["SelfSimilarity", "self_similarity_matrix"]
+__all__ = ["SelfSimilarity", "self_similarity_matrix",
+           "self_similarity_to_png"]
 
 _MAX_EXTENT = 0xB504
 _BLOCK = 512
 _PAIR_GROUP = 8
+#: Above this extent the [n, n] float32 matrix would pass ~0.5 GB — switch
+#: to the stripe-streaming PNG path (identical pixels, bounded memory).
+_STREAM_EXTENT = 11000
 
 
 @partial(jax.jit, static_argnames=("num_temporal",))
@@ -120,21 +124,119 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
     return out
 
 
-def render_image(sims: np.ndarray, colors: str, color_warp: float,
-                 color_ceil: float, color_inv: bool) -> np.ndarray:
-    """Similarity matrix → RGB image with the reference's pixel layout:
-    x = i, y = flipped j (SelfSimilarityImpl.scala:152-155)."""
-    v = np.power(np.maximum(sims, 0.0), color_warp) * (1.0 / color_ceil)
+def _colorize(v_sims: np.ndarray, colors: str, color_warp: float,
+              color_ceil: float, color_inv: bool) -> np.ndarray:
+    """sim values → RGB via the reference's color mapping
+    ``colorFun(pow(max(0, sim), warp) / ceil)`` (SelfSimilarityImpl.scala:150)."""
+    v = np.power(np.maximum(v_sims, 0.0), color_warp) * (1.0 / color_ceil)
     if color_inv:
         v = 1.0 - v
     if colors == ColorScheme.GRAY_SCALE:
         g = np.clip(v * 255 + 0.5, 0, 255).astype(np.uint8)
-        rgb = np.stack([g, g, g], axis=-1)
-    else:
-        rgb = apply_palette(v)
+        return np.stack([g, g, g], axis=-1)
+    return apply_palette(v)
+
+
+def render_image(sims: np.ndarray, colors: str, color_warp: float,
+                 color_ceil: float, color_inv: bool) -> np.ndarray:
+    """Similarity matrix → RGB image with the reference's pixel layout:
+    x = i, y = flipped j (SelfSimilarityImpl.scala:152-155)."""
+    rgb = _colorize(sims, colors, color_warp, color_ceil, color_inv)
     # image[y, x] with y = extent−1−j, x = i  → flip the j (column) axis and
     # transpose so rows become y
     return rgb.transpose(1, 0, 2)[::-1]
+
+
+def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                           decim: int, temp_weight: float, path,
+                           colors: str = ColorScheme.PSYCHO_OPTICAL,
+                           color_warp: float = 1.0, color_ceil: float = 1.0,
+                           color_inv: bool = False,
+                           check_aborted=lambda: None,
+                           progress=lambda f: None,
+                           png_level: int = 6) -> int:
+    """Stream the similarity image straight to a PNG without ever holding
+    the ``[n, n]`` matrix (8.6 GB at the reference's 46340 extent ceiling)
+    or its RGB raster: one ``[n, _BLOCK]`` column stripe at a time is
+    computed on device, colorized, and fed to the banded PNG compressor.
+
+    PNG row ``y`` is matrix column ``j = n−1−y`` (the reference's y-flip),
+    so stripes are emitted in descending-``j`` order.  Cell values mirror
+    the upper triangle exactly like :func:`self_similarity_matrix` (the
+    reference computes i ≤ j and writes both symmetric pixels,
+    SelfSimilarityImpl.scala:136,152-155); off-diagonal blocks are
+    recomputed for their mirror stripe — a 2× compute trade for O(n·block)
+    memory, the right exchange when the matmuls run on the MXU.
+
+    Returns the image extent ``n``.
+    """
+    af_len = min(x1.shape[1], x2.shape[1])
+    win_len = half_win * 2
+    num_corrs = max(0, af_len - win_len + 1)
+    n = num_corrs // decim
+    if n == 0:
+        write_png(path, np.zeros((0, 0, 3), np.uint8))
+        return 0
+
+    num_blocks = (n + _BLOCK - 1) // _BLOCK
+    starts = np.minimum(np.arange(num_blocks * _BLOCK, dtype=np.int64),
+                        n - 1) * decim
+    xj1 = jnp.asarray(x1)
+    xj2 = jnp.asarray(x2)
+    tw = jnp.float32(temp_weight)
+
+    def blocks_of(xj):
+        out = []
+        for b in range(num_blocks):
+            s = starts[b * _BLOCK:(b + 1) * _BLOCK]
+            win = K.extract_windows(xj, jnp.asarray(s), half_win)
+            out.append((win, K.window_stats(win)))
+        return out
+
+    blocks1 = blocks_of(xj1)
+    blocks2 = blocks1 if x2 is x1 else blocks_of(xj2)
+
+    def stripes():
+        done = 0
+        for bj in range(num_blocks - 1, -1, -1):
+            check_aborted()
+            c0 = bj * _BLOCK
+            c1 = min(c0 + _BLOCK, n)
+            stripe = np.empty((n, c1 - c0), np.float32)
+            # row-blocks in groups of _PAIR_GROUP; for bi > bj the cell is
+            # the mirrored upper-triangle value → compute (bj, bi), transpose
+            order = list(range(num_blocks))
+            for g0 in range(0, num_blocks, _PAIR_GROUP):
+                group = order[g0:g0 + _PAIR_GROUP]
+                padded = group + [group[-1]] * (_PAIR_GROUP - len(group))
+                lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
+                wi_s = jnp.stack([blocks1[lo][0] for lo, _ in lo_hi])
+                wj_s = jnp.stack([blocks2[hi][0] for _, hi in lo_hi])
+                sti = tuple(jnp.stack([blocks1[lo][1][t] for lo, _ in lo_hi])
+                            for t in range(4))
+                stj = tuple(jnp.stack([blocks2[hi][1][t] for _, hi in lo_hi])
+                            for t in range(4))
+                sims_g = np.asarray(
+                    _gram_pair_group(wi_s, wj_s, sti, stj, tw))
+                for bi, sims in zip(group, sims_g):
+                    r0 = bi * _BLOCK
+                    r1 = min(r0 + _BLOCK, n)
+                    if bi == bj:
+                        s = sims[:r1 - r0, :c1 - c0]
+                        stripe[r0:r1] = np.triu(s) + np.triu(s, 1).T
+                    elif bi < bj:
+                        stripe[r0:r1] = sims[:r1 - r0, :c1 - c0]
+                    else:  # mirrored: computed as (bj, bi) → transpose
+                        stripe[r0:r1] = sims[:c1 - c0, :r1 - r0].T
+            # stripe columns j = c0..c1−1 → PNG rows y = n−1−j (descending j)
+            rgb = _colorize(stripe.T[::-1], colors, color_warp, color_ceil,
+                            color_inv)
+            done += 1
+            progress(done / num_blocks)
+            yield rgb
+
+    write_png_rows(path, n, n, stripes(), level=png_level)
+    return n
 
 
 class SelfSimilarity(ProcessorFactory):
@@ -206,14 +308,25 @@ class SelfSimilarity(ProcessorFactory):
             x1 = shift(xn1)
             x2 = x1 if xn2 is xn1 else shift(xn2)
 
-            with proc.sub(0.95):
-                sims = self_similarity_matrix(
-                    x1, x2, half_win, decim, cfg.temporal_weight,
-                    check_aborted=proc.check_aborted,
-                    progress=proc.set_progress)
-            rgb = render_image(sims, cfg.colors, cfg.color_warp,
-                               cfg.color_ceil, cfg.color_inv)
-            write_png(cfg.image_output, rgb)
+            if img_ext > _STREAM_EXTENT:
+                # giant image: stream column stripes straight into the PNG
+                # compressor — never materializes [n, n] or the RGB raster
+                with proc.sub(0.98):
+                    self_similarity_to_png(
+                        x1, x2, half_win, decim, cfg.temporal_weight,
+                        cfg.image_output, cfg.colors, cfg.color_warp,
+                        cfg.color_ceil, cfg.color_inv,
+                        check_aborted=proc.check_aborted,
+                        progress=proc.set_progress)
+            else:
+                with proc.sub(0.95):
+                    sims = self_similarity_matrix(
+                        x1, x2, half_win, decim, cfg.temporal_weight,
+                        check_aborted=proc.check_aborted,
+                        progress=proc.set_progress)
+                rgb = render_image(sims, cfg.colors, cfg.color_warp,
+                                   cfg.color_ceil, cfg.color_inv)
+                write_png(cfg.image_output, rgb)
             proc.set_progress(1.0)
             return None
 
