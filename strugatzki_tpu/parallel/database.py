@@ -27,10 +27,10 @@ from ..analysis.common import feat_to_full, normalized
 from ..analysis.correlation import InputTemplate
 from ..config import ExtractionConfig, Match
 from ..kernels import corr as K
-from ..span import Span
+from ..span import Span, spacing
 from .sweep import pad_stack
 
-__all__ = ["FeatureDatabase", "QueryResult"]
+__all__ = ["FeatureDatabase", "QueryResult", "PunchQueryResult"]
 
 
 @dataclass
@@ -40,21 +40,82 @@ class QueryResult:
     sims: np.ndarray
     frames: np.ndarray
     files: List[str]
+    #: boost factor of each hit window (reference Match.boostIn); ones when
+    #: the producing kernel predates boost gathering
+    boosts: Optional[np.ndarray] = None
 
     def matches(self, punch_len: int, step_size: int,
                 k_total: int = 10) -> List[Match]:
-        """Flatten to the best ``k_total`` :class:`Match`es across files."""
-        flat = [(float(self.sims[i, j]), i, int(self.frames[i, j]))
+        """Flatten to the best ``k_total`` :class:`Match`es across files,
+        carrying each window's boost (boostOut = 1 as in the reference's
+        punch-in-only mode, FeatureCorrelationImpl.scala:236)."""
+        flat = [(float(self.sims[i, j]), i, int(self.frames[i, j]),
+                 float(self.boosts[i, j]) if self.boosts is not None else 1.0)
                 for i in range(self.sims.shape[0])
                 for j in range(self.sims.shape[1])
                 if np.isfinite(self.sims[i, j])]
         flat.sort(key=lambda t: -t[0])
         out = []
-        for sim, i, t in flat[:k_total]:
+        for sim, i, t, b_in in flat[:k_total]:
             out.append(Match(sim, self.files[i],
                              Span(feat_to_full(t, step_size),
                                   feat_to_full(t + punch_len, step_size)),
-                             1.0, 1.0))
+                             b_in, 1.0))
+        return out
+
+
+@dataclass
+class PunchQueryResult:
+    """Top-k punch-in × punch-out hits: parallel arrays ``[num_files, k]``.
+
+    ``frames``: punch-in window start (feature frames); ``punch_lens``:
+    matched punch length − ``min_punch`` (feature frames); ``boosts_in`` /
+    ``boosts_out``: the two boost factors of the reference's Match.
+    """
+
+    sims: np.ndarray
+    frames: np.ndarray
+    punch_lens: np.ndarray
+    boosts_in: np.ndarray
+    boosts_out: np.ndarray
+    files: List[str]
+    min_punch: int
+
+    def matches(self, step_size: int, k_total: int = 10,
+                num_per_file: Optional[int] = None,
+                min_spacing: int = 0) -> List[Match]:
+        """Best ``k_total`` :class:`Match`es across files with the
+        reference's span convention ``[start, start + minPunch + k)``
+        (FeatureCorrelationImpl.scala:370-374).
+
+        ``num_per_file``/``min_spacing`` apply a per-file cap and a
+        spacing collapse over the returned candidates in descending-sim
+        order — the serving approximation of the reference's in-order
+        stateful selection (exact for the defaults numPerFile = 1,
+        minSpacing = 0; use FeatureCorrelation for full replay semantics).
+        """
+        out: List[Match] = []
+        per_file: dict = {}
+        flat = [(float(self.sims[i, j]), i, int(self.frames[i, j]),
+                 int(self.punch_lens[i, j]), float(self.boosts_in[i, j]),
+                 float(self.boosts_out[i, j]))
+                for i in range(self.sims.shape[0])
+                for j in range(self.sims.shape[1])
+                if np.isfinite(self.sims[i, j])]
+        flat.sort(key=lambda t: -t[0])
+        for sim, i, t, kl, b_in, b_out in flat:
+            if len(out) >= k_total:
+                break
+            span = Span(feat_to_full(t, step_size),
+                        feat_to_full(t + self.min_punch + kl, step_size))
+            kept = per_file.setdefault(i, [])
+            if num_per_file is not None and len(kept) >= num_per_file:
+                continue
+            if min_spacing > 0 and any(
+                    spacing(span, s) < min_spacing for s in kept):
+                continue
+            kept.append(span)
+            out.append(Match(sim, self.files[i], span, b_in, b_out))
         return out
 
 
@@ -95,7 +156,98 @@ def _query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg,
     t_idx = jnp.arange(sims.shape[1])[None, :]
     masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
     vals, idx = jax.lax.top_k(masked, k)
-    return vals, idx, sims, boosts
+    boosts_k = jnp.take_along_axis(boosts, idx, axis=1)
+    return vals, idx, boosts_k, sims, boosts
+
+
+@partial(jax.jit, static_argnames=("num_temporal", "k"))
+def _punch_query_kernel(xs_b, lens,
+                        in_t, in_s, in_std_t, in_std_s, in_ln,
+                        out_t, out_s, out_std_t, out_std_s, out_ln,
+                        shifts_t, tw_in, tw_out, max_boost,
+                        min_punch, scan_span,
+                        num_temporal: int = 1, k: int = 4):
+    """Full punch-in × punch-out combine on device, one dispatch.
+
+    Per file: both sliding traces (reference hot loops 1+2,
+    FeatureCorrelationImpl.scala:190-246, :281-315), then the banded
+    combine over punch lengths ``minPunch..maxPunch`` (hot loop 3,
+    :325-389): candidate (t, j) pairs a punch-in window at ``t`` with a
+    punch-out window at ``t + minPunch + j``, scored
+    ``√(inSim·outSim)`` (:370).  For each ``t`` the best length is kept
+    (a running max over the band — no ``[W, S]`` materialization), then a
+    masked top-k over ``t``.  Candidates with ``inSim ≤ 0`` are excluded,
+    matching the reference's ``inSim > low²`` gate with ``low ≥ 0``
+    (:342); negative products (the reference's NaN-√ poisoning) are
+    excluded rather than replayed — exact-quirk searches go through
+    ``FeatureCorrelation``.
+
+    Deliberate divergence from the reference's *stateful* search: the
+    reference only opens a file's punch-in trace when some in-similarity
+    alone exceeds the current lowest kept match (``tInOpen ||
+    entryHasSpace || sim > lowestSim``, FeatureCorrelationImpl.scala:213)
+    — an order-dependent pruning that can silently drop a better
+    ``√(inSim·outSim)`` candidate whose in-sim is below that bar.  This
+    kernel searches the full candidate space (a superset; validated
+    against the exact replay whenever the pruning is inert).  Use
+    ``FeatureCorrelation`` for faithful stateful selection.
+
+    ``min_punch``/``scan_span`` are traced (no jit key per punch config).
+    Returns per-file ``(sims, t_idx, punch_len_k, boost_in, boost_out)``,
+    each ``[B, k]``.
+    """
+    L_in = in_t.shape[1]
+    L_out = out_t.shape[1]
+    Tp = xs_b.shape[2]
+    W_in = Tp - L_in + 1
+    W_out = Tp - L_out + 1
+
+    def one(xs, shift_t, t_len):
+        sims_in, boosts_in = K.correlation_trace(
+            xs, in_t, in_s, in_std_t, in_std_s, in_ln, shift_t,
+            tw_in, max_boost, num_temporal=num_temporal)
+        sims_out, boosts_out = K.correlation_trace(
+            xs, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
+            tw_out, max_boost, num_temporal=num_temporal)
+
+        # validity: punch-in scan runs over len − minPunch frames (:183);
+        # punch-out windows must fit the file
+        t_ix = jnp.arange(W_in)
+        w_in_valid = t_len - min_punch - (L_in - 1)
+        in_valid = (t_ix < w_in_valid) & (sims_in > 0.0)
+        o_ix = jnp.arange(W_out)
+        out_ok = o_ix < (t_len - (L_out - 1))
+        # pad the out trace so every banded slice is in range
+        pad = W_in + Tp - W_out
+        out_vals = jnp.concatenate(
+            [sims_out, jnp.zeros((pad,), sims_out.dtype)])
+        out_mask = jnp.concatenate(
+            [out_ok, jnp.zeros((pad,), bool)])
+        out_boosts_p = jnp.concatenate(
+            [boosts_out, jnp.ones((pad,), boosts_out.dtype)])
+
+        def body(j, carry):
+            best, best_j = carry
+            off = (min_punch + j,)
+            seg = jax.lax.dynamic_slice(out_vals, off, (W_in,))
+            m = jax.lax.dynamic_slice(out_mask, off, (W_in,))
+            prod = jnp.where(in_valid & m, sims_in * seg, -jnp.inf)
+            upd = prod > best
+            return (jnp.where(upd, prod, best),
+                    jnp.where(upd, j, best_j))
+
+        best0 = jnp.full((W_in,), -jnp.inf, jnp.float32)
+        best, best_j = jax.lax.fori_loop(
+            0, scan_span, body, (best0, jnp.zeros((W_in,), jnp.int32)))
+        band_sim = jnp.where(best > 0.0, jnp.sqrt(jnp.maximum(best, 0.0)),
+                             -jnp.inf)
+        vals, t_idx = jax.lax.top_k(band_sim, k)
+        j_k = best_j[t_idx]
+        b_in = boosts_in[t_idx]
+        b_out = out_boosts_p[t_idx + min_punch + j_k]
+        return vals, t_idx, j_k, b_in, b_out
+
+    return jax.vmap(one)(xs_b, shifts_t, lens)
 
 
 class FeatureDatabase:
@@ -166,37 +318,72 @@ class FeatureDatabase:
         # one device_get: each separate small fetch costs a host round trip
         # (~tens of ms on tunneled chips)
         if with_traces:
-            vals, idx, sims, boosts = jax.device_get(out)
-            return (QueryResult(vals, idx, list(self.files)),
+            vals, idx, boosts_k, sims, boosts = jax.device_get(out)
+            return (QueryResult(vals, idx, list(self.files), boosts_k),
                     (sims, boosts, self._lens))
-        vals, idx = jax.device_get(out[:2])
-        return QueryResult(vals, idx, list(self.files))
+        vals, idx, boosts_k = jax.device_get(out[:3])
+        return QueryResult(vals, idx, list(self.files), boosts_k)
+
+    def query_punch(self, punch_in: InputTemplate, punch_out: InputTemplate,
+                    min_punch: int, max_punch: int,
+                    temp_weight_in: float = 0.5,
+                    temp_weight_out: float = 0.5,
+                    max_boost: float = 8.0, k: int = 4) -> PunchQueryResult:
+        """Punch-in × punch-out search in ONE dispatch (the reference's
+        three hot loops, FeatureCorrelationImpl.scala:190-389, fused on
+        device): per file, the best punch length in ``[min_punch,
+        max_punch]`` (feature frames) is found for every punch-in offset
+        and the top-k offsets returned with ``√(inSim·outSim)`` scores and
+        both boosts."""
+        if min_punch > max_punch:
+            raise ValueError(f"min_punch {min_punch} > max_punch {max_punch}")
+        out = _punch_query_kernel(
+            self._xs, self._lens_dev,
+            punch_in.device_temporal(), punch_in.device_spectral(),
+            jnp.float32(punch_in.temporal_std),
+            jnp.float32(punch_in.spectral_std),
+            jnp.float32(punch_in.ln_avg_loudness),
+            punch_out.device_temporal(), punch_out.device_spectral(),
+            jnp.float32(punch_out.temporal_std),
+            jnp.float32(punch_out.spectral_std),
+            jnp.float32(punch_out.ln_avg_loudness),
+            self._shifts, jnp.float32(temp_weight_in),
+            jnp.float32(temp_weight_out), jnp.float32(max_boost),
+            jnp.int32(min_punch), jnp.int32(max_punch - min_punch + 1), k=k)
+        vals, t_idx, j_k, b_in, b_out = jax.device_get(out)
+        return PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
+                                list(self.files), min_punch)
 
     def query_batch(self, templates: Sequence[InputTemplate],
                     temp_weight: float = 0.5, max_boost: float = 8.0,
                     k: int = 4) -> List[QueryResult]:
-        """Many punches against the resident database in ONE dispatch.
+        """Many punches against the resident database, batched by length.
 
-        All templates must share the same frame length (they are stacked on
-        a leading axis and vmapped); use separate :meth:`query` calls for
-        mixed lengths.
+        Templates are bucketed by frame length; each bucket is stacked on a
+        leading axis and answered in one dispatch (a punch-in + punch-out
+        pair of different lengths costs two dispatches, not Q).  Results
+        come back in input order.
         """
-        lengths = {t.num_frames for t in templates}
-        if len(lengths) != 1:
-            raise ValueError(
-                f"query_batch needs equal-length templates, got {sorted(lengths)}")
-        tt = jnp.stack([jnp.asarray(t.temporal_centered) for t in templates])
-        ts = jnp.stack([jnp.asarray(t.spectral_centered) for t in templates])
-        st_t = jnp.asarray([t.temporal_std for t in templates], jnp.float32)
-        st_s = jnp.asarray([t.spectral_std for t in templates], jnp.float32)
-        la = jnp.asarray([t.ln_avg_loudness for t in templates], jnp.float32)
-        vals, idx = _multi_query_kernel(
-            self._xs, self._lens_dev, tt, ts, st_t, st_s, la, self._shifts,
-            jnp.float32(temp_weight), jnp.float32(max_boost), k=k)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        return [QueryResult(vals[q], idx[q], list(self.files))
-                for q in range(len(templates))]
+        buckets: dict = {}
+        for qi, t in enumerate(templates):
+            buckets.setdefault(t.num_frames, []).append(qi)
+        results: List[Optional[QueryResult]] = [None] * len(templates)
+        for _, idxs in sorted(buckets.items()):
+            group = [templates[qi] for qi in idxs]
+            tt = jnp.stack([jnp.asarray(t.temporal_centered) for t in group])
+            ts = jnp.stack([jnp.asarray(t.spectral_centered) for t in group])
+            st_t = jnp.asarray([t.temporal_std for t in group], jnp.float32)
+            st_s = jnp.asarray([t.spectral_std for t in group], jnp.float32)
+            la = jnp.asarray([t.ln_avg_loudness for t in group], jnp.float32)
+            vals, idx = _multi_query_kernel(
+                self._xs, self._lens_dev, tt, ts, st_t, st_s, la,
+                self._shifts, jnp.float32(temp_weight),
+                jnp.float32(max_boost), k=k)
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+            for q, qi in enumerate(idxs):
+                results[qi] = QueryResult(vals[q], idx[q], list(self.files))
+        return results
 
     def save(self, path) -> None:
         """Persist the stacked database (raw features + lengths + norm +

@@ -107,13 +107,13 @@ def test_query_batch_matches_single(db_entries):
         assert abs(batch[q].sims[i, 0] - 1.0) < 1e-3
 
 
-def test_query_batch_rejects_mixed_lengths(db_entries):
+def test_query_batch_buckets_mixed_lengths(db_entries):
     db = FeatureDatabase(db_entries[:4], norm=None, pad_multiple=64)
     t1 = InputTemplate(db_entries[0][1][:, :40].copy())
     t2 = InputTemplate(db_entries[0][1][:, :50].copy())
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        db.query_batch([t1, t2])
+    rs = db.query_batch([t1, t2], k=2)
+    assert len(rs) == 2
+    assert rs[0].frames[0, 0] == 0 and rs[1].frames[0, 0] == 0
 
 
 def test_bfloat16_storage_mode(db_entries):

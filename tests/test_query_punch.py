@@ -1,0 +1,122 @@
+"""query_punch: the one-dispatch device punch-in × punch-out combine must
+reproduce the reference-semantics search (validated against the exact
+correlate_database replay, which is itself validated match-for-match
+against the FeatureCorrelationImpl transcription in test_correlation.py)."""
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.analysis.correlation import (InputTemplate,
+                                                 correlate_database)
+from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig,
+                                   Punch)
+from strugatzki_tpu.parallel.database import FeatureDatabase
+from strugatzki_tpu.span import Span
+
+STEP = 512
+
+
+def _make_db(seed, num_files=5, T=420, C=14):
+    rng = np.random.default_rng(seed)
+    files = []
+    for i in range(num_files):
+        base = rng.uniform(0.3, 0.7, size=(C, 1))
+        x = np.abs(base + 0.1 * rng.standard_normal(
+            (C, T + 31 * i))).astype(np.float32)
+        files.append((f"db{i}.aif", x))
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, 200))).astype(np.float32)
+    # plant punch-in material in file 2 and punch-out material further on
+    files[2][1][:, 137:137 + 30] = inp[:, 20:50]
+    files[2][1][:, 230:230 + 25] = inp[:, 160:185]
+    return inp, files
+
+
+def _run_exact(inp, files, cfg):
+    meta = ExtractionConfig(audio_input="in.aif", feature_output="mem",
+                            num_coeffs=13, fft_size=1024, fft_overlap=2)
+    entries = [(ExtractionConfig(audio_input=name, feature_output=name),
+                (lambda f_=f: f_)) for name, f in files]
+    import strugatzki_tpu.analysis.correlation as corr_mod
+    orig = corr_mod.read_features
+    corr_mod.read_features = lambda m: inp
+    try:
+        return correlate_database(meta, entries, None, cfg, skip_nan=True)
+    finally:
+        corr_mod.read_features = orig
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 7, 11])
+def test_query_punch_matches_exact_replay(seed):
+    inp, files = _make_db(seed)
+    # num_matches = num_files keeps the reference's order-dependent
+    # trace-open pruning inert (entryHasSpace is true at every file open,
+    # FeatureCorrelationImpl.scala:213), so the exact replay covers the
+    # full candidate space the device kernel searches
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 50 * STEP), 0.5),
+        punch_out=Punch(Span(160 * STEP, 185 * STEP), 0.5),
+        min_punch=60 * STEP, max_punch=120 * STEP,
+        normalize=False, num_matches=5, num_per_file=1,
+        min_spacing=0).build()
+    exact = _run_exact(inp, files, cfg)
+
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    t_in = InputTemplate.from_features(inp, None, 20, 50)
+    t_out = InputTemplate.from_features(inp, None, 160, 185)
+    res = db.query_punch(t_in, t_out, min_punch=60, max_punch=120,
+                         temp_weight_in=0.5, temp_weight_out=0.5, k=2)
+    ours = res.matches(step_size=STEP, k_total=5, num_per_file=1)
+
+    assert len(ours) == len(exact), (ours, exact)
+    for a, b in zip(ours, exact):
+        assert a.file == b.file, (seed, a, b)
+        assert a.punch == b.punch, (seed, a, b)
+        assert abs(a.sim - b.sim) < 3e-5, (seed, a, b)
+        assert abs(a.boost_in - b.boost_in) < 1e-3 * max(1, abs(b.boost_in))
+        assert abs(a.boost_out - b.boost_out) < 1e-3 * max(1, abs(b.boost_out))
+
+
+def test_query_punch_planted_pair():
+    inp, files = _make_db(0)
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    t_in = InputTemplate.from_features(inp, None, 20, 50)
+    t_out = InputTemplate.from_features(inp, None, 160, 185)
+    # the plant: in @137, out @230 → punch length 230−137 = 93 ∈ [60, 120]
+    res = db.query_punch(t_in, t_out, min_punch=60, max_punch=120, k=2)
+    m = res.matches(step_size=STEP, k_total=1)[0]
+    assert m.file == "db2.aif"
+    assert m.punch.start == 137 * STEP
+    assert m.punch.stop == 230 * STEP
+    assert m.sim > 0.98
+    assert np.isfinite(m.boost_in) and np.isfinite(m.boost_out)
+
+
+def test_query_returns_boosts():
+    inp, files = _make_db(3)
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    tmpl = InputTemplate(files[2][1][:, 137:167].copy())
+    res = db.query(tmpl, k=2)
+    assert res.boosts is not None and res.boosts.shape == res.sims.shape
+    m = res.matches(punch_len=30, step_size=STEP, k_total=1)[0]
+    # self-match: identical loudness → boost 1
+    assert abs(m.boost_in - 1.0) < 1e-3
+    assert m.boost_out == 1.0
+
+
+def test_query_batch_mixed_lengths():
+    inp, files = _make_db(4)
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    t_a = InputTemplate(files[1][1][:, 10:48].copy())   # 38 frames
+    t_b = InputTemplate(files[3][1][:, 60:115].copy())  # 55 frames
+    t_c = InputTemplate(files[2][1][:, 5:43].copy())    # 38 frames
+    rs = db.query_batch([t_a, t_b, t_c], k=2)
+    assert len(rs) == 3
+    # each self-plant found at its own offset
+    assert rs[0].frames[1, 0] == 10 and abs(rs[0].sims[1, 0] - 1) < 1e-3
+    assert rs[1].frames[3, 0] == 60 and abs(rs[1].sims[3, 0] - 1) < 1e-3
+    assert rs[2].frames[2, 0] == 5 and abs(rs[2].sims[2, 0] - 1) < 1e-3
+    # bucketed results must equal per-template queries
+    for t, r in zip([t_a, t_b, t_c], rs):
+        single = db.query(t, k=2)
+        np.testing.assert_allclose(r.sims, single.sims, atol=1e-6)
+        np.testing.assert_array_equal(r.frames, single.frames)
