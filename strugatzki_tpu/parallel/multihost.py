@@ -8,7 +8,10 @@ process-count agnostic because every sharded array is placed with
 SPMD with replicated templates (all cross-chip traffic is the tiny top-k
 gather, riding ICI within a slice and DCN across hosts).
 
-UNTESTED in this environment (single host, one chip) — see docs/STATUS.md.
+Smoke-tested with two local processes joining a ``jax.distributed`` group
+over localhost (4 virtual CPU devices each → an 8-device global mesh,
+sharded query answered SPMD): tests/test_multihost.py.  Real DCN transport
+still needs a multi-host pod to exercise.
 """
 
 from __future__ import annotations
