@@ -113,41 +113,58 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
     Small files are grouped (same sample rate, up to 16) into single
     vmapped device dispatches — per-file dispatch overhead dominates small
     files on remote chips — while large files take the streaming path.
-    Prints the reference's per-file transcript (Strugatzki.scala:495-511
-    incl. the ``success = … - tail? …`` debug line) and aborts the chain on
-    the first failure.
+    The transcript interleaves per file exactly like the reference's
+    sequential chain (Strugatzki.scala:495-511, :610-631):
+    ``Starting extraction…`` / 25-# bar + ``  Success.`` /
+    ``success = … - tail? …`` — in grouped mode the first file's
+    ``Starting`` line prints before the device dispatch, the group computes
+    asynchronously, and each file's results are fetched and reported in
+    order while the rest of the group is still in flight.  The chain aborts
+    on the first failure.
     """
     import os
     import traceback
 
-    from ..dsp.frontend import extract_features_batch, num_output_frames
+    from ..dsp.frontend import (extract_features_batch, finalize_features,
+                                num_output_frames)
     from ..io import audiofile as af_
 
-    group: list = []           # (head, cfg, mono, sr)
-    results: list = []         # (head, ok)
+    in_files = list(in_files)
+    group: list = []           # (index, head, cfg, mono, sr)
+    done = 0                   # files fully reported
 
-    def flush_group() -> bool:
+    def report(idx: int, success: bool) -> None:
+        # the reference's whenDone debug line (Strugatzki.scala:507)
+        nonlocal done
+        done += 1
+        tail = idx + 1 < len(in_files)
+        print(f"success = {'true' if success else 'false'} - "
+              f"tail? {'true' if tail else 'false'}")
+
+    def flush_group() -> None:
         if not group:
-            return True
-        sr = group[0][3]
-        feats_b = extract_features_batch([m for _, _, m, _ in group], sr)
-        for i, (head, cfg, mono, _) in enumerate(group):
+            return
+        sr = group[0][4]
+        # announce the first file, then dispatch the whole group async: the
+        # transcript below overlaps the device compute
+        print(f"Starting extraction... {os.path.basename(group[0][1])}")
+        feats_dev, _ = extract_features_batch(
+            [m for _, _, _, m, _ in group], sr, as_device=True)
+        for i, (idx, head, cfg, mono, _) in enumerate(group):
+            if i > 0:
+                print(f"Starting extraction... {os.path.basename(head)}")
             total = num_output_frames(len(mono), cfg.step_size)
-            feats = fix_nans(feats_b[i, :, :total])
+            feats = fix_nans(finalize_features(feats_dev[i], total))
             af_.write(cfg.feature_output, feats,
                       af_.feature_spec(cfg.num_features, sr / cfg.step_size))
             if cfg.meta_output:
                 cfg.save_xml(cfg.meta_output)
-            print(f"Starting extraction... {os.path.basename(head)}")
             print("#" * 25 + "  Success.")
-            results.append((head, True))
+            report(idx, True)
         group.clear()
-        return True
-
-    import os
 
     ok = True
-    for head in in_files:
+    for idx, head in enumerate(in_files):
         name1 = os.path.splitext(os.path.basename(head))[0]
         cfg = ExtractionConfig(
             audio_input=head,
@@ -162,7 +179,7 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
                 proc = FeatureExtraction.run(cfg)
                 proc.result()
                 print("#" * 25 + "  Success.")
-                results.append((head, True))
+                report(idx, True)
                 continue
             audio, spec = af_.read(head)
             if cfg.channels_behavior == ChannelsBehavior.MIX:
@@ -175,9 +192,9 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
                     and (spec.num_channels == 1
                          or cfg.channels_behavior != ChannelsBehavior.MIX)):
                 mono = np.round(mono * 32768.0).astype(np.int16)
-            if group and group[0][3] != spec.sample_rate:
+            if group and group[0][4] != spec.sample_rate:
                 flush_group()
-            group.append((head, cfg, mono, spec.sample_rate))
+            group.append((idx, head, cfg, mono, spec.sample_rate))
             if len(group) >= 16:
                 flush_group()
         except Exception as e:  # noqa: BLE001 - per-file failure ends the chain
@@ -185,16 +202,11 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
             print(f"Starting extraction... {os.path.basename(head)}")
             print("  Failed: ")
             traceback.print_exception(type(e), e, e.__traceback__)
-            results.append((head, False))
+            report(idx, False)
             ok = False
             break
     if ok:
         flush_group()
-    # transcript parity: the reference's per-file debug line (:507)
-    for i, (_, success) in enumerate(results):
-        tail = i + 1 < len(in_files)
-        print(f"success = {'true' if success else 'false'} - "
-              f"tail? {'true' if tail else 'false'}")
     return 0 if ok else 1
 
 

@@ -320,17 +320,24 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
                            fft_size: int = 1024, fft_overlap: int = 2,
                            smask: float = C.SPECTRAL_MASK_DEFAULT,
                            tmask: float = C.TEMPORAL_MASK_DEFAULT,
-                           block_frames: int = BLOCK_FRAMES) -> np.ndarray:
+                           block_frames: int = BLOCK_FRAMES,
+                           as_device: bool = False):
     """Batch extraction: list of equal-rate mono signals → ``[B, C, F_max]``
     features (each file's valid length is ``num_output_frames(len_i, step)``;
     the tail beyond it holds silence features).  One device dispatch for the
-    whole batch — the 1k-file sweep path."""
+    whole batch — the 1k-file sweep path.
+
+    With ``as_device=True`` returns the async device handle
+    ``([B, nb, C, block], per-file frame totals)`` so callers can overlap
+    host work (e.g. a live per-file transcript) with the device compute and
+    fetch per-file slices via :func:`finalize_features`."""
     step = fft_size // fft_overlap
     audios = [np.asarray(a) for a in audios]
     totals = [num_output_frames(len(a), step) for a in audios]
     total_max = max(totals)
     if total_max == 0:
-        return np.zeros((len(audios), num_coeffs + 1, 0), np.float32)
+        empty = np.zeros((len(audios), num_coeffs + 1, 0), np.float32)
+        return (empty, totals) if as_device else empty
     consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
                             float(smask), float(tmask))
     block, num_blocks = _plan_shapes(total_max, block_frames)
@@ -347,6 +354,8 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     feats, _ = _extract_scan_batch(
         _staged_put(padded), carry0, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
+    if as_device:
+        return feats, totals
     out = np.asarray(feats)  # [B, nb, C, block]
     out = out.transpose(0, 2, 1, 3).reshape(len(audios), num_coeffs + 1, -1)
     return out[:, :, :total_max].copy()

@@ -305,9 +305,19 @@ class FeatureDatabase:
 
     def query(self, template: InputTemplate, temp_weight: float = 0.5,
               max_boost: float = 8.0, k: int = 4,
-              with_traces: bool = False):
+              with_traces: bool = False,
+              exact_rerank: Optional[bool] = None):
         """One-dispatch punch query → :class:`QueryResult` (and optionally
-        the dense (sims, boosts) traces for exact host-side replay)."""
+        the dense (sims, boosts) traces for exact host-side replay).
+
+        ``exact_rerank`` recomputes the returned top-k candidates' sims and
+        boosts exactly on host (float64 mirror over the raw features) and
+        re-sorts each file's hits — it defaults to ON for reduced-precision
+        storage (e.g. bfloat16, whose device sims are only good to ~1e-2),
+        so compact databases return exact values automatically.  Candidates
+        bf16 ranked *outside* the top-k are still lost; raise ``k`` or use a
+        float32 database when recall at that margin matters.
+        """
         out = _query_kernel(
             self._xs, self._lens_dev,
             template.device_temporal(), template.device_spectral(),
@@ -319,10 +329,48 @@ class FeatureDatabase:
         # (~tens of ms on tunneled chips)
         if with_traces:
             vals, idx, boosts_k, sims, boosts = jax.device_get(out)
-            return (QueryResult(vals, idx, list(self.files), boosts_k),
-                    (sims, boosts, self._lens))
-        vals, idx, boosts_k = jax.device_get(out[:3])
-        return QueryResult(vals, idx, list(self.files), boosts_k)
+            res = QueryResult(vals, idx, list(self.files), boosts_k)
+        else:
+            vals, idx, boosts_k = jax.device_get(out[:3])
+            res = QueryResult(vals, idx, list(self.files), boosts_k)
+        if exact_rerank is None:
+            exact_rerank = self._xs.dtype != jnp.float32
+        if exact_rerank:
+            self._rerank_exact(res, template, temp_weight, max_boost)
+        if with_traces:
+            return res, (sims, boosts, self._lens)
+        return res
+
+    def _rerank_exact(self, res: QueryResult, template: InputTemplate,
+                      temp_weight: float, max_boost: float) -> None:
+        """Replace each returned candidate's (sim, boost) with the exact
+        host-side value (f64-mirror math over the raw stacked features) and
+        re-sort every file's k hits."""
+        from ..analysis.correlation import _single_window_trace
+
+        # device_get hands back read-only views; re-ranking mutates
+        res.sims = np.array(res.sims)
+        res.frames = np.array(res.frames)
+        if res.boosts is not None:
+            res.boosts = np.array(res.boosts)
+        L = template.num_frames
+        for i in range(res.sims.shape[0]):
+            for j in range(res.sims.shape[1]):
+                if not np.isfinite(res.sims[i, j]):
+                    continue
+                t = int(res.frames[i, j])
+                stop = min(t + L, int(self._lens[i]))
+                win = self._raw[i][:, t:stop]
+                sim, boost = _single_window_trace(
+                    win, self.norm, template, temp_weight, max_boost)
+                res.sims[i, j] = sim[0]
+                if res.boosts is not None:
+                    res.boosts[i, j] = boost[0]
+            order = np.argsort(-np.nan_to_num(res.sims[i], nan=-np.inf))
+            res.sims[i] = res.sims[i][order]
+            res.frames[i] = res.frames[i][order]
+            if res.boosts is not None:
+                res.boosts[i] = res.boosts[i][order]
 
     def query_punch(self, punch_in: InputTemplate, punch_out: InputTemplate,
                     min_punch: int, max_punch: int,

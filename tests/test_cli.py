@@ -148,3 +148,30 @@ def test_cli_channels_flag(demo, tmp_path):
     np.testing.assert_array_equal(a, b)
     r = run_cli("-f", "-d", str(d1), "-c", "bogus", str(snd / "tones.aif"))
     assert r.returncode == 1
+
+
+def test_batch_transcript_sequential_order(tmp_path):
+    """Grouped `-f` mode must interleave the transcript per file exactly
+    like the reference's sequential chain (Strugatzki.scala:495-511,
+    :610-631): Starting / bar+Success / `success = … - tail? …` triplets,
+    in input order, with tail? false only on the last file."""
+    snd = tmp_path / "snd"
+    db = tmp_path / "db"
+    snd.mkdir()
+    db.mkdir()
+    sr = 44100
+    rng = np.random.default_rng(7)
+    for name in ("a", "b", "c"):
+        x = (0.2 * rng.standard_normal(sr // 2)).astype(np.float32)
+        af.write(snd / f"{name}.aif", x[None],
+                 AudioFileSpec(AIFF, SampleFormat.INT16, 1, float(sr)))
+    r = run_cli("-f", "-d", str(db),
+                str(snd / "a.aif"), str(snd / "b.aif"), str(snd / "c.aif"))
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    expect = []
+    for i, name in enumerate(("a", "b", "c")):
+        expect.append(f"Starting extraction... {name}.aif")
+        expect.append("#" * 25 + "  Success.")
+        expect.append(f"success = true - tail? {'true' if i < 2 else 'false'}")
+    assert lines == expect, lines

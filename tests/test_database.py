@@ -123,10 +123,16 @@ def test_bfloat16_storage_mode(db_entries):
     db16 = FeatureDatabase(db_entries, norm=None, pad_multiple=64,
                            storage_dtype=jnp.bfloat16)
     r32 = db32.query(tmpl, k=2)
+    # raw bf16 sims (re-rank off): half the HBM, top hits preserved, ~1e-2
+    r16_raw = db16.query(tmpl, k=2, exact_rerank=False)
+    assert r16_raw.frames[5, 0] == r32.frames[5, 0] == 40
+    np.testing.assert_allclose(r16_raw.sims, r32.sims, atol=2e-2)
+    # automatic exact re-rank (default for bf16): values exact again
     r16 = db16.query(tmpl, k=2)
-    # half the HBM, top hits preserved, sims good to ~1e-2
-    assert r16.frames[5, 0] == r32.frames[5, 0] == 40
-    np.testing.assert_allclose(r16.sims, r32.sims, atol=2e-2)
+    assert r16.frames[5, 0] == 40
+    np.testing.assert_allclose(r16.sims[5], r32.sims[5], atol=3e-5)
+    assert abs(r16.sims[5, 0] - 1.0) < 3e-5
+    np.testing.assert_allclose(r16.boosts[5, 0], 1.0, atol=1e-3)
 
 
 def test_from_folder(tmp_path, db_entries):
