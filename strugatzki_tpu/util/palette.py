@@ -4,16 +4,26 @@ Re-creation of the ``de.sciss.intensitypalette.IntensityPalette`` ramp the
 reference uses for self-similarity images (SelfSimilarityImpl.scala:109-110):
 a psycho-optically even gradient "from black over violet towards yellow and
 finally white" (SelfSimilarity.scala:48-54), originally from Niklas Werner's
-Sonasound.  The exact table is not in the reference repository; this is a
-perceptually equivalent piecewise-linear reconstruction over the same hue
-trajectory — swap the anchor table to calibrate byte-exactly if needed.
+Sonasound.  The exact table is not in the reference repository (and this
+build environment has no network to fetch the public
+``de.sciss.intensitypalette`` source), so the default is a perceptually
+equivalent piecewise-linear reconstruction over the same hue trajectory.
+
+Byte-exact calibration is a drop-in swap: point ``STRUGATZKI_PALETTE`` at
+(or call :func:`load_palette` with) the verbatim table — one ``0xRRGGBB``
+value per entry, as hex lines or a JSON array, exactly as it appears in
+IntensityPalette.scala — and every palette lookup uses it unchanged.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
-__all__ = ["intensity_rgb", "apply_palette", "NUM_COLORS"]
+__all__ = ["intensity_rgb", "apply_palette", "load_palette",
+           "reset_palette", "NUM_COLORS"]
 
 NUM_COLORS = 1024
 
@@ -40,6 +50,44 @@ def _build_table() -> np.ndarray:
 
 
 _TABLE = _build_table()
+
+
+def reset_palette() -> None:
+    """Return to the built-in reconstruction table."""
+    global _TABLE, NUM_COLORS
+    NUM_COLORS = 1024
+    _TABLE = _build_table()
+
+
+def load_palette(values) -> None:
+    """Install an exact palette table: a sequence of ``0xRRGGBB`` ints (or
+    hex strings), used verbatim as the lookup table from then on."""
+    global _TABLE, NUM_COLORS
+    vals = [int(v, 16) if isinstance(v, str) else int(v) for v in values]
+    if len(vals) < 2:
+        raise ValueError("palette table needs at least 2 entries")
+    arr = np.array(vals, dtype=np.int64)
+    _TABLE = np.stack([(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF],
+                      axis=1).astype(np.uint8)
+    NUM_COLORS = len(vals)
+
+
+def _load_palette_file(path: str) -> None:
+    with open(path) as f:
+        text = f.read()
+    try:
+        load_palette(json.loads(text))
+        return
+    except (json.JSONDecodeError, ValueError, TypeError):
+        pass
+    lines = [ln.strip().rstrip(",") for ln in text.splitlines()]
+    vals = [ln for ln in lines if ln and not ln.startswith(("#", "//"))]
+    load_palette([int(v, 16) if v.lower().startswith("0x") else int(v)
+                  for v in vals])
+
+
+if os.environ.get("STRUGATZKI_PALETTE"):
+    _load_palette_file(os.environ["STRUGATZKI_PALETTE"])
 
 
 def intensity_rgb(value: float) -> tuple:

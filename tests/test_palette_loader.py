@@ -1,0 +1,40 @@
+"""Exact-palette drop-in: load_palette / STRUGATZKI_PALETTE install a
+verbatim IntensityPalette table (docs/PARITY.md §Transcribed)."""
+
+import numpy as np
+
+from strugatzki_tpu.util import palette as P
+
+
+def _restore():
+    P.reset_palette()
+
+
+def test_load_palette_verbatim():
+    try:
+        P.load_palette([0x000000, 0x400080, 0xFF8000, 0xFFFFFF])
+        assert P.NUM_COLORS == 4
+        assert P.intensity_rgb(0.0) == (0, 0, 0)
+        assert P.intensity_rgb(1.0) == (255, 255, 255)
+        assert P.intensity_rgb(1.0 / 3.0) == (0x40, 0x00, 0x80)
+        out = P.apply_palette(np.array([0.0, 2.0 / 3.0, 1.0]))
+        np.testing.assert_array_equal(out[1], [0xFF, 0x80, 0x00])
+    finally:
+        _restore()
+
+
+def test_load_palette_file_formats(tmp_path):
+    try:
+        pj = tmp_path / "pal.json"
+        pj.write_text("[0, 65280, 16711680]")
+        P._load_palette_file(str(pj))
+        assert P.NUM_COLORS == 3
+        assert P.intensity_rgb(0.5) == (0, 255, 0)
+
+        ph = tmp_path / "pal.txt"
+        ph.write_text("// IntensityPalette.scala seq\n0x000000,\n0x123456,\n0xFFFFFF\n")
+        P._load_palette_file(str(ph))
+        assert P.NUM_COLORS == 3
+        assert P.intensity_rgb(0.5) == (0x12, 0x34, 0x56)
+    finally:
+        _restore()
