@@ -14,8 +14,9 @@ compresses, so constant test patterns appear 3-5x faster than real audio
 — full experiment log in docs/BENCH_LINK.md).  That makes the pipeline
 transfer-bound: the wire-implied ceiling (bandwidth / 88200 bytes-per-
 audio-second) is printed alongside so every captured BENCH record carries
-its own context.  Device-resident compute throughput (~3,600x realtime,
-above the north star) is reported too; on a production PCIe-attached chip
+its own context.  Device-resident compute throughput (~23,000x realtime
+after the dB->phon interpolation fix; ~70,000x net of dispatch RTT) is
+reported too; on a production PCIe-attached chip
 (>= 8 GB/s) the same pipeline's transfer bound sits above 90,000x
 realtime.
 """
@@ -79,7 +80,7 @@ def main() -> None:
 
     # ---- end-to-end throughput: staged chunked uploads (≤24 MB pieces; the
     # relay collapses on larger single transfers), device-side assembly, one
-    # scan dispatch, result fetch.  Compute is ~0.3 s device-resident vs
+    # scan dispatch, result fetch.  Compute is ~40 ms device-resident vs
     # ~2.4 s of wire, so wall ≈ wire; best-of-3: the tunnel stalls randomly.
     rounds = []
     for _ in range(3):

@@ -250,9 +250,16 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
 
     # dB → phon via the band's equal-loudness contour (linear interpolation
     # across the 11 tabulated levels, extrapolated above 100 phon); bands
-    # below their 2-phon threshold are inaudible
-    phon = jax.vmap(jnp.interp, in_axes=(1, 0, None), out_axes=1)(
-        masked, contours_ext, phons_ext)
+    # below their 2-phon threshold are inaudible.  Branchless gather-free
+    # piecewise-linear form — equivalent to jnp.interp for the strictly
+    # increasing contour rows, but interp's searchsorted lowering costs
+    # ~250 ms per 960 s of audio on TPU vs ~2 ms for this sum of clipped
+    # segments (docs/BENCH_LINK.md §5)
+    dc = contours_ext[:, 1:] - contours_ext[:, :-1]          # [42, S]
+    dp = phons_ext[1:] - phons_ext[:-1]                      # [S]
+    seg = jnp.clip((masked[:, :, None] - contours_ext[None, :, :-1])
+                   / dc[None, :, :], 0.0, 1.0)               # [F, 42, S]
+    phon = phons_ext[0] + (seg * dp[None, None, :]).sum(axis=-1)
     sones = jnp.where(masked > thresh_db[None, :],
                       jnp.exp2((phon - C.SONE_PIVOT_PHON) * 0.1), 0.0)
     loud = sones.sum(axis=1) / 32.0                          # [F]
