@@ -131,7 +131,7 @@ def main() -> None:
     # DB < 1s). Off by default: axon remote compiles don't hit the
     # persistent cache, and each extra program risks minutes of compile.
     # Measured on this chip (2026-08-16): resident-DB query of 64 x 2-min
-    # files in ~0.3 ms ≈ 2.2e9 windows/s → 10k-file query ≈ 0.05 s.
+    # files in ~46 ms incl. relay RTT -> 10k-file estimate ~0.09 s.
     if not os.environ.get("BENCH_CORRELATION"):
         print("correlation bench skipped (set BENCH_CORRELATION=1)",
               file=sys.stderr)
