@@ -107,7 +107,8 @@ def main() -> None:
         padded[:, fft - step:fft - step + n] = audio
         x_dev = FE._staged_put(padded)
         int(_probe(x_dev[0]))  # ensure resident
-        carry0 = jnp.zeros((reps, 42), jnp.float32)
+        from strugatzki_tpu.dsp.ml_tables import ERB_BANDS
+        carry0 = jnp.zeros((reps, ERB_BANDS), jnp.float32)
 
         @jax.jit
         def _probe_out(o):

@@ -131,12 +131,9 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
 
     in_files = list(in_files)
     group: list = []           # (index, head, cfg, mono, sr)
-    done = 0                   # files fully reported
 
     def report(idx: int, success: bool) -> None:
         # the reference's whenDone debug line (Strugatzki.scala:507)
-        nonlocal done
-        done += 1
         tail = idx + 1 < len(in_files)
         print(f"success = {'true' if success else 'false'} - "
               f"tail? {'true' if tail else 'false'}")

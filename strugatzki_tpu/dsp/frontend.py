@@ -343,8 +343,11 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     totals = [num_output_frames(len(a), step) for a in audios]
     total_max = max(totals)
     if total_max == 0:
-        empty = np.zeros((len(audios), num_coeffs + 1, 0), np.float32)
-        return (empty, totals) if as_device else empty
+        if as_device:
+            # block-shaped like the device handle so finalize_features works
+            return np.zeros((len(audios), 1, num_coeffs + 1, 0),
+                            np.float32), totals
+        return np.zeros((len(audios), num_coeffs + 1, 0), np.float32)
     consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
                             float(smask), float(tmask))
     block, num_blocks = _plan_shapes(total_max, block_frames)

@@ -87,7 +87,12 @@ def _load_palette_file(path: str) -> None:
 
 
 if os.environ.get("STRUGATZKI_PALETTE"):
-    _load_palette_file(os.environ["STRUGATZKI_PALETTE"])
+    try:
+        _load_palette_file(os.environ["STRUGATZKI_PALETTE"])
+    except Exception as e:  # surface the cause, not a bare traceback
+        raise RuntimeError(
+            f"STRUGATZKI_PALETTE: cannot load palette table from "
+            f"{os.environ['STRUGATZKI_PALETTE']!r}: {e}") from e
 
 
 def intensity_rgb(value: float) -> tuple:

@@ -56,3 +56,17 @@ def test_concurrent_processors_isolated(tmp_path):
         proc.result(timeout=300)
         got, _ = af.read(tmp_path / f"out{i}.aif")
         np.testing.assert_allclose(got, refs[i], atol=1e-6)
+
+
+def test_batch_as_device_zero_frames():
+    """Files shorter than one step produce 0 feature frames; the as_device
+    handle must still be block-shaped so finalize_features works (the
+    grouped -f CLI path hits this for sub-12ms files)."""
+    from strugatzki_tpu.dsp.frontend import (extract_features_batch,
+                                             finalize_features)
+    tiny = [np.zeros(100, np.float32), np.zeros(400, np.float32)]
+    feats_dev, totals = extract_features_batch(tiny, 44100.0, as_device=True)
+    assert totals == [0, 0]
+    for i in range(2):
+        out = finalize_features(feats_dev[i], totals[i])
+        assert out.shape == (14, 0)

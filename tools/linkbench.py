@@ -71,7 +71,8 @@ def main() -> None:
     padded[:, fft - step:fft - step + n] = audio
     x_dev = FE._staged_put(padded)
     int(probe(x_dev))
-    carry0 = jnp.zeros((reps, 42), jnp.float32)
+    from strugatzki_tpu.dsp.ml_tables import ERB_BANDS
+    carry0 = jnp.zeros((reps, ERB_BANDS), jnp.float32)
 
     def run_resident():
         t0 = time.perf_counter()
