@@ -1,0 +1,86 @@
+"""Resident-database serving walkthrough.
+
+The reference re-reads every feature file from disk for every search; the
+TPU-native serving model stages the whole database in HBM once and answers
+queries in single dispatches.  This example builds a tiny in-memory
+database and exercises the full serving surface:
+
+    python examples/serving.py            # CPU by default off-TPU
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from strugatzki_tpu.analysis.correlation import InputTemplate
+from strugatzki_tpu.parallel.database import FeatureDatabase
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    step = 512
+
+    # a database of 32 two-minute-ish feature matrices [14, T]
+    files = []
+    for i in range(32):
+        base = rng.uniform(0.3, 0.7, size=(14, 1))
+        feats = np.abs(base + 0.1 * rng.standard_normal((14, 2000 + 31 * i)))
+        files.append((f"take{i:02d}.aif", feats.astype(np.float32)))
+    # plant a punch-in + punch-out pair in take07 (in @400, out @650)
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((14, 900))).astype(np.float32)
+    files[7][1][:, 400:460] = inp[:, 100:160]
+    files[7][1][:, 650:690] = inp[:, 700:740]
+
+    # one-time staging: normalize + group-shift fused on device
+    db = FeatureDatabase(files, norm=None)
+    print(f"staged {db.num_files} files on device")
+
+    # 1. single punch query — one dispatch, boost-aware matches
+    tmpl = InputTemplate(inp[:, 100:160].copy())
+    res = db.query(tmpl, k=3)
+    m = res.matches(punch_len=60, step_size=step, k_total=3)[0]
+    print(f"query:        {m.file} @ frame {m.punch.start // step} "
+          f"sim={m.sim:.3f} boost={m.boost_in:.2f}")
+
+    # 2. punch-in x punch-out search in ONE dispatch: the banded combine
+    #    over punch lengths runs on device
+    t_out = InputTemplate(inp[:, 700:740].copy())
+    pres = db.query_punch(tmpl, t_out, min_punch=200, max_punch=300, k=2)
+    pm = pres.matches(step_size=step, k_total=1)[0]
+    print(f"query_punch:  {pm.file} frames "
+          f"{pm.punch.start // step}..{pm.punch.stop // step} "
+          f"sim={pm.sim:.3f} boosts=({pm.boost_in:.2f}, {pm.boost_out:.2f})")
+
+    # 3. many templates, mixed lengths — bucketed into few dispatches
+    batch = db.query_batch([tmpl, t_out, InputTemplate(files[3][1][:, :80].copy())])
+    print(f"query_batch:  {len(batch)} results; best files: "
+          f"{[r.matches(1, step, 1)[0].file for r in batch]}")
+
+    # 4. bfloat16 capacity mode: half the HBM; top-k re-ranked exactly on
+    #    host automatically
+    import jax.numpy as jnp
+    db16 = FeatureDatabase(files, norm=None, storage_dtype=jnp.bfloat16)
+    r16 = db16.query(tmpl, k=3)
+    print(f"bf16+rerank:  sim={r16.matches(60, step, 1)[0].sim:.6f} "
+          f"(exact to ~1e-5)")
+
+    # 5. durable serving artifact: save/load skips per-file parsing
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "db.npz")
+        db.save(p)
+        db2 = FeatureDatabase.load(p)
+        r2 = db2.query(tmpl, k=1)
+        print(f"save/load:    best frame {int(r2.frames.max(initial=0))} "
+              f"(same database, re-staged in one pass)")
+
+    # 6. multi-chip: pass mesh=make_files_mesh() to shard the files axis
+    #    (see tests/test_database.py::test_sharded_query_punch_matches_single
+    #    and tests/test_multihost.py for the multi-process path)
+
+
+if __name__ == "__main__":
+    main()

@@ -157,3 +157,28 @@ def test_from_folder(tmp_path, db_entries):
     res = db.query(InputTemplate(tmpl_block), k=1)
     assert res.frames[1, 0] == 20
     assert abs(res.sims[1, 0] - 1.0) < 1e-3
+
+
+def test_sharded_query_punch_matches_single(db_entries):
+    """query_punch runs SPMD over a files mesh unchanged (the kernel's vmap
+    shards with the inputs); results must match the single-device path."""
+    from strugatzki_tpu.analysis.correlation import InputTemplate as IT
+
+    entries = [(n, f.copy()) for n, f in db_entries[:8]]
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    t_in = IT(entries[3][1][:, 10:40].copy())
+    t_out = IT(entries[3][1][:, 100:120].copy())
+    db1 = FeatureDatabase(entries, norm=None, pad_multiple=64)
+    db2 = FeatureDatabase(entries, norm=None, pad_multiple=64,
+                          mesh=make_files_mesh())
+    # punch range excludes file3's own in..out distance (90) so the
+    # planted pair in file5 (distance 80) is the unique perfect hit
+    r1 = db1.query_punch(t_in, t_out, min_punch=70, max_punch=85, k=2)
+    r2 = db2.query_punch(t_in, t_out, min_punch=70, max_punch=85, k=2)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    np.testing.assert_array_equal(r1.punch_lens, r2.punch_lens)
+    m = r2.matches(step_size=512, k_total=1)[0]
+    assert m.file == entries[5][0]
+    assert m.punch.start == 30 * 512 and m.punch.stop == 110 * 512
