@@ -417,7 +417,11 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                         if n2 > 0:
                             base = po_off0 + seek
                             seg = tout_full[base:base + n2]
-                            sims_c = np.sqrt(np.float32(in_sim) * seg).astype(np.float32)
+                            with np.errstate(invalid="ignore"):
+                                # NaN for negative products is the
+                                # reference's own behavior (:370)
+                                sims_c = np.sqrt(
+                                    np.float32(in_sim) * seg).astype(np.float32)
                             pi_off = t_in_off + i
                             k = 0
                             while k < n2:

@@ -14,7 +14,8 @@ import numpy as np
 
 from strugatzki_tpu.dsp.frontend import extract_features
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "features_v1.npz")
+# v2: regenerated for the ML.cpp-transcribed front-end (round 2)
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "features_v2.npz")
 
 
 def _signals():
