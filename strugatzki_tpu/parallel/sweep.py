@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..kernels import corr as K
 
 __all__ = ["make_files_mesh", "batched_correlation_traces",
-           "sharded_sweep_step", "pad_stack", "sharded_long_file_trace"]
+           "sharded_sweep_step", "pad_stack", "sharded_long_file_trace",
+           "sharded_extract_long"]
 
 
 def make_files_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -138,6 +139,71 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
     sims = np.asarray(sims).reshape(-1)[:n_dev * per]
     boosts = np.asarray(boosts).reshape(-1)[:n_dev * per]
     return sims[:W].copy(), boosts[:W].copy()
+
+
+def sharded_extract_long(audio: np.ndarray, sample_rate: float,
+                         mesh: Mesh, num_coeffs: int = 13,
+                         fft_size: int = 1024, fft_overlap: int = 2):
+    """Feature extraction of ONE very long file, time axis sharded over the
+    mesh — context parallelism for the DSP front-end.
+
+    Output frames are split into contiguous per-chip ranges.  The pipeline's
+    only cross-frame state is temporal masking, and the masking floor of
+    frame ``t`` is the *spectral* excitation of frame ``t−1`` (no
+    recursion, dsp/frontend.py) — so each shard recomputes exactly one halo
+    frame to seed its carry and every result frame is identical to the
+    sequential path (no collectives at all; the feature gather happens on
+    fetch).  Shard 0's halo frame is the zero-padded pre-signal window, the
+    same silence the sequential carry encodes.
+
+    ``audio``: mono float32 (±1) or raw int16.  Returns ``[C, F]`` features,
+    ``F = ceil(len(audio)/step) − 1``, equal to
+    ``dsp.frontend.extract_features`` within f32 plan tolerance (≤2e-5).
+    """
+    from ..dsp import frontend as FE
+    from ..dsp.ml_tables import ERB_BANDS
+
+    audio = np.asarray(audio)
+    if audio.dtype != np.int16:
+        audio = audio.astype(np.float32, copy=False)
+    step = fft_size // fft_overlap
+    total = FE.num_output_frames(len(audio), step)
+    C = num_coeffs + 1
+    if total == 0:
+        return np.zeros((C, 0), np.float32)
+
+    n_dev = mesh.devices.size
+    per = -(-total // n_dev)                 # result frames per shard
+    frames_local = per + 1                   # + the halo frame
+    block, nb = FE._plan_shapes(frames_local, FE.BLOCK_FRAMES)
+    slab_len = nb * block * step + fft_size - step
+
+    # global sample layout: window of frame g is padded[g*step : g*step+fft]
+    left_pad = fft_size - step
+    lead = left_pad + step                   # shard 0's halo frame is g = −1
+    padded = np.zeros(lead + max(len(audio),
+                                 (n_dev * per) * step + fft_size), audio.dtype)
+    padded[lead:lead + len(audio)] = audio
+    slabs = np.zeros((n_dev, slab_len), audio.dtype)
+    for d in range(n_dev):
+        g0 = d * per - 1                     # first local frame (halo)
+        s0 = lead + g0 * step - left_pad
+        src = padded[s0:s0 + slab_len]
+        slabs[d, :len(src)] = src
+
+    consts = FE._device_consts(float(sample_rate), fft_size, num_coeffs,
+                               FE.C.SPECTRAL_MASK_DEFAULT,
+                               FE.C.TEMPORAL_MASK_DEFAULT)
+    shard = NamedSharding(mesh, P("files"))
+    carry0 = jnp.zeros((n_dev, ERB_BANDS), jnp.float32)
+    feats, _ = FE._extract_scan_batch(
+        jax.device_put(jnp.asarray(slabs), shard),
+        jax.device_put(carry0, shard), *consts,
+        num_blocks=nb, block=block, fft_size=fft_size, step=step)
+    out = np.asarray(feats)                  # [n_dev, nb, C, block]
+    out = out.transpose(0, 2, 1, 3).reshape(n_dev, C, -1)
+    out = out[:, :, 1:per + 1]               # drop each shard's halo frame
+    return np.concatenate(list(out), axis=1)[:, :total].copy()
 
 
 def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):

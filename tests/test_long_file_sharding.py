@@ -40,3 +40,29 @@ def test_uneven_split():
     s, b = sharded_long_file_trace(xs, sh, tmpl, 0.5, 8.0, mesh)
     assert len(s) == 160 - 60 + 1
     assert int(np.argmax(s)) == 30
+
+
+def test_sharded_extract_long_matches_sequential():
+    """Time-sharded extraction (context parallelism for the DSP front-end)
+    must reproduce the sequential pipeline: the one-frame excitation halo
+    seeds each shard's temporal-masking carry exactly."""
+    from strugatzki_tpu.dsp.frontend import extract_features
+    from strugatzki_tpu.parallel.sweep import (make_files_mesh,
+                                               sharded_extract_long)
+
+    rng = np.random.default_rng(3)
+    mesh = make_files_mesh()
+    x = (0.3 * rng.standard_normal(44100 * 5)).astype(np.float32)
+    f_sp = sharded_extract_long(x, 44100.0, mesh)
+    f_seq = extract_features(x, 44100.0)
+    assert f_sp.shape == f_seq.shape
+    np.testing.assert_allclose(f_sp[0], f_seq[0], atol=2e-5)
+    np.testing.assert_allclose(f_sp[1:], f_seq[1:], atol=2e-5)
+
+    # int16 raw path and a non-divisible frame count
+    xi = np.clip(np.round(x[: 44100 * 3 + 777] * 32768), -32768, 32767) \
+        .astype(np.int16)
+    f_sp = sharded_extract_long(xi, 44100.0, mesh)
+    f_seq = extract_features(xi, 44100.0)
+    assert f_sp.shape == f_seq.shape
+    np.testing.assert_allclose(f_sp, f_seq, atol=2e-5)
