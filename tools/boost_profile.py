@@ -1,0 +1,52 @@
+"""Replicate the reference author's boost-estimator experiment
+(notes/BoostFactor.txt) against OUR Loudness transcription.
+
+The note measures, with the real scsynth Loudness UGen, the error of
+``boost = exp(Δln/0.6)`` when a sine is attenuated by 0.5 — at nine
+frequencies.  Running the identical experiment against this framework's
+transcription calibrates the reconstruction empirically:
+
+    python tools/boost_profile.py
+
+Interpretation (docs/ML_DERIVATION.md): the error at frequency f is set by
+the local equal-loudness contour slope s = Δphon/ΔdB there
+(err ≈ 2^(1−s) − 1 for a 0.5 attenuation), so matching error magnitudes
+mean matching contour slopes.  Measured 2026-08-16: ours matches the
+scsynth profile within a few points at 200–1000 Hz and 5–10 kHz, but lacks
+its 28–30% bump at 3–4 kHz — evidence that ML.cpp tabulates *pre-2003*
+equal-loudness data (Robinson–Dadson era, much steeper mid-high slopes)
+rather than the ISO 226:2003 values this reconstruction uses.  The contour
+table remains the top item for a one-session check against the source.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+#: (frequency Hz -> % error) measured by the reference author with the
+#: real UGen (notes/BoostFactor.txt:20-29; sign not recorded)
+SCSYNTH = {200: 20, 300: 10, 400: 2.4, 1000: 0, 2000: 10, 3000: 30,
+           4000: 28, 5000: 3, 10000: 5}
+
+
+def main() -> None:
+    from strugatzki_tpu.dsp.frontend import extract_features
+
+    sr = 44100.0
+    t = np.arange(int(sr)) / sr
+    diff = 0.5
+    print(f"{'freq':>6} {'ours err%':>10} {'scsynth |err|%':>15}")
+    for f, ref_err in SCSYNTH.items():
+        x1 = np.sin(2 * np.pi * f * t).astype(np.float32)
+        l1 = extract_features(x1, sr)[0, 20:-20].mean()
+        l2 = extract_features((diff * x1).astype(np.float32), sr)[0, 20:-20].mean()
+        loss = np.exp((np.log(l2) - np.log(l1)) / 0.6)
+        err = (loss - diff) * 100 / diff
+        print(f"{f:>6} {err:>10.1f} {ref_err:>15}")
+
+
+if __name__ == "__main__":
+    main()
