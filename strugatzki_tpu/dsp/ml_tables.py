@@ -33,13 +33,15 @@ per-constant confidence are documented in docs/ML_DERIVATION.md; in brief:
 
 from __future__ import annotations
 
+import os
+import sys
 from functools import lru_cache
 
 import numpy as np
 
 __all__ = [
     "ERB_BANDS", "PHONS", "EQL_BAND_BINS_44100_1024", "erb_band_edges",
-    "band_centers_hz", "iso226_spl", "contour_table",
+    "band_centers_hz", "iso226_spl", "contour_table", "load_contour_table",
 ]
 
 #: Number of ERB-spaced loudness bands (ML.cpp uses a fixed 42).
@@ -155,10 +157,49 @@ def iso226_spl(freq_hz, phon) -> np.ndarray:
     return 10.0 / alpha * np.log10(np.maximum(a_f, 1e-30)) - lu + 94.0
 
 
+#: verbatim ``contours[42][11]`` override (see :func:`load_contour_table`)
+_EXACT_CONTOURS: "np.ndarray | None" = None
+
+
+def load_contour_table(values) -> None:
+    """Install ML.cpp's verbatim ``contours[42][11]`` table (42 rows × 11
+    dB values, any nesting/flat order) for the 44.1 kHz / FFT-1024
+    configuration — the drop-in for a source-check session
+    (docs/ML_DERIVATION.md: the one table not reconstructible offline).
+    The same monotonicity/audibility conditioning as the built-in
+    reconstruction is applied.  Pass ``None`` to revert."""
+    global _EXACT_CONTOURS
+    contour_table.cache_clear()
+    fe = sys.modules.get("strugatzki_tpu.dsp.frontend")
+    if fe is not None:  # drop cached bases built from the old table
+        fe.make_basis.cache_clear()
+        fe._device_consts.cache_clear()
+    if values is None:
+        _EXACT_CONTOURS = None
+        return
+    arr = np.asarray(values, np.float64).reshape(ERB_BANDS, len(PHONS))
+    _EXACT_CONTOURS = arr
+
+
+if os.environ.get("STRUGATZKI_CONTOURS"):
+    try:
+        load_contour_table(
+            np.loadtxt(os.environ["STRUGATZKI_CONTOURS"], dtype=np.float64))
+    except Exception as e:
+        raise RuntimeError(
+            f"STRUGATZKI_CONTOURS: cannot load contour table from "
+            f"{os.environ['STRUGATZKI_CONTOURS']!r}: {e}") from e
+
+
 @lru_cache(maxsize=16)
 def contour_table(sample_rate: float, fft_size: int) -> np.ndarray:
     """``[ERB_BANDS, len(PHONS)]`` dB values of each contour at each band
     centre (the transcription of ML.cpp's ``contours[42][11]``).
+
+    A verbatim table installed via :func:`load_contour_table` (or the
+    ``STRUGATZKI_CONTOURS`` env var: a text file ``np.loadtxt`` can read,
+    42×11) takes precedence for the UGen's native 44.1 kHz / FFT-1024
+    configuration.
 
     Two pragmatic adjustments, both confined to signal levels far below
     program material: every entry is floored at +0.1 dB so digital silence
@@ -166,10 +207,14 @@ def contour_table(sample_rate: float, fft_size: int) -> np.ndarray:
     contour and yields exactly zero sones, and rows are forced strictly
     increasing so the dB → phon interpolation is well defined.
     """
-    centers = band_centers_hz(sample_rate, fft_size)
-    table = np.empty((ERB_BANDS, len(PHONS)), np.float64)
-    for j, p in enumerate(PHONS):
-        table[:, j] = iso226_spl(centers, p)
+    if (_EXACT_CONTOURS is not None
+            and (sample_rate, fft_size) == (44100.0, 1024)):
+        table = _EXACT_CONTOURS.copy()
+    else:
+        centers = band_centers_hz(sample_rate, fft_size)
+        table = np.empty((ERB_BANDS, len(PHONS)), np.float64)
+        for j, p in enumerate(PHONS):
+            table[:, j] = iso226_spl(centers, p)
     table = np.maximum(table, 0.1)
     for j in range(1, len(PHONS)):
         table[:, j] = np.maximum(table[:, j], table[:, j - 1] + 0.01)

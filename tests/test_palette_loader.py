@@ -38,3 +38,29 @@ def test_load_palette_file_formats(tmp_path):
         assert P.intensity_rgb(0.5) == (0x12, 0x34, 0x56)
     finally:
         _restore()
+
+
+def test_contour_table_dropin():
+    """load_contour_table installs ML.cpp's verbatim contours[42][11] for
+    the 44.1k/1024 config (docs/ML_DERIVATION.md's one unrecoverable
+    table) and propagates through cached bases."""
+    import numpy as np
+    from strugatzki_tpu.dsp import ml_tables as T
+    from strugatzki_tpu.dsp.frontend import make_basis
+
+    default = T.contour_table(44100.0, 1024).copy()
+    try:
+        fake = np.tile(np.linspace(5, 105, 11), (42, 1)) + \
+            np.arange(42)[:, None]
+        T.load_contour_table(fake)
+        got = T.contour_table(44100.0, 1024)
+        np.testing.assert_allclose(got[:, 1:], fake[:, 1:])
+        assert make_basis(44100.0, 1024, 13).contours_ext[0, 0] == \
+            np.float32(fake[0, 0])
+        # other configs keep the reconstruction
+        other = T.contour_table(44100.0, 2048)
+        assert other.shape == (42, 11)
+        assert not np.allclose(other, fake)
+    finally:
+        T.load_contour_table(None)
+        np.testing.assert_allclose(T.contour_table(44100.0, 1024), default)
