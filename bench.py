@@ -81,7 +81,7 @@ def main() -> None:
     # ---- end-to-end throughput: staged chunked uploads (≤24 MB pieces; the
     # relay collapses on larger single transfers), device-side assembly, one
     # scan dispatch, result fetch.  Compute is ~40 ms device-resident vs
-    # ~2.4 s of wire, so wall ≈ wire; best-of-3: the tunnel stalls randomly.
+    # seconds of wire, so wall ≈ wire.
     # 3–6 rounds: stop once the best round is ≥80% wire time (the tunnel's
     # throughput drifts by the minute; extra rounds give the capture a
     # chance to catch a healthy phase without rewarding a lucky one)

@@ -56,26 +56,21 @@ def _gram_pair_group(wi_s, wj_s, stats_i, stats_j, temp_weight,
     return jax.vmap(one)(wi_s, wj_s, stats_i, stats_j)
 
 
-def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
-                           decim: int, temp_weight: float,
-                           check_aborted=lambda: None,
-                           progress=lambda f: None) -> np.ndarray:
-    """Similarity matrix ``[n, n]`` over decimated window starts of two
-    prepared (normalized, *jointly* shifted) feature matrices."""
+def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                        decim: int):
+    """Shared prep for the matrix and streaming paths: image extent ``n``,
+    block count, and per-block device windows + stats for both inputs
+    (starts padded so every block is full → one jit key for all pairs;
+    padded rows/cols are sliced away on write-back)."""
     af_len = min(x1.shape[1], x2.shape[1])
     win_len = half_win * 2
     num_corrs = max(0, af_len - win_len + 1)
     n = num_corrs // decim
     if n == 0:
-        return np.zeros((0, 0), np.float32)
-
-    # pad starts so every block is full → one jit key for all block pairs;
-    # the padded rows/cols are sliced away on write-back
+        return 0, 0, [], []
     num_blocks = (n + _BLOCK - 1) // _BLOCK
-    starts = np.minimum(np.arange(num_blocks * _BLOCK, dtype=np.int64), n - 1) * decim
-    xj1 = jnp.asarray(x1)
-    xj2 = jnp.asarray(x2)
-    tw = jnp.float32(temp_weight)
+    starts = np.minimum(np.arange(num_blocks * _BLOCK, dtype=np.int64),
+                        n - 1) * decim
 
     def blocks_of(xj):
         out = []
@@ -85,8 +80,22 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
             out.append((win, K.window_stats(win)))
         return out
 
-    blocks1 = blocks_of(xj1)
-    blocks2 = blocks1 if x2 is x1 else blocks_of(xj2)
+    blocks1 = blocks_of(jnp.asarray(x1))
+    blocks2 = blocks1 if x2 is x1 else blocks_of(jnp.asarray(x2))
+    return n, num_blocks, blocks1, blocks2
+
+
+def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                           decim: int, temp_weight: float,
+                           check_aborted=lambda: None,
+                           progress=lambda f: None) -> np.ndarray:
+    """Similarity matrix ``[n, n]`` over decimated window starts of two
+    prepared (normalized, *jointly* shifted) feature matrices."""
+    n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
+        x1, x2, half_win, decim)
+    if n == 0:
+        return np.zeros((0, 0), np.float32)
+    tw = jnp.float32(temp_weight)
 
     pairs = [(bi, bj) for bi in range(num_blocks)
              for bj in range(bi, num_blocks)]
@@ -170,31 +179,12 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
     Returns the image extent ``n``.
     """
-    af_len = min(x1.shape[1], x2.shape[1])
-    win_len = half_win * 2
-    num_corrs = max(0, af_len - win_len + 1)
-    n = num_corrs // decim
+    n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
+        x1, x2, half_win, decim)
     if n == 0:
         write_png(path, np.zeros((0, 0, 3), np.uint8))
         return 0
-
-    num_blocks = (n + _BLOCK - 1) // _BLOCK
-    starts = np.minimum(np.arange(num_blocks * _BLOCK, dtype=np.int64),
-                        n - 1) * decim
-    xj1 = jnp.asarray(x1)
-    xj2 = jnp.asarray(x2)
     tw = jnp.float32(temp_weight)
-
-    def blocks_of(xj):
-        out = []
-        for b in range(num_blocks):
-            s = starts[b * _BLOCK:(b + 1) * _BLOCK]
-            win = K.extract_windows(xj, jnp.asarray(s), half_win)
-            out.append((win, K.window_stats(win)))
-        return out
-
-    blocks1 = blocks_of(xj1)
-    blocks2 = blocks1 if x2 is x1 else blocks_of(xj2)
 
     def stripes():
         done = 0
@@ -205,9 +195,8 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
             stripe = np.empty((n, c1 - c0), np.float32)
             # row-blocks in groups of _PAIR_GROUP; for bi > bj the cell is
             # the mirrored upper-triangle value → compute (bj, bi), transpose
-            order = list(range(num_blocks))
             for g0 in range(0, num_blocks, _PAIR_GROUP):
-                group = order[g0:g0 + _PAIR_GROUP]
+                group = list(range(g0, min(g0 + _PAIR_GROUP, num_blocks)))
                 padded = group + [group[-1]] * (_PAIR_GROUP - len(group))
                 lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
                 wi_s = jnp.stack([blocks1[lo][0] for lo, _ in lo_hi])
@@ -279,6 +268,13 @@ class SelfSimilarity(ProcessorFactory):
             if num_corrs > 0x7FFFFFFF:
                 raise ValueError("32-bit overflow")
 
+            # reference requires (SelfSimilarityImpl.scala:112-114)
+            if not cfg.color_warp > 0:
+                raise ValueError(
+                    f"Illegal colorWarp setting of {cfg.color_warp}")
+            if not cfg.color_ceil > 0:
+                raise ValueError(
+                    f"Illegal colorCeil setting of {cfg.color_ceil}")
             decim = cfg.decimation
             if decim < 1:
                 raise ValueError(f"Illegal decimation setting of {decim}")

@@ -340,6 +340,9 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     fetch per-file slices via :func:`finalize_features`."""
     step = fft_size // fft_overlap
     audios = [np.asarray(a) for a in audios]
+    if not audios:
+        empty = np.zeros((0, num_coeffs + 1, 0), np.float32)
+        return (empty, []) if as_device else empty
     totals = [num_output_frames(len(a), step) for a in audios]
     total_max = max(totals)
     if total_max == 0:
@@ -489,10 +492,15 @@ def extract_features_streaming(read_samples, num_samples: int,
     """Bounded-memory extraction for arbitrarily long inputs.
 
     ``read_samples(n)`` returns the next ≤ n mono samples (float32 or raw
-    int16); ``emit(feats)`` receives consecutive ``[C, nc]`` feature chunks
-    (e.g. an :class:`io.audiofile.AudioFileWriter`).  The temporal-masking
-    carry is threaded across chunks, and ``chunk_frames`` is kept a multiple
-    of 1024 so the NaN-fixup state resets land on the same boundaries as the
+    int16); short reads are fine — the loop keeps requesting until it has
+    the samples a chunk needs (an empty return means EOF and the remainder
+    is treated as silence, like the reference's zero-filled final buffer).
+    A source may even switch from int16 to float mid-stream (the pipeline
+    degrades to the float domain from there on).  ``emit(feats)`` receives
+    consecutive ``[C, nc]`` feature chunks (e.g. an
+    :class:`io.audiofile.AudioFileWriter`).  The temporal-masking carry is
+    threaded across chunks, and ``chunk_frames`` is kept a multiple of 1024
+    so the NaN-fixup state resets land on the same boundaries as the
     whole-file path (NonRealtimeProcessor.scala:178-190 parity).
 
     Returns the number of feature frames produced
@@ -511,34 +519,72 @@ def extract_features_streaming(read_samples, num_samples: int,
     tail = None                        # zeros: scsynth's initial buffer
     done = 0
     consumed = 0                        # samples pulled from read_samples
+    eof = False
+
+    def _read_exact(n: int):
+        """Gather exactly ``n`` samples across short reads; zero-pad past
+        EOF so chunk alignment never drifts."""
+        nonlocal consumed, eof, tail
+        parts = []
+        got = 0
+        while got < n and not eof:
+            piece = np.asarray(read_samples(n - got))
+            if piece.size == 0:
+                eof = True
+                break
+            if piece.dtype != np.int16:
+                piece = piece.astype(np.float32, copy=False)
+            if parts and piece.dtype != parts[0].dtype or (
+                    tail is not None and piece.dtype != tail.dtype):
+                # mid-stream int16→float switch: move everything to the
+                # float domain (dequantize raw PCM by 1/32768)
+                def to_f32(a):
+                    return (a.astype(np.float32) / 32768.0
+                            if a.dtype == np.int16
+                            else a.astype(np.float32, copy=False))
+                parts = [to_f32(p) for p in parts]
+                piece = to_f32(piece)
+                if tail is not None:
+                    tail = to_f32(tail)
+            parts.append(piece)
+            got += len(piece)
+        consumed += got
+        if not parts:
+            dtype = tail.dtype if tail is not None else np.float32
+            return np.zeros(0, dtype)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
     while done < total:
         nc = min(chunk_frames, total - done)
         # frames [done, done+nc): windows end at (done+1..done+nc)·step,
         # needing samples [done·step − overlap, (done+nc−1)·step + fft)
         need_to = (done + nc) * step
-        fresh = np.asarray(read_samples(need_to - consumed))
-        if fresh.dtype != np.int16:
-            # int16 chunks ship raw (dequantized on device); anything else
-            # goes float32
-            fresh = fresh.astype(np.float32, copy=False)
-        consumed += len(fresh)
+        fresh = _read_exact(need_to - consumed)
         if tail is None:
             tail = np.zeros(overlap, fresh.dtype)
+        elif tail.dtype != fresh.dtype and fresh.size:
+            tail = tail.astype(np.float32) / (
+                32768.0 if tail.dtype == np.int16 else 1.0)
 
         block, num_blocks = _plan_shapes(nc, chunk_frames)
         padded_len = num_blocks * block * step + fft_size - step
-        padded = np.zeros(padded_len, fresh.dtype)
+        padded = np.zeros(padded_len, tail.dtype)
         padded[:overlap] = tail
         padded[overlap:overlap + len(fresh)] = fresh
 
         feats, carry = _extract_scan(
-            jnp.asarray(padded), carry, *consts,
+            _staged_put(padded), carry, *consts,
             num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
         emit(finalize_features(feats, nc))
 
-        # next chunk's first window needs the last `overlap` samples
-        # before need_to
-        tail = np.concatenate([tail, fresh])[-overlap:]
+        # next chunk's first window needs the last `overlap` samples before
+        # need_to; the joined stream starts at done·step − overlap, so
+        # zero-extend to exactly need_to when EOF cut the read short
+        span = nc * step + overlap
+        joined = np.concatenate(
+            [tail, fresh, np.zeros(max(0, span - len(tail) - len(fresh)),
+                                   tail.dtype)])
+        tail = joined[span - overlap:span]
         done += nc
         if progress is not None:
             progress(done / total)

@@ -162,12 +162,14 @@ _EXACT_CONTOURS: "np.ndarray | None" = None
 
 
 def load_contour_table(values) -> None:
-    """Install ML.cpp's verbatim ``contours[42][11]`` table (42 rows × 11
-    dB values, any nesting/flat order) for the 44.1 kHz / FFT-1024
-    configuration — the drop-in for a source-check session
-    (docs/ML_DERIVATION.md: the one table not reconstructible offline).
-    The same monotonicity/audibility conditioning as the built-in
-    reconstruction is applied.  Pass ``None`` to revert."""
+    """Install ML.cpp's verbatim ``contours[42][11]`` table for the
+    44.1 kHz / FFT-1024 configuration — the drop-in for a source-check
+    session (docs/ML_DERIVATION.md: the one table not reconstructible
+    offline).  Accepts band-major ``[42, 11]`` (ML.cpp's layout) or
+    phon-major ``[11, 42]`` (transposed automatically; contour rows must
+    be increasing in dB, which disambiguates the two).  The same
+    monotonicity/audibility conditioning as the built-in reconstruction is
+    applied.  Pass ``None`` to revert."""
     global _EXACT_CONTOURS
     contour_table.cache_clear()
     fe = sys.modules.get("strugatzki_tpu.dsp.frontend")
@@ -177,7 +179,19 @@ def load_contour_table(values) -> None:
     if values is None:
         _EXACT_CONTOURS = None
         return
-    arr = np.asarray(values, np.float64).reshape(ERB_BANDS, len(PHONS))
+    arr = np.asarray(values, np.float64)
+    if arr.shape == (len(PHONS), ERB_BANDS):
+        arr = arr.T
+    elif arr.size == ERB_BANDS * len(PHONS) and arr.ndim <= 1:
+        arr = arr.reshape(ERB_BANDS, len(PHONS))
+    if arr.shape != (ERB_BANDS, len(PHONS)):
+        raise ValueError(
+            f"contour table must be [{ERB_BANDS}, {len(PHONS)}] "
+            f"(band-major) or its transpose, got {arr.shape}")
+    if not (np.diff(arr, axis=1) > 0).all():
+        raise ValueError(
+            "contour rows must be strictly increasing in dB per band — "
+            "got a table that looks phon-major or scrambled")
     _EXACT_CONTOURS = arr
 
 

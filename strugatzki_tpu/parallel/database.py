@@ -13,6 +13,13 @@ BASELINE.json).
 Exact-semantics searches (``FeatureCorrelation``) can still replay their
 host-side selection over the returned dense traces; :meth:`query` serves the
 common best-matches case entirely on device.
+
+Serving-path divergence: files shorter than the template (or, for
+:meth:`query_punch`, shorter than ``min_punch`` + the punch-in template)
+have no valid window and are excluded from results.  The reference instead
+correlates one zero-tailed window for such files
+(FeatureCorrelationImpl.scala:190-246 edge case) — ``FeatureCorrelation``
+replicates that quirk; the serving kernels do not.
 """
 
 from __future__ import annotations
@@ -126,19 +133,23 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
                         ln_avg, shifts_t, temp_weight, max_boost,
                         num_temporal: int = 1, k: int = 4):
     """Q templates × B files in one dispatch: vmap over the template axis of
-    the per-file trace vmap.  Returns ``(vals [Q,B,k], idx [Q,B,k])``."""
+    the per-file trace vmap.  Returns ``(vals, idx, boosts)``, each
+    ``[Q, B, k]``.  Files with no valid window (shorter than the template)
+    are masked out — see the module docstring's serving-path divergence
+    note."""
     def one_query(tt, ts, st_t, st_s, la):
         def one_file(xs, shift_t):
             return K.correlation_trace(
                 xs, tt, ts, st_t, st_s, la, shift_t,
                 temp_weight, max_boost, num_temporal=num_temporal)
 
-        sims, _ = jax.vmap(one_file)(xs_b, shifts_t)
+        sims, boosts = jax.vmap(one_file)(xs_b, shifts_t)
         L = tt.shape[1]
         w_valid = lens - (L - 1)
         t_idx = jnp.arange(sims.shape[1])[None, :]
         masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
-        return jax.lax.top_k(masked, k)
+        vals, idx = jax.lax.top_k(masked, k)
+        return vals, idx, jnp.take_along_axis(boosts, idx, axis=1)
 
     return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
 
@@ -406,33 +417,40 @@ class FeatureDatabase:
 
     def query_batch(self, templates: Sequence[InputTemplate],
                     temp_weight: float = 0.5, max_boost: float = 8.0,
-                    k: int = 4) -> List[QueryResult]:
+                    k: int = 4,
+                    exact_rerank: Optional[bool] = None) -> List[QueryResult]:
         """Many punches against the resident database, batched by length.
 
         Templates are bucketed by frame length; each bucket is stacked on a
-        leading axis and answered in one dispatch (a punch-in + punch-out
+        leading axis (from the per-template cached device arrays — no
+        re-upload) and answered in one dispatch (a punch-in + punch-out
         pair of different lengths costs two dispatches, not Q).  Results
-        come back in input order.
+        come back in input order with boosts, and reduced-precision
+        storage re-ranks exactly on host like :meth:`query`.
         """
+        if exact_rerank is None:
+            exact_rerank = self._xs.dtype != jnp.float32
         buckets: dict = {}
         for qi, t in enumerate(templates):
             buckets.setdefault(t.num_frames, []).append(qi)
         results: List[Optional[QueryResult]] = [None] * len(templates)
         for _, idxs in sorted(buckets.items()):
             group = [templates[qi] for qi in idxs]
-            tt = jnp.stack([jnp.asarray(t.temporal_centered) for t in group])
-            ts = jnp.stack([jnp.asarray(t.spectral_centered) for t in group])
+            tt = jnp.stack([t.device_temporal() for t in group])
+            ts = jnp.stack([t.device_spectral() for t in group])
             st_t = jnp.asarray([t.temporal_std for t in group], jnp.float32)
             st_s = jnp.asarray([t.spectral_std for t in group], jnp.float32)
             la = jnp.asarray([t.ln_avg_loudness for t in group], jnp.float32)
-            vals, idx = _multi_query_kernel(
+            vals, idx, boosts = jax.device_get(_multi_query_kernel(
                 self._xs, self._lens_dev, tt, ts, st_t, st_s, la,
                 self._shifts, jnp.float32(temp_weight),
-                jnp.float32(max_boost), k=k)
-            vals = np.asarray(vals)
-            idx = np.asarray(idx)
+                jnp.float32(max_boost), k=k))
             for q, qi in enumerate(idxs):
-                results[qi] = QueryResult(vals[q], idx[q], list(self.files))
+                res = QueryResult(vals[q], idx[q], list(self.files),
+                                  boosts[q])
+                if exact_rerank:
+                    self._rerank_exact(res, group[q], temp_weight, max_boost)
+                results[qi] = res
         return results
 
     def save(self, path) -> None:

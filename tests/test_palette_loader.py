@@ -64,3 +64,23 @@ def test_contour_table_dropin():
     finally:
         T.load_contour_table(None)
         np.testing.assert_allclose(T.contour_table(44100.0, 1024), default)
+
+
+def test_contour_table_transpose_and_validation():
+    import numpy as np
+    import pytest
+    from strugatzki_tpu.dsp import ml_tables as T
+
+    try:
+        band_major = np.tile(np.linspace(5, 105, 11), (42, 1)) \
+            + np.arange(42)[:, None]
+        T.load_contour_table(band_major.T)        # phon-major input
+        np.testing.assert_allclose(
+            T.contour_table(44100.0, 1024)[:, 1:], band_major[:, 1:])
+        with pytest.raises(ValueError):
+            T.load_contour_table(np.zeros((7, 7)))
+        with pytest.raises(ValueError):
+            # scrambled: rows not increasing in dB
+            T.load_contour_table(band_major[:, ::-1])
+    finally:
+        T.load_contour_table(None)

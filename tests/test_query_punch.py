@@ -120,3 +120,20 @@ def test_query_batch_mixed_lengths():
         single = db.query(t, k=2)
         np.testing.assert_allclose(r.sims, single.sims, atol=1e-6)
         np.testing.assert_array_equal(r.frames, single.frames)
+
+
+def test_query_batch_boosts_and_bf16_rerank():
+    """query_batch must return boosts and apply the automatic exact re-rank
+    for reduced-precision storage, matching query()."""
+    import jax.numpy as jnp
+    inp, files = _make_db(6)
+    tmpl = InputTemplate(files[2][1][:, 137:167].copy())
+    db16 = FeatureDatabase(files, norm=None, pad_multiple=64,
+                           storage_dtype=jnp.bfloat16)
+    [rb] = db16.query_batch([tmpl], k=2)
+    rq = db16.query(tmpl, k=2)
+    assert rb.boosts is not None
+    np.testing.assert_allclose(rb.sims, rq.sims, atol=1e-6)
+    np.testing.assert_array_equal(rb.frames, rq.frames)
+    np.testing.assert_allclose(rb.boosts, rq.boosts, atol=1e-6)
+    assert abs(rb.sims[2, 0] - 1.0) < 3e-5  # exact after re-rank

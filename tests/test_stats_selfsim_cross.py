@@ -378,3 +378,20 @@ def test_cross_similarity_fuzz_vs_mathref(seed):
         else:
             ref = np.float32(0)
         assert abs(float(sims[t]) - float(ref)) < 3e-5, (seed, t)
+
+
+def test_selfsim_rejects_illegal_color_settings(tmp_path):
+    """Reference requires colorWarp > 0 and colorCeil > 0
+    (SelfSimilarityImpl.scala:112-114)."""
+    rng = np.random.default_rng(9)
+    feats = np.abs(0.5 + 0.05 * rng.standard_normal((14, 120))).astype(np.float32)
+    feat_p = tmp_path / "q_feat.aif"
+    meta_p = tmp_path / "q_feat.xml"
+    _write_feat(feat_p, feats)
+    _write_meta(meta_p, tmp_path / "q.aif", feat_p)
+    for bad in (dict(color_warp=-1.0), dict(color_ceil=0.0)):
+        cfg = SelfSimilarityConfig(
+            meta_input=str(meta_p), image_output=str(tmp_path / "o.png"),
+            corr_len=10 * 512, normalize=False, **bad)
+        with pytest.raises(ValueError):
+            SelfSimilarity.run(cfg).result(timeout=60)

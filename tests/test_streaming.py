@@ -106,3 +106,87 @@ def test_streaming_pcm16_int16_path(tmp_path, monkeypatch):
     b, _ = af.read(f_str)
     np.testing.assert_allclose(a[0], b[0], atol=2e-5)
     np.testing.assert_allclose(a[1:], b[1:], atol=2e-5)
+
+
+def test_streaming_short_reads_match_whole_file():
+    """read_samples may return fewer samples than requested (its documented
+    contract); the loop must gather until satisfied so alignment never
+    drifts."""
+    from strugatzki_tpu.dsp.frontend import (extract_features,
+                                             extract_features_streaming)
+    rng = np.random.default_rng(21)
+    x = (0.3 * rng.standard_normal(44100 * 2)).astype(np.float32)
+    pos = [0]
+
+    def read_samples(n):
+        n = min(n, 999, len(x) - pos[0])  # always short
+        out = x[pos[0]:pos[0] + n]
+        pos[0] += n
+        return out
+
+    chunks = []
+    extract_features_streaming(read_samples, len(x), 44100.0,
+                               lambda f: chunks.append(f),
+                               chunk_frames=2048)
+    streamed = np.concatenate(chunks, axis=1)
+    whole = extract_features(x, 44100.0)
+    np.testing.assert_allclose(streamed, whole, atol=2e-5)
+
+
+def test_streaming_early_eof_is_silence():
+    """An empty read mid-stream means EOF; the remaining declared samples
+    are silence (the reference's zero-filled final buffers) and alignment
+    of the produced frames is preserved."""
+    from strugatzki_tpu.dsp.frontend import (extract_features,
+                                             extract_features_streaming)
+    rng = np.random.default_rng(22)
+    n_total = 44100 * 2
+    n_have = 30000
+    x = (0.3 * rng.standard_normal(n_have)).astype(np.float32)
+    pos = [0]
+
+    def read_samples(n):
+        n = min(n, len(x) - pos[0])
+        out = x[pos[0]:pos[0] + n]
+        pos[0] += n
+        return out
+
+    chunks = []
+    total = extract_features_streaming(read_samples, n_total, 44100.0,
+                                       lambda f: chunks.append(f),
+                                       chunk_frames=2048)
+    streamed = np.concatenate(chunks, axis=1)
+    padded = np.zeros(n_total, np.float32)
+    padded[:n_have] = x
+    whole = extract_features(padded, 44100.0)
+    assert streamed.shape == whole.shape == (14, total)
+    np.testing.assert_allclose(streamed, whole, atol=2e-5)
+
+
+def test_streaming_dtype_switch_mid_stream():
+    """A source switching from raw int16 to float32 mid-stream degrades to
+    the float domain with correct dequantization of everything read so
+    far."""
+    from strugatzki_tpu.dsp.frontend import (extract_features,
+                                             extract_features_streaming)
+    rng = np.random.default_rng(23)
+    xf = (0.3 * rng.standard_normal(44100)).astype(np.float32)
+    xi = np.clip(np.round(xf * 32768), -32768, 32767).astype(np.int16)
+    cut = 20000
+    pos = [0]
+
+    def read_samples(n):
+        n = min(n, len(xf) - pos[0], 7000)
+        lo = pos[0]
+        pos[0] += n
+        if lo + n <= cut:
+            return xi[lo:lo + n]            # raw PCM16 first
+        return xi[lo:lo + n].astype(np.float32) / 32768.0
+
+    chunks = []
+    extract_features_streaming(read_samples, len(xf), 44100.0,
+                               lambda f: chunks.append(f),
+                               chunk_frames=1024)
+    streamed = np.concatenate(chunks, axis=1)
+    whole = extract_features(xi, 44100.0)
+    np.testing.assert_allclose(streamed, whole, atol=2e-5)
