@@ -17,7 +17,6 @@ whenever the template length ≠ 8192.  We implement the evident intent:
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..config import CrossSimilarityConfig, ExtractionConfig
 from ..io import audiofile as af

@@ -24,7 +24,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["prepare_database", "prepare_database_xla"]
 

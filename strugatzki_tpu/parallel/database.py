@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..analysis.common import feat_to_full, normalized
+from ..analysis.common import feat_to_full
 from ..analysis.correlation import InputTemplate
 from ..config import ExtractionConfig, Match
 from ..kernels import corr as K
