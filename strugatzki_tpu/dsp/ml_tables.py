@@ -195,16 +195,6 @@ def load_contour_table(values) -> None:
     _EXACT_CONTOURS = arr
 
 
-if os.environ.get("STRUGATZKI_CONTOURS"):
-    try:
-        load_contour_table(
-            np.loadtxt(os.environ["STRUGATZKI_CONTOURS"], dtype=np.float64))
-    except Exception as e:
-        raise RuntimeError(
-            f"STRUGATZKI_CONTOURS: cannot load contour table from "
-            f"{os.environ['STRUGATZKI_CONTOURS']!r}: {e}") from e
-
-
 @lru_cache(maxsize=16)
 def contour_table(sample_rate: float, fft_size: int) -> np.ndarray:
     """``[ERB_BANDS, len(PHONS)]`` dB values of each contour at each band
@@ -233,3 +223,13 @@ def contour_table(sample_rate: float, fft_size: int) -> np.ndarray:
     for j in range(1, len(PHONS)):
         table[:, j] = np.maximum(table[:, j], table[:, j - 1] + 0.01)
     return table
+
+
+if os.environ.get("STRUGATZKI_CONTOURS"):
+    try:
+        load_contour_table(
+            np.loadtxt(os.environ["STRUGATZKI_CONTOURS"], dtype=np.float64))
+    except Exception as e:
+        raise RuntimeError(
+            f"STRUGATZKI_CONTOURS: cannot load contour table from "
+            f"{os.environ['STRUGATZKI_CONTOURS']!r}: {e}") from e

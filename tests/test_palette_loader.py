@@ -84,3 +84,28 @@ def test_contour_table_transpose_and_validation():
             T.load_contour_table(band_major[:, ::-1])
     finally:
         T.load_contour_table(None)
+
+
+def test_contours_env_var_loads(tmp_path):
+    """STRUGATZKI_CONTOURS must load at import (regression: the env hook
+    once ran before contour_table was defined)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    f = tmp_path / "contours.txt"
+    np.savetxt(f, np.tile(np.linspace(5, 105, 11), (42, 1))
+               + np.arange(42)[:, None])
+    import os
+    env = dict(os.environ, STRUGATZKI_CONTOURS=str(f),
+               STRUGATZKI_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from strugatzki_tpu.dsp import ml_tables as T;"
+         "import numpy as np;"
+         "assert T.contour_table(44100.0, 1024)[0, 1] == np.float64(15.0);"
+         "print('env-contours ok')"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "env-contours ok" in r.stdout
