@@ -54,9 +54,10 @@ BLOCK_FRAMES = 2048
 
 #: Host→device transfers are staged in chunks of at most this many bytes:
 #: through the tunneled relay this environment attaches chips with, the
-#: effective wire rate collapses on very large single transfers (measured:
-#: ~85–110 MB/s ≤ 48 MB, ~33 MB/s at 96 MB — see docs/BENCH_LINK.md), and
-#: chunked puts stream back-to-back without that cliff.
+#: effective wire rate collapses on very large single transfers (3× lower
+#: at 96 MB than at ≤48 MB; absolute rates are content-dependent because
+#: the relay compresses — see docs/BENCH_LINK.md), and chunked puts stream
+#: back-to-back without that cliff.
 STAGE_CHUNK_BYTES = 24 << 20
 
 
