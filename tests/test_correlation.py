@@ -384,3 +384,37 @@ def test_punch_out_tiny_file_zero_tail():
         normalize=False, num_matches=4, num_per_file=2).build()
     ours, ref = _run_both(inp, files, cfg)
     _assert_same(ours, ref)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_fuzz_varying_file_lengths_with_punch_out(seed):
+    """Mixed file lengths through the chunked batch path (bucketed padding,
+    per-file valid-prefix slicing, the scan < punchInLen zero-tail edge)
+    must stay match-for-match with the sequential transcription."""
+    rng = np.random.default_rng(seed)
+    files = []
+    # lengths straddle every regime: shorter than the punch-in template,
+    # shorter than minPunch + template (single zero-tail window), and long
+    lengths = [25, 60, 131, 222, 347, 489]
+    rng.shuffle(lengths)
+    for i, T in enumerate(lengths):
+        base = rng.uniform(0.3, 0.7, size=(14, 1))
+        x = np.abs(base + 0.1 * rng.standard_normal((14, T))).astype(np.float32)
+        files.append((f"v{i}.aif", x))
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((14, 200))).astype(np.float32)
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 55 * STEP), 0.5),
+        punch_out=Punch(Span(120 * STEP, 150 * STEP), 0.5),
+        min_punch=40 * STEP, max_punch=120 * STEP,
+        normalize=False, num_matches=4, num_per_file=2,
+        min_spacing=0).build()
+    ours, ref = _run_both(inp, files, cfg)
+    _assert_same(ours, ref)
+
+    # and without punch-out (different scan-length regime per file)
+    cfg2 = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 55 * STEP), 0.5),
+        normalize=False, num_matches=4, num_per_file=1,
+        min_spacing=0).build()
+    ours2, ref2 = _run_both(inp, files, cfg2)
+    _assert_same(ours2, ref2)
