@@ -139,8 +139,9 @@ def main() -> None:
     # ---- correlation sweep diagnostic (north star: 10s punch vs 10k-file
     # DB < 1s). Off by default: axon remote compiles don't hit the
     # persistent cache, and each extra program risks minutes of compile.
-    # Measured on this chip (2026-08-16): resident-DB query of 64 x 2-min
-    # files in ~46 ms incl. relay RTT -> 10k-file estimate ~0.09 s.
+    # Measured on this chip (2026-08-16): 64 files ~46 ms, 512 files
+    # ~62 ms incl. the ~28 ms relay RTT -> ~68 us/file device time ->
+    # 10k-file estimate ~0.7 s (north star < 1 s).
     if not os.environ.get("BENCH_CORRELATION"):
         print("correlation bench skipped (set BENCH_CORRELATION=1)",
               file=sys.stderr)
@@ -167,7 +168,8 @@ def main() -> None:
                 res = db.query(tmpl)
             amort = (time.perf_counter() - t0) / k
             windows = n_files * (file_frames - punch_frames + 1)
-            est10k = lat + (10000 / n_files - 1) * 0.0003
+            rtt = 0.028  # measured dispatch+fetch round trip
+            est10k = rtt + max(amort - rtt, 0.0) * 10000 / n_files
             print(f"correlation (resident DB): load {t_load:.2f}s; query "
                   f"latency {lat * 1000:.1f} ms, amortized {amort * 1000:.1f} ms "
                   f"/{n_files} files = {windows / amort / 1e6:.0f}M windows/s; "

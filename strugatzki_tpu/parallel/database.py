@@ -5,10 +5,10 @@ The reference re-reads every feature file from disk for every search
 the database once — normalized, group-shifted, padded and staged in HBM
 (optionally sharded over a ``files`` mesh axis) — and answers each punch
 query with one dispatch: batched FFT correlation traces + masked device
-top-k.  Measured on one v5e chip (2026-08-16): a 10 s punch against 64
-two-minute files answers in ~46 ms including the relay round-trip;
-extrapolated to a 10k-file resident DB ~0.09 s (north star < 1 s,
-BASELINE.json).
+top-k.  Measured on one v5e chip (2026-08-16, forced round-trips): a 10 s
+punch against 64 / 512 two-minute files answers in ~46 / ~62 ms including
+the ~28 ms relay round-trip — ~68 µs of device time per file, so a
+10k-file resident DB answers in ~0.7 s (north star < 1 s, BASELINE.json).
 
 Exact-semantics searches (``FeatureCorrelation``) can still replay their
 host-side selection over the returned dense traces; :meth:`query` serves the
