@@ -203,25 +203,56 @@ def correlation_trace(xs: jnp.ndarray,
 
     Returns ``(sim[W], boost[W])`` float32.
     """
+    X, Xsq = trace_spectra(xs, num_temporal=num_temporal)
+    return correlation_trace_from_spectra(
+        X, Xsq, xs.shape[1], template_t, template_s, a_std_t, a_std_s,
+        ln_avg_loud, temporal_shift, temp_weight, max_boost,
+        num_temporal=num_temporal)
+
+
+def trace_spectra(xs: jnp.ndarray, num_temporal: int = 1):
+    """The per-file half of :func:`correlation_trace`: forward spectra of
+    every channel plus the two group power rows.  Computing these once and
+    sharing them across templates is the big FFT saving of multi-template
+    queries (punch-in × punch-out, ``query_batch``): the shared part is
+    C+2 forward FFTs per file vs ~6 inverse FFTs per (file, template).
+
+    One rfft per channel serves everything: template dots (per-channel
+    spectra × template spectra), window sums (group-sum spectra × ones
+    kernel) — long-window reduce_window/conv lowerings are avoided
+    entirely (they compile pathologically on TPU for L in the hundreds).
+    """
     nt = num_temporal
-    L = template_t.shape[1]
-    Tp = xs.shape[1]
-    W = Tp - L + 1
-    C_s = xs.shape[0] - nt
-    N = _fft_len(Tp)
+    N = _fft_len(xs.shape[1])
     if xs.dtype != jnp.float32:
         # bf16-stored databases (2x HBM capacity) upcast on the fly
         xs = xs.astype(jnp.float32)
-
-    # One rfft per channel serves everything: template dots (per-channel
-    # spectra × template spectra), window sums (group-sum spectra × ones
-    # kernel) — long-window reduce_window/conv lowerings are avoided
-    # entirely (they compile pathologically on TPU for L in the hundreds).
     X = jnp.fft.rfft(xs, n=N, axis=1)                     # [C, N/2+1]
     Xsq = jnp.fft.rfft(
         jnp.concatenate([(xs[:nt] * xs[:nt]).sum(axis=0, keepdims=True),
                          (xs[nt:] * xs[nt:]).sum(axis=0, keepdims=True)],
                         axis=0), n=N, axis=1)             # [2, N/2+1]
+    return X, Xsq
+
+
+def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
+                                   t_padded: int,
+                                   template_t: jnp.ndarray,
+                                   template_s: jnp.ndarray,
+                                   a_std_t: jnp.ndarray, a_std_s: jnp.ndarray,
+                                   ln_avg_loud: jnp.ndarray,
+                                   temporal_shift: jnp.ndarray,
+                                   temp_weight: jnp.ndarray,
+                                   max_boost: jnp.ndarray,
+                                   num_temporal: int = 1):
+    """:func:`correlation_trace` continued from precomputed
+    :func:`trace_spectra` output (``t_padded`` = the original ``xs`` width)."""
+    nt = num_temporal
+    L = template_t.shape[1]
+    Tp = t_padded
+    W = Tp - L + 1
+    C_s = X.shape[0] - nt
+    N = _fft_len(Tp)
     ones_l = _ones_spectrum(L, N)
 
     def wsum(spec_row):

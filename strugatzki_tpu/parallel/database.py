@@ -137,21 +137,29 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
     ``[Q, B, k]``.  Files with no valid window (shorter than the template)
     are masked out — see the module docstring's serving-path divergence
     note."""
-    def one_query(tt, ts, st_t, st_s, la):
-        def one_file(xs, shift_t):
-            return K.correlation_trace(
-                xs, tt, ts, st_t, st_s, la, shift_t,
+    Tp = xs_b.shape[2]
+
+    def one_file(xs, shift_t):
+        # forward spectra once per file, shared by every template
+        X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
+
+        def one_query(tt, ts, st_t, st_s, la):
+            return K.correlation_trace_from_spectra(
+                X, Xsq, Tp, tt, ts, st_t, st_s, la, shift_t,
                 temp_weight, max_boost, num_temporal=num_temporal)
 
-        sims, boosts = jax.vmap(one_file)(xs_b, shifts_t)
-        L = tt.shape[1]
-        w_valid = lens - (L - 1)
-        t_idx = jnp.arange(sims.shape[1])[None, :]
-        masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
-        vals, idx = jax.lax.top_k(masked, k)
-        return vals, idx, jnp.take_along_axis(boosts, idx, axis=1)
+        return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
 
-    return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
+    sims, boosts = jax.vmap(one_file)(xs_b, shifts_t)   # [B, Q, W]
+    L = tmpl_t.shape[2]                                  # tmpl_t: [Q, 1, L]
+    w_valid = lens - (L - 1)
+    t_idx = jnp.arange(sims.shape[2])[None, None, :]
+    masked = jnp.where(t_idx < w_valid[:, None, None], sims, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked, k)                # [B, Q, k]
+    boosts_k = jnp.take_along_axis(boosts, idx, axis=2)
+    # results are [Q, B, k] for callers
+    return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
+            jnp.swapaxes(boosts_k, 0, 1))
 
 
 @partial(jax.jit, static_argnames=("num_temporal", "k"))
@@ -216,11 +224,13 @@ def _punch_query_kernel(xs_b, lens,
     W_out = Tp - L_out + 1
 
     def one(xs, shift_t, t_len):
-        sims_in, boosts_in = K.correlation_trace(
-            xs, in_t, in_s, in_std_t, in_std_s, in_ln, shift_t,
+        # forward spectra once per file, shared by both punch templates
+        X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
+        sims_in, boosts_in = K.correlation_trace_from_spectra(
+            X, Xsq, Tp, in_t, in_s, in_std_t, in_std_s, in_ln, shift_t,
             tw_in, max_boost, num_temporal=num_temporal)
-        sims_out, boosts_out = K.correlation_trace(
-            xs, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
+        sims_out, boosts_out = K.correlation_trace_from_spectra(
+            X, Xsq, Tp, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
             tw_out, max_boost, num_temporal=num_temporal)
 
         # validity: punch-in scan runs over len − minPunch frames (:183);
@@ -230,28 +240,60 @@ def _punch_query_kernel(xs_b, lens,
         in_valid = (t_ix < w_in_valid) & (sims_in > 0.0)
         o_ix = jnp.arange(W_out)
         out_ok = o_ix < (t_len - (L_out - 1))
-        # pad the out trace so every banded slice is in range
+        # pad the out trace so every banded read is in range
         pad = W_in + Tp - W_out
         out_vals = jnp.concatenate(
-            [sims_out, jnp.zeros((pad,), sims_out.dtype)])
-        out_mask = jnp.concatenate(
-            [out_ok, jnp.zeros((pad,), bool)])
+            [jnp.where(out_ok, sims_out, -jnp.inf),
+             jnp.full((pad,), -jnp.inf, sims_out.dtype)])
         out_boosts_p = jnp.concatenate(
             [boosts_out, jnp.ones((pad,), boosts_out.dtype)])
+        w_pad = out_vals.shape[0]
 
-        def body(j, carry):
-            best, best_j = carry
-            off = (min_punch + j,)
-            seg = jax.lax.dynamic_slice(out_vals, off, (W_in,))
-            m = jax.lax.dynamic_slice(out_mask, off, (W_in,))
-            prod = jnp.where(in_valid & m, sims_in * seg, -jnp.inf)
-            upd = prod > best
-            return (jnp.where(upd, prod, best),
-                    jnp.where(upd, j, best_j))
+        # banded combine: candidates gate on inSim > 0 (:342 with low ≥ 0),
+        # so argmax_j inSim·outSim[t+minPunch+j] = argmax_j outSim over the
+        # band — a sliding-window maximum.  Computed sparse-table style:
+        # doubling (max, earliest-argmax) tables M_p for p = 1, 2, 4, …,
+        # then width-S max at offset o is the max of the two overlapping
+        # power blocks M_p[o] and M_p[o+S−p], p = 2^⌊log2 S⌋ — O(log Tp)
+        # elementwise passes instead of S sequential steps (ties keep the
+        # earliest j, exactly like the reference's strict-> scan).
+        n_levels = max(1, int(np.ceil(np.log2(w_pad))) + 1)
+        v = out_vals
+        a = jnp.arange(w_pad, dtype=jnp.int32)
+        levels_v = [v]
+        levels_a = [a]
+        for j in range(1, n_levels):
+            sh = 1 << (j - 1)
+            v2 = jnp.concatenate(
+                [v[sh:], jnp.full((sh,), -jnp.inf, v.dtype)])
+            a2 = jnp.concatenate([a[sh:], jnp.zeros((sh,), a.dtype)])
+            take = v2 > v
+            v = jnp.where(take, v2, v)
+            a = jnp.where(take, a2, a)
+            levels_v.append(v)
+            levels_a.append(a)
+        levels_v = jnp.stack(levels_v)              # [J, w_pad]
+        levels_a = jnp.stack(levels_a)
 
-        best0 = jnp.full((W_in,), -jnp.inf, jnp.float32)
-        best, best_j = jax.lax.fori_loop(
-            0, scan_span, body, (best0, jnp.zeros((W_in,), jnp.int32)))
+        # exact integer ⌊log2 S⌋ (float log2 can misround at powers of two)
+        j_sel = 31 - jax.lax.clz(jnp.maximum(scan_span, 1).astype(jnp.int32))
+        j_sel = jnp.clip(j_sel, 0, n_levels - 1)
+        p = jnp.left_shift(jnp.int32(1), j_sel)
+        lv = jax.lax.dynamic_index_in_dim(levels_v, j_sel, 0, keepdims=False)
+        la = jax.lax.dynamic_index_in_dim(levels_a, j_sel, 0, keepdims=False)
+        # block 1 at offset min_punch, block 2 at min_punch + scan_span − p
+        v1 = jax.lax.dynamic_slice(lv, (min_punch,), (W_in,))
+        a1 = jax.lax.dynamic_slice(la, (min_punch,), (W_in,))
+        off2 = min_punch + scan_span - p
+        v2 = jax.lax.dynamic_slice(lv, (off2,), (W_in,))
+        a2 = jax.lax.dynamic_slice(la, (off2,), (W_in,))
+        take2 = v2 > v1
+        out_best = jnp.where(take2, v2, v1)
+        o_best = jnp.where(take2, a2, a1)           # absolute out index
+        best_j = (o_best - min_punch - t_ix).astype(jnp.int32)
+
+        best = jnp.where(in_valid & (out_best > -jnp.inf),
+                         sims_in * out_best, -jnp.inf)
         band_sim = jnp.where(best > 0.0, jnp.sqrt(jnp.maximum(best, 0.0)),
                              -jnp.inf)
         vals, t_idx = jax.lax.top_k(band_sim, k)
