@@ -164,6 +164,31 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
             jnp.swapaxes(boosts_k, 0, 1))
 
 
+@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
+def _multi_query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
+                                a_std_t, a_std_s, ln_avg, shifts_t,
+                                temp_weight, max_boost,
+                                num_temporal: int = 1, k: int = 4):
+    """:func:`_multi_query_kernel` continued from cached spectra."""
+    def one_file(X, Xsq, shift_t):
+        def one_query(tt, ts, st_t, st_s, la):
+            return K.correlation_trace_from_spectra(
+                X, Xsq, t_padded, tt, ts, st_t, st_s, la, shift_t,
+                temp_weight, max_boost, num_temporal=num_temporal)
+
+        return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
+
+    sims, boosts = jax.vmap(one_file)(X_b, Xsq_b, shifts_t)  # [B, Q, W]
+    L = tmpl_t.shape[2]
+    w_valid = lens - (L - 1)
+    t_idx = jnp.arange(sims.shape[2])[None, None, :]
+    masked = jnp.where(t_idx < w_valid[:, None, None], sims, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked, k)
+    boosts_k = jnp.take_along_axis(boosts, idx, axis=2)
+    return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
+            jnp.swapaxes(boosts_k, 0, 1))
+
+
 @partial(jax.jit, static_argnames=("num_temporal",))
 def _spectra_kernel(xs_b, num_temporal: int = 1):
     """Per-file forward spectra of the whole database (the shared half of
@@ -247,92 +272,123 @@ def _punch_query_kernel(xs_b, lens,
     Returns per-file ``(sims, t_idx, punch_len_k, boost_in, boost_out)``,
     each ``[B, k]``.
     """
-    L_in = in_t.shape[1]
-    L_out = out_t.shape[1]
-    Tp = xs_b.shape[2]
-    W_in = Tp - L_in + 1
-    W_out = Tp - L_out + 1
-
     def one(xs, shift_t, t_len):
         # forward spectra once per file, shared by both punch templates
         X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
-        sims_in, boosts_in = K.correlation_trace_from_spectra(
-            X, Xsq, Tp, in_t, in_s, in_std_t, in_std_s, in_ln, shift_t,
-            tw_in, max_boost, num_temporal=num_temporal)
-        sims_out, boosts_out = K.correlation_trace_from_spectra(
-            X, Xsq, Tp, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
-            tw_out, max_boost, num_temporal=num_temporal)
-
-        # validity: punch-in scan runs over len − minPunch frames (:183);
-        # punch-out windows must fit the file
-        t_ix = jnp.arange(W_in)
-        w_in_valid = t_len - min_punch - (L_in - 1)
-        in_valid = (t_ix < w_in_valid) & (sims_in > 0.0)
-        o_ix = jnp.arange(W_out)
-        out_ok = o_ix < (t_len - (L_out - 1))
-        # pad the out trace so every banded read is in range
-        pad = W_in + Tp - W_out
-        out_vals = jnp.concatenate(
-            [jnp.where(out_ok, sims_out, -jnp.inf),
-             jnp.full((pad,), -jnp.inf, sims_out.dtype)])
-        out_boosts_p = jnp.concatenate(
-            [boosts_out, jnp.ones((pad,), boosts_out.dtype)])
-        w_pad = out_vals.shape[0]
-
-        # banded combine: candidates gate on inSim > 0 (:342 with low ≥ 0),
-        # so argmax_j inSim·outSim[t+minPunch+j] = argmax_j outSim over the
-        # band — a sliding-window maximum.  Computed sparse-table style:
-        # doubling (max, earliest-argmax) tables M_p for p = 1, 2, 4, …,
-        # then width-S max at offset o is the max of the two overlapping
-        # power blocks M_p[o] and M_p[o+S−p], p = 2^⌊log2 S⌋ — O(log Tp)
-        # elementwise passes instead of S sequential steps (ties keep the
-        # earliest j, exactly like the reference's strict-> scan).
-        n_levels = max(1, int(np.ceil(np.log2(w_pad))) + 1)
-        v = out_vals
-        a = jnp.arange(w_pad, dtype=jnp.int32)
-        levels_v = [v]
-        levels_a = [a]
-        for j in range(1, n_levels):
-            sh = 1 << (j - 1)
-            v2 = jnp.concatenate(
-                [v[sh:], jnp.full((sh,), -jnp.inf, v.dtype)])
-            a2 = jnp.concatenate([a[sh:], jnp.zeros((sh,), a.dtype)])
-            take = v2 > v
-            v = jnp.where(take, v2, v)
-            a = jnp.where(take, a2, a)
-            levels_v.append(v)
-            levels_a.append(a)
-        levels_v = jnp.stack(levels_v)              # [J, w_pad]
-        levels_a = jnp.stack(levels_a)
-
-        # exact integer ⌊log2 S⌋ (float log2 can misround at powers of two)
-        j_sel = 31 - jax.lax.clz(jnp.maximum(scan_span, 1).astype(jnp.int32))
-        j_sel = jnp.clip(j_sel, 0, n_levels - 1)
-        p = jnp.left_shift(jnp.int32(1), j_sel)
-        lv = jax.lax.dynamic_index_in_dim(levels_v, j_sel, 0, keepdims=False)
-        la = jax.lax.dynamic_index_in_dim(levels_a, j_sel, 0, keepdims=False)
-        # block 1 at offset min_punch, block 2 at min_punch + scan_span − p
-        v1 = jax.lax.dynamic_slice(lv, (min_punch,), (W_in,))
-        a1 = jax.lax.dynamic_slice(la, (min_punch,), (W_in,))
-        off2 = min_punch + scan_span - p
-        v2 = jax.lax.dynamic_slice(lv, (off2,), (W_in,))
-        a2 = jax.lax.dynamic_slice(la, (off2,), (W_in,))
-        take2 = v2 > v1
-        out_best = jnp.where(take2, v2, v1)
-        o_best = jnp.where(take2, a2, a1)           # absolute out index
-        best_j = (o_best - min_punch - t_ix).astype(jnp.int32)
-
-        best = jnp.where(in_valid & (out_best > -jnp.inf),
-                         sims_in * out_best, -jnp.inf)
-        band_sim = jnp.where(best > 0.0, jnp.sqrt(jnp.maximum(best, 0.0)),
-                             -jnp.inf)
-        vals, t_idx = jax.lax.top_k(band_sim, k)
-        j_k = best_j[t_idx]
-        b_in = boosts_in[t_idx]
-        b_out = out_boosts_p[t_idx + min_punch + j_k]
-        return vals, t_idx, j_k, b_in, b_out
+        return _punch_one_from_spectra(
+            X, Xsq, xs_b.shape[2], in_t, in_s, in_std_t, in_std_s, in_ln,
+            out_t, out_s, out_std_t, out_std_s, out_ln, shift_t, tw_in,
+            tw_out, max_boost, min_punch, scan_span, t_len,
+            num_temporal=num_temporal, k=k)
 
     return jax.vmap(one)(xs_b, shifts_t, lens)
+
+
+@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
+def _punch_query_kernel_spectra(X_b, Xsq_b, t_padded, lens,
+                                in_t, in_s, in_std_t, in_std_s, in_ln,
+                                out_t, out_s, out_std_t, out_std_s, out_ln,
+                                shifts_t, tw_in, tw_out, max_boost,
+                                min_punch, scan_span,
+                                num_temporal: int = 1, k: int = 4):
+    """:func:`_punch_query_kernel` continued from cached spectra."""
+    def one(X, Xsq, shift_t, t_len):
+        return _punch_one_from_spectra(
+            X, Xsq, t_padded, in_t, in_s, in_std_t, in_std_s, in_ln,
+            out_t, out_s, out_std_t, out_std_s, out_ln, shift_t, tw_in,
+            tw_out, max_boost, min_punch, scan_span, t_len,
+            num_temporal=num_temporal, k=k)
+
+    return jax.vmap(one)(X_b, Xsq_b, shifts_t, lens)
+
+
+def _punch_one_from_spectra(X, Xsq, t_padded,
+                            in_t, in_s, in_std_t, in_std_s, in_ln,
+                            out_t, out_s, out_std_t, out_std_s, out_ln,
+                            shift_t, tw_in, tw_out, max_boost,
+                            min_punch, scan_span, t_len,
+                            num_temporal: int = 1, k: int = 4):
+    """One file's punch-in × punch-out combine (see _punch_query_kernel)."""
+    L_in = in_t.shape[1]
+    L_out = out_t.shape[1]
+    Tp = t_padded
+    W_in = Tp - L_in + 1
+    W_out = Tp - L_out + 1
+    sims_in, boosts_in = K.correlation_trace_from_spectra(
+        X, Xsq, Tp, in_t, in_s, in_std_t, in_std_s, in_ln, shift_t,
+        tw_in, max_boost, num_temporal=num_temporal)
+    sims_out, boosts_out = K.correlation_trace_from_spectra(
+        X, Xsq, Tp, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
+        tw_out, max_boost, num_temporal=num_temporal)
+
+    # validity: punch-in scan runs over len − minPunch frames (:183);
+    # punch-out windows must fit the file
+    t_ix = jnp.arange(W_in)
+    w_in_valid = t_len - min_punch - (L_in - 1)
+    in_valid = (t_ix < w_in_valid) & (sims_in > 0.0)
+    o_ix = jnp.arange(W_out)
+    out_ok = o_ix < (t_len - (L_out - 1))
+    # pad the out trace so every banded read is in range
+    pad = W_in + Tp - W_out
+    out_vals = jnp.concatenate(
+        [jnp.where(out_ok, sims_out, -jnp.inf),
+         jnp.full((pad,), -jnp.inf, sims_out.dtype)])
+    out_boosts_p = jnp.concatenate(
+        [boosts_out, jnp.ones((pad,), boosts_out.dtype)])
+    w_pad = out_vals.shape[0]
+
+    # banded combine: candidates gate on inSim > 0 (:342 with low ≥ 0),
+    # so argmax_j inSim·outSim[t+minPunch+j] = argmax_j outSim over the
+    # band — a sliding-window maximum.  Computed sparse-table style:
+    # doubling (max, earliest-argmax) tables M_p for p = 1, 2, 4, …,
+    # then width-S max at offset o is the max of the two overlapping
+    # power blocks M_p[o] and M_p[o+S−p], p = 2^⌊log2 S⌋ — O(log Tp)
+    # elementwise passes instead of S sequential steps (ties keep the
+    # earliest j, exactly like the reference's strict-> scan).
+    n_levels = max(1, int(np.ceil(np.log2(w_pad))) + 1)
+    v = out_vals
+    a = jnp.arange(w_pad, dtype=jnp.int32)
+    levels_v = [v]
+    levels_a = [a]
+    for j in range(1, n_levels):
+        sh = 1 << (j - 1)
+        v2 = jnp.concatenate(
+            [v[sh:], jnp.full((sh,), -jnp.inf, v.dtype)])
+        a2 = jnp.concatenate([a[sh:], jnp.zeros((sh,), a.dtype)])
+        take = v2 > v
+        v = jnp.where(take, v2, v)
+        a = jnp.where(take, a2, a)
+        levels_v.append(v)
+        levels_a.append(a)
+    levels_v = jnp.stack(levels_v)              # [J, w_pad]
+    levels_a = jnp.stack(levels_a)
+
+    # exact integer ⌊log2 S⌋ (float log2 can misround at powers of two)
+    j_sel = 31 - jax.lax.clz(jnp.maximum(scan_span, 1).astype(jnp.int32))
+    j_sel = jnp.clip(j_sel, 0, n_levels - 1)
+    p = jnp.left_shift(jnp.int32(1), j_sel)
+    lv = jax.lax.dynamic_index_in_dim(levels_v, j_sel, 0, keepdims=False)
+    la = jax.lax.dynamic_index_in_dim(levels_a, j_sel, 0, keepdims=False)
+    # block 1 at offset min_punch, block 2 at min_punch + scan_span − p
+    v1 = jax.lax.dynamic_slice(lv, (min_punch,), (W_in,))
+    a1 = jax.lax.dynamic_slice(la, (min_punch,), (W_in,))
+    off2 = min_punch + scan_span - p
+    v2 = jax.lax.dynamic_slice(lv, (off2,), (W_in,))
+    a2 = jax.lax.dynamic_slice(la, (off2,), (W_in,))
+    take2 = v2 > v1
+    out_best = jnp.where(take2, v2, v1)
+    o_best = jnp.where(take2, a2, a1)           # absolute out index
+    best_j = (o_best - min_punch - t_ix).astype(jnp.int32)
+
+    best = jnp.where(in_valid & (out_best > -jnp.inf),
+                     sims_in * out_best, -jnp.inf)
+    band_sim = jnp.where(best > 0.0, jnp.sqrt(jnp.maximum(best, 0.0)),
+                         -jnp.inf)
+    vals, t_idx = jax.lax.top_k(band_sim, k)
+    j_k = best_j[t_idx]
+    b_in = boosts_in[t_idx]
+    b_out = out_boosts_p[t_idx + min_punch + j_k]
+    return vals, t_idx, j_k, b_in, b_out
 
 
 class FeatureDatabase:
@@ -479,19 +535,23 @@ class FeatureDatabase:
         both boosts."""
         if min_punch > max_punch:
             raise ValueError(f"min_punch {min_punch} > max_punch {max_punch}")
-        out = _punch_query_kernel(
-            self._xs, self._lens_dev,
-            punch_in.device_temporal(), punch_in.device_spectral(),
-            jnp.float32(punch_in.temporal_std),
-            jnp.float32(punch_in.spectral_std),
-            jnp.float32(punch_in.ln_avg_loudness),
-            punch_out.device_temporal(), punch_out.device_spectral(),
-            jnp.float32(punch_out.temporal_std),
-            jnp.float32(punch_out.spectral_std),
-            jnp.float32(punch_out.ln_avg_loudness),
-            self._shifts, jnp.float32(temp_weight_in),
-            jnp.float32(temp_weight_out), jnp.float32(max_boost),
-            jnp.int32(min_punch), jnp.int32(max_punch - min_punch + 1), k=k)
+        targs = (punch_in.device_temporal(), punch_in.device_spectral(),
+                 jnp.float32(punch_in.temporal_std),
+                 jnp.float32(punch_in.spectral_std),
+                 jnp.float32(punch_in.ln_avg_loudness),
+                 punch_out.device_temporal(), punch_out.device_spectral(),
+                 jnp.float32(punch_out.temporal_std),
+                 jnp.float32(punch_out.spectral_std),
+                 jnp.float32(punch_out.ln_avg_loudness),
+                 self._shifts, jnp.float32(temp_weight_in),
+                 jnp.float32(temp_weight_out), jnp.float32(max_boost),
+                 jnp.int32(min_punch), jnp.int32(max_punch - min_punch + 1))
+        if self._spectra is not None:
+            out = _punch_query_kernel_spectra(
+                self._spectra[0], self._spectra[1], self._xs.shape[2],
+                self._lens_dev, *targs, k=k)
+        else:
+            out = _punch_query_kernel(self._xs, self._lens_dev, *targs, k=k)
         vals, t_idx, j_k, b_in, b_out = jax.device_get(out)
         return PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
                                 list(self.files), min_punch)
@@ -522,10 +582,16 @@ class FeatureDatabase:
             st_t = jnp.asarray([t.temporal_std for t in group], jnp.float32)
             st_s = jnp.asarray([t.spectral_std for t in group], jnp.float32)
             la = jnp.asarray([t.ln_avg_loudness for t in group], jnp.float32)
-            vals, idx, boosts = jax.device_get(_multi_query_kernel(
-                self._xs, self._lens_dev, tt, ts, st_t, st_s, la,
-                self._shifts, jnp.float32(temp_weight),
-                jnp.float32(max_boost), k=k))
+            qargs = (tt, ts, st_t, st_s, la, self._shifts,
+                     jnp.float32(temp_weight), jnp.float32(max_boost))
+            if self._spectra is not None:
+                out = _multi_query_kernel_spectra(
+                    self._spectra[0], self._spectra[1], self._xs.shape[2],
+                    self._lens_dev, *qargs, k=k)
+            else:
+                out = _multi_query_kernel(self._xs, self._lens_dev,
+                                          *qargs, k=k)
+            vals, idx, boosts = jax.device_get(out)
             for q, qi in enumerate(idxs):
                 res = QueryResult(vals[q], idx[q], list(self.files),
                                   boosts[q])

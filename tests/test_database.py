@@ -196,3 +196,26 @@ def test_cached_spectra_query_matches(db_entries):
     np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
     np.testing.assert_array_equal(r1.frames, r2.frames)
     np.testing.assert_allclose(r1.boosts, r2.boosts, rtol=1e-5)
+
+
+def test_cached_spectra_punch_and_batch_match(db_entries):
+    from strugatzki_tpu.analysis.correlation import InputTemplate as IT
+
+    entries = [(n, f.copy()) for n, f in db_entries[:8]]
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    t_in = IT(entries[3][1][:, 10:40].copy())
+    t_out = IT(entries[3][1][:, 100:120].copy())
+    db1 = FeatureDatabase(entries, norm=None, pad_multiple=64)
+    db2 = FeatureDatabase(entries, norm=None, pad_multiple=64,
+                          cache_spectra=True)
+    p1 = db1.query_punch(t_in, t_out, min_punch=70, max_punch=85, k=2)
+    p2 = db2.query_punch(t_in, t_out, min_punch=70, max_punch=85, k=2)
+    np.testing.assert_allclose(p1.sims, p2.sims, atol=1e-5)
+    np.testing.assert_array_equal(p1.frames, p2.frames)
+    np.testing.assert_array_equal(p1.punch_lens, p2.punch_lens)
+    b1 = db1.query_batch([t_in, t_out], k=2)
+    b2 = db2.query_batch([t_in, t_out], k=2)
+    for r1, r2 in zip(b1, b2):
+        np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
+        np.testing.assert_array_equal(r1.frames, r2.frames)
