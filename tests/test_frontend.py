@@ -177,3 +177,27 @@ def test_nondefault_fft_configs_match_numpy_reference(fft_size, overlap):
             + C.MFCC_OFFSET
         np.testing.assert_allclose(feats[1:, j], coeffs, atol=5e-4,
                                    err_msg=f"frame {j}")
+
+
+@pytest.mark.parametrize("sr", [22050.0, 48000.0, 96000.0])
+def test_other_sample_rates_sane(sr):
+    """ML.cpp is hard-coded to 44.1k/1024; our generalization (deliberate
+    divergence #5) must stay calibrated: a full-scale 1 kHz sine reads
+    ~1 on the loudness channel at any rate, silence reads 0, features
+    finite."""
+    t = np.arange(int(sr)) / sr
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    f = extract_features(x, sr)
+    assert np.isfinite(f).all()
+    loud = f[0, 20:-20]
+    # at 96k the fixed 1024-point FFT is coarse relative to the narrow
+    # low ERB bands, so Hann leakage of a tone spreads real energy across
+    # several one-bin bands — the sum legitimately runs higher
+    hi = 4.0 if sr > 48000 else 1.6
+    assert 0.6 < loud.mean() < hi, (sr, loud.mean())
+    # Stevens' law holds at any rate: −10 dB ≈ half the sones
+    f2 = extract_features((x * 10 ** (-10 / 20)).astype(np.float32), sr)
+    ratio = loud.mean() / f2[0, 20:-20].mean()
+    assert 1.7 < ratio < 2.3, (sr, ratio)
+    z = extract_features(np.zeros(int(sr // 2), np.float32), sr)
+    assert z[0].max() == 0.0
