@@ -69,14 +69,14 @@ class CrossSimilarity(ProcessorFactory):
             norm = load_norm(cfg.database_folder, extr1.num_coeffs) \
                 if cfg.normalize else None
 
-            f1 = read_features(extr1)
+            f1, spec1 = af.read(extr1.feature_output)
             f2 = read_features(extr2)
             s1, e1 = _open_span(extr1, cfg.span1, f1.shape[1])
             s2, e2 = _open_span(extr2, cfg.span2, f2.shape[1])
             a1, a2 = f1[:, s1:e1], f2[:, s2:e2]
 
             # output rate comes from input 1's feature file, pre-swap (:87-89)
-            rate1 = af.read_spec(extr1.feature_output).sample_rate
+            rate1 = spec1.sample_rate
 
             # shorter span becomes the template (:92-94)
             if a1.shape[1] < a2.shape[1]:
@@ -93,11 +93,16 @@ class CrossSimilarity(ProcessorFactory):
             xn = normalized(sig_src, norm)
             xs, shift_t, shift_s = K.shift_per_group(xn)
             proc.check_aborted()
+            # the reference reports per-output-frame progress
+            # (CrossSimilarityImpl.scala:169); the device computes the whole
+            # trace in one dispatch, so stage the fractions around it
+            proc.set_progress(0.1)
 
             sims, _boosts = sliding_traces(
                 xs, shift_t, shift_s, template, sig_src.shape[1],
                 cfg.temporal_weight, cfg.max_boost)
             proc.check_aborted()
+            proc.set_progress(0.9)
 
             af.write(cfg.audio_output, sims[None, :],
                      af.AudioFileSpec(cfg.audio_output_type,

@@ -77,8 +77,8 @@ def _go(factory, config):
             events["result"] = e
 
     proc = factory.run(config, observer)
-    proc.ready()
-    return events.get("result")
+    res = proc.ready()
+    return events.get("result", res)
 
 
 def _fail(res: Result) -> None:

@@ -304,22 +304,75 @@ def _parse_au(f, file_size: int) -> _Layout:
     return _Layout(spec, data_offset, big_endian=True)
 
 
+def _parse_w64(f) -> _Layout:
+    """Wave64 (GUID-chunked RIFF variant; sizes include the 24-byte chunk
+    header, bodies padded to 8) — mirrors the writer below."""
+    f.seek(16)
+    (_total,) = struct.unpack("<Q", f.read(8))
+    f.read(16)  # wave GUID
+    wformat = bits = num_channels = sample_rate = None
+    data_offset = data_size = None
+    while True:
+        head = f.read(24)
+        if len(head) < 24:
+            break
+        guid = head[:16]
+        (size,) = struct.unpack("<Q", head[16:24])
+        body_size = size - 24
+        pos = f.tell()
+        if guid[:4] == b"fmt ":
+            body = f.read(body_size)
+            wformat, num_channels, sample_rate, _, _, bits = \
+                struct.unpack("<HHIIHH", body[:16])
+        elif guid[:4] == b"data":
+            data_offset = pos
+            data_size = body_size
+        f.seek(pos + body_size + ((8 - (size % 8)) % 8))
+    if wformat is None or data_offset is None:
+        raise IOError("incomplete Wave64 file")
+    if wformat == 1:
+        fmt = {16: SampleFormat.INT16, 24: SampleFormat.INT24,
+               32: SampleFormat.INT32}[bits]
+    elif wformat == 3:
+        fmt = SampleFormat.FLOAT if bits == 32 else SampleFormat.DOUBLE
+    else:
+        raise IOError(f"unsupported Wave64 format tag {wformat}")
+    num_frames = data_size // (_bytes_per_sample(fmt) * num_channels)
+    spec = AudioFileSpec(WAVE64, fmt, num_channels, float(sample_rate),
+                         num_frames)
+    return _Layout(spec, data_offset, big_endian=False)
+
+
+_W64_RIFF_GUID = (bytes.fromhex("72696666")
+                  + bytes.fromhex("2E91CF11A5D628DB04C10000"))
+
+
 def _parse(f, path: str) -> _Layout:
     file_size = os.fstat(f.fileno()).st_size
-    magic = f.read(4)
+    magic = f.read(16)
     f.seek(0)
     try:
-        if magic == b"FORM":
-            return _parse_aiff(f)
-        if magic == b"RIFF":
-            return _parse_wav(f)
-        if magic == b".snd":
-            return _parse_au(f, file_size)
-        if magic in _IRCAM_MAGICS:
-            return _parse_ircam(f, file_size)
-    except struct.error as e:
-        raise IOError(f"corrupt audio file {path}: {e}") from e
-    raise IOError(f"unrecognized audio file format: {path}")
+        layout = None
+        if magic[:4] == b"FORM":
+            layout = _parse_aiff(f)
+        elif magic[:4] == b"RIFF":
+            layout = _parse_wav(f)
+        elif magic == _W64_RIFF_GUID:
+            layout = _parse_w64(f)
+        elif magic[:4] == b".snd":
+            layout = _parse_au(f, file_size)
+        elif magic[:4] in _IRCAM_MAGICS:
+            layout = _parse_ircam(f, file_size)
+    except (struct.error, KeyError, ZeroDivisionError, OverflowError,
+            IndexError) as e:
+        # corrupt or unsupported-variant headers surface uniformly
+        raise IOError(f"corrupt audio file {path}: {e!r}") from e
+    if layout is None:
+        raise IOError(f"unrecognized audio file format: {path}")
+    if layout.spec.num_channels < 1:
+        raise IOError(f"corrupt audio file {path}: "
+                      f"{layout.spec.num_channels} channels")
+    return layout
 
 
 # ---------------------------------------------------------------------------
@@ -367,9 +420,10 @@ class AudioFileReader:
         self._position = int(frame)
         self._f.seek(self._data_offset + self._position * self._frame_bytes)
 
-    def read_frames(self, num: int) -> np.ndarray:
-        """Read ``num`` frames; returns ``[channels, n]`` float32 (n ≤ num at EOF)."""
-        raw = self._f.read(num * self._frame_bytes)
+    def read_frames(self, num: Optional[int]) -> np.ndarray:
+        """Read ``num`` frames (``None`` = to EOF); returns ``[channels, n]``
+        float32 (n ≤ num at EOF)."""
+        raw = self._f.read(None if num is None else num * self._frame_bytes)
         n = len(raw) // self._frame_bytes
         raw = raw[: n * self._frame_bytes]
         self._position += n
@@ -403,7 +457,7 @@ def read_spec(path) -> AudioFileSpec:
 def read(path) -> Tuple[np.ndarray, AudioFileSpec]:
     """Read an entire file → (``[channels, frames]`` float32, spec)."""
     with AudioFileReader(path) as r:
-        data = r.read_frames(r.num_frames if r.num_frames else 1 << 62)
+        data = r.read_frames(r.num_frames if r.num_frames else None)
         return data, replace(r.spec, num_frames=data.shape[1])
 
 
@@ -420,7 +474,6 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
     num_channels, num_frames = data.shape
     if num_channels != spec.num_channels:
         raise ValueError(f"data has {num_channels} channels, spec says {spec.num_channels}")
-    interleaved = np.ascontiguousarray(data.T)
     t = spec.file_type
     fmt = spec.sample_format
 
@@ -428,7 +481,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
         enc = _native.encode(data, fmt, big_endian)
         if enc is not None:
             return enc
-        return _encode_samples(interleaved, fmt, big_endian)
+        return _encode_samples(np.ascontiguousarray(data.T), fmt, big_endian)
 
     if t == AIFF:
         payload = _encode(True)
@@ -483,7 +536,8 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
     elif t == IRCAM:
         payload = _encode(True)
         code = {SampleFormat.INT16: 2, SampleFormat.INT24: 3,
-                SampleFormat.FLOAT: 4, SampleFormat.DOUBLE: 8}[fmt]
+                SampleFormat.INT32: 0x40004, SampleFormat.FLOAT: 4,
+                SampleFormat.DOUBLE: 8}[fmt]
         header = (b"\x64\xa3\x02\x00"  # Sun big-endian variant
                   + struct.pack(">fii", spec.sample_rate, num_channels, code))
         header += b"\x00" * (1024 - len(header))
@@ -502,7 +556,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
 
     elif t == RAW:
         with open(path, "wb") as f:
-            f.write(_encode_samples(interleaved, fmt, big_endian=False))
+            f.write(_encode(False))
 
     elif t == WAVE64:
         # Wave64: GUID-chunked RIFF variant; 16-byte GUIDs + 8-byte sizes

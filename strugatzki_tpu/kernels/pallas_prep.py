@@ -53,7 +53,6 @@ def _prep_kernel(lens_ref, feats_ref, norm_ref, out_ref, shifts_ref,
     c_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, dimension=0)
     is_t = (c_idx < nt).astype(jnp.float32)
     is_s = 1.0 - is_t
-    vf = valid.astype(jnp.float32)
 
     denom_t = jnp.maximum(n * nt, 1).astype(jnp.float32)
     denom_s = jnp.maximum(n * (y.shape[0] - nt), 1).astype(jnp.float32)
@@ -117,9 +116,11 @@ def prepare_database(feats, norm, lens, num_temporal: int = 1,
         norm_arr = jnp.asarray(norm, dtype=jnp.float32)
     lens = jnp.asarray(lens, dtype=jnp.int32)
 
-    # pallas path needs the per-file block resident in VMEM (~16 MB/core)
+    # pallas path needs the per-file block resident in VMEM (~16 MB/core;
+    # the pipelined grid double-buffers input AND output blocks plus a few
+    # [C, T] temporaries, so budget ~6x the block)
     if not interpret and (not _supports_pallas()
-                          or C * T * 4 > 8 * 1024 * 1024):
+                          or C * T * 4 > 2 * 1024 * 1024):
         return prepare_database_xla(feats, norm_arr, lens,
                                     num_temporal=num_temporal)
 

@@ -117,8 +117,10 @@ class Processor(Generic[T]):
                     h(self._result)
                 except Exception:  # noqa: BLE001 - hooks must not mask results
                     pass
-            self._done.set()
+            # dispatch the Result BEFORE releasing ready()/result() waiters
+            # so observers always saw the event by the time waiters wake
             self._dispatch(self._result)
+            self._done.set()
 
     def on_complete(self, hook: Callable[[Result], None]) -> None:
         """Run ``hook`` at termination (success or failure)."""

@@ -147,3 +147,72 @@ def test_corrupt_files_raise_ioerror(tmp_path):
             af.read(p)
         except (IOError, ValueError):
             pass   # acceptable failure modes
+
+
+def test_wave64_roundtrip(tmp_path):
+    """The framework must read back its own Wave64 cross-similarity output
+    (the reference's synth.io does)."""
+    from strugatzki_tpu.io.formats import WAVE64
+    data = _sig(1, 777, seed=3)
+    p = tmp_path / "x.w64"
+    af.write(p, data, af.AudioFileSpec(WAVE64, SampleFormat.FLOAT, 1, 44100.0))
+    back, spec = af.read(p)
+    assert spec.file_type.id == "w64"
+    assert spec.num_frames == 777
+    np.testing.assert_array_equal(back, data)
+    # int16 variant too
+    af.write(p, data, af.AudioFileSpec(WAVE64, SampleFormat.INT16, 1, 48000.0))
+    back, spec = af.read(p)
+    assert spec.sample_rate == 48000.0
+    np.testing.assert_allclose(back, data, atol=1 / 32768)
+
+
+def test_ircam_int32_roundtrip(tmp_path):
+    data = _sig(2, 300, seed=4)
+    p = tmp_path / "x.irc"
+    af.write(p, data, af.AudioFileSpec(IRCAM, SampleFormat.INT32, 2, 44100.0))
+    back, spec = af.read(p)
+    assert spec.sample_format == SampleFormat.INT32
+    np.testing.assert_allclose(back, data, atol=1 / 2147483648)
+
+
+def test_zero_channel_header_raises_ioerror(tmp_path):
+    """num_channels = 0 in a WAV header must surface as IOError, not
+    ZeroDivisionError."""
+    data = _sig(1, 64)
+    p = tmp_path / "z.wav"
+    af.write(p, data, af.AudioFileSpec(WAVE, SampleFormat.INT16, 1, 44100.0))
+    raw = bytearray(p.read_bytes())
+    fmt_at = raw.index(b"fmt ") + 8
+    raw[fmt_at + 2:fmt_at + 4] = b"\x00\x00"  # channels field
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        af.read(p)
+
+
+def test_unusual_bit_depth_raises_ioerror(tmp_path):
+    """A 12-bit WAV must be a clear IOError, not a KeyError."""
+    data = _sig(1, 64)
+    p = tmp_path / "b.wav"
+    af.write(p, data, af.AudioFileSpec(WAVE, SampleFormat.INT16, 1, 44100.0))
+    raw = bytearray(p.read_bytes())
+    fmt_at = raw.index(b"fmt ") + 8
+    raw[fmt_at + 14:fmt_at + 16] = struct.pack("<H", 12)
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        af.read(p)
+
+
+def test_read_zero_frame_header(tmp_path):
+    """A header claiming 0 frames reads to EOF (AudioFileWriter crash-
+    before-close leaves such AIFCs); regression for the 1<<62 overflow."""
+    data = _sig(2, 150, seed=5)
+    p = tmp_path / "z.aif"
+    af.write(p, data, af.AudioFileSpec(AIFF, SampleFormat.FLOAT, 2, 44100.0))
+    raw = bytearray(p.read_bytes())
+    comm_at = raw.index(b"COMM") + 8
+    raw[comm_at + 2:comm_at + 6] = b"\x00\x00\x00\x00"  # numFrames field
+    p.write_bytes(bytes(raw))
+    back, spec = af.read(p)
+    assert back.shape == (2, 150)
+    np.testing.assert_array_equal(back, data)
