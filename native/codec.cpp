@@ -7,7 +7,9 @@
 // NumPy implementation remains as a portable fallback.
 //
 // Layout conventions match the Python side: planar float32 [channels][frames]
-// on the framework side, interleaved sample frames on the file side.
+// on the framework side, interleaved sample frames on the file side.  Loops
+// run channel-major with a unit-stride planar row and a constant-stride
+// interleaved pointer — no per-sample division — so compilers can vectorize.
 //
 // Build: `make -C native` (produces libstrugatzki_codec.so).
 
@@ -36,61 +38,75 @@ extern "C" {
 
 int strug_decode(const uint8_t* raw, float* out, int64_t frames,
                  int32_t channels, int32_t fmt, int32_t big_endian) {
-  const int64_t n = frames * channels;
   switch (fmt) {
     case 2: {  // int16
       const int16_t* src = reinterpret_cast<const int16_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        int16_t v = src[i];
-        if (big_endian) v = static_cast<int16_t>(bswap16(static_cast<uint16_t>(v)));
-        const int64_t f = i / channels, c = i % channels;
-        out[c * frames + f] = static_cast<float>(v) * kInv16;
+      for (int32_t c = 0; c < channels; ++c) {
+        float* dst = out + static_cast<int64_t>(c) * frames;
+        const int16_t* s = src + c;
+        for (int64_t f = 0; f < frames; ++f, s += channels) {
+          int16_t v = *s;
+          if (big_endian) v = static_cast<int16_t>(bswap16(static_cast<uint16_t>(v)));
+          dst[f] = static_cast<float>(v) * kInv16;
+        }
       }
       return 0;
     }
     case 3: {  // int24 (packed 3-byte)
-      for (int64_t i = 0; i < n; ++i) {
-        const uint8_t* p = raw + i * 3;
-        int32_t v = big_endian
-            ? (static_cast<int32_t>(p[0]) << 16) | (p[1] << 8) | p[2]
-            : (static_cast<int32_t>(p[2]) << 16) | (p[1] << 8) | p[0];
-        if (v >= (1 << 23)) v -= (1 << 24);
-        const int64_t f = i / channels, c = i % channels;
-        out[c * frames + f] = static_cast<float>(v * kInv24);
+      for (int32_t c = 0; c < channels; ++c) {
+        float* dst = out + static_cast<int64_t>(c) * frames;
+        const uint8_t* p = raw + static_cast<int64_t>(c) * 3;
+        const int64_t stride = static_cast<int64_t>(channels) * 3;
+        for (int64_t f = 0; f < frames; ++f, p += stride) {
+          int32_t v = big_endian
+              ? (static_cast<int32_t>(p[0]) << 16) | (p[1] << 8) | p[2]
+              : (static_cast<int32_t>(p[2]) << 16) | (p[1] << 8) | p[0];
+          if (v >= (1 << 23)) v -= (1 << 24);
+          dst[f] = static_cast<float>(v * kInv24);
+        }
       }
       return 0;
     }
     case 4: {  // int32
       const int32_t* src = reinterpret_cast<const int32_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        int32_t v = src[i];
-        if (big_endian) v = static_cast<int32_t>(bswap32(static_cast<uint32_t>(v)));
-        const int64_t f = i / channels, c = i % channels;
-        out[c * frames + f] = static_cast<float>(v * kInv32);
+      for (int32_t c = 0; c < channels; ++c) {
+        float* dst = out + static_cast<int64_t>(c) * frames;
+        const int32_t* s = src + c;
+        for (int64_t f = 0; f < frames; ++f, s += channels) {
+          int32_t v = *s;
+          if (big_endian) v = static_cast<int32_t>(bswap32(static_cast<uint32_t>(v)));
+          dst[f] = static_cast<float>(v * kInv32);
+        }
       }
       return 0;
     }
     case 5: {  // float32
       const uint32_t* src = reinterpret_cast<const uint32_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        uint32_t bits = src[i];
-        if (big_endian) bits = bswap32(bits);
-        float v;
-        std::memcpy(&v, &bits, 4);
-        const int64_t f = i / channels, c = i % channels;
-        out[c * frames + f] = v;
+      for (int32_t c = 0; c < channels; ++c) {
+        float* dst = out + static_cast<int64_t>(c) * frames;
+        const uint32_t* s = src + c;
+        for (int64_t f = 0; f < frames; ++f, s += channels) {
+          uint32_t bits = *s;
+          if (big_endian) bits = bswap32(bits);
+          float v;
+          std::memcpy(&v, &bits, 4);
+          dst[f] = v;
+        }
       }
       return 0;
     }
     case 6: {  // float64
       const uint64_t* src = reinterpret_cast<const uint64_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        uint64_t bits = src[i];
-        if (big_endian) bits = bswap64(bits);
-        double v;
-        std::memcpy(&v, &bits, 8);
-        const int64_t f = i / channels, c = i % channels;
-        out[c * frames + f] = static_cast<float>(v);
+      for (int32_t c = 0; c < channels; ++c) {
+        float* dst = out + static_cast<int64_t>(c) * frames;
+        const uint64_t* s = src + c;
+        for (int64_t f = 0; f < frames; ++f, s += channels) {
+          uint64_t bits = *s;
+          if (big_endian) bits = bswap64(bits);
+          double v;
+          std::memcpy(&v, &bits, 8);
+          dst[f] = static_cast<float>(v);
+        }
       }
       return 0;
     }
@@ -112,70 +128,81 @@ static inline int32_t clamp_round(double v, double lo, double hi) {
 
 int strug_encode(const float* in, uint8_t* raw, int64_t frames,
                  int32_t channels, int32_t fmt, int32_t big_endian) {
-  const int64_t n = frames * channels;
   switch (fmt) {
     case 2: {
       int16_t* dst = reinterpret_cast<int16_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        const int64_t f = i / channels, c = i % channels;
-        int16_t v = static_cast<int16_t>(
-            clamp_round(static_cast<double>(in[c * frames + f]) * 32768.0,
-                        -32768.0, 32767.0));
-        if (big_endian) v = static_cast<int16_t>(bswap16(static_cast<uint16_t>(v)));
-        dst[i] = v;
+      for (int32_t c = 0; c < channels; ++c) {
+        const float* src = in + static_cast<int64_t>(c) * frames;
+        int16_t* d = dst + c;
+        for (int64_t f = 0; f < frames; ++f, d += channels) {
+          int16_t v = static_cast<int16_t>(clamp_round(
+              static_cast<double>(src[f]) * 32768.0, -32768.0, 32767.0));
+          if (big_endian) v = static_cast<int16_t>(bswap16(static_cast<uint16_t>(v)));
+          *d = v;
+        }
       }
       return 0;
     }
     case 3: {
-      for (int64_t i = 0; i < n; ++i) {
-        const int64_t f = i / channels, c = i % channels;
-        int32_t v = clamp_round(
-            static_cast<double>(in[c * frames + f]) * 8388608.0,
-            -8388608.0, 8388607.0);
-        uint32_t u = static_cast<uint32_t>(v < 0 ? v + (1 << 24) : v);
-        uint8_t* p = raw + i * 3;
-        if (big_endian) {
-          p[0] = (u >> 16) & 0xFF; p[1] = (u >> 8) & 0xFF; p[2] = u & 0xFF;
-        } else {
-          p[2] = (u >> 16) & 0xFF; p[1] = (u >> 8) & 0xFF; p[0] = u & 0xFF;
+      for (int32_t c = 0; c < channels; ++c) {
+        const float* src = in + static_cast<int64_t>(c) * frames;
+        uint8_t* p = raw + static_cast<int64_t>(c) * 3;
+        const int64_t stride = static_cast<int64_t>(channels) * 3;
+        for (int64_t f = 0; f < frames; ++f, p += stride) {
+          int32_t v = clamp_round(static_cast<double>(src[f]) * 8388608.0,
+                                  -8388608.0, 8388607.0);
+          uint32_t u = static_cast<uint32_t>(v < 0 ? v + (1 << 24) : v);
+          if (big_endian) {
+            p[0] = (u >> 16) & 0xFF; p[1] = (u >> 8) & 0xFF; p[2] = u & 0xFF;
+          } else {
+            p[2] = (u >> 16) & 0xFF; p[1] = (u >> 8) & 0xFF; p[0] = u & 0xFF;
+          }
         }
       }
       return 0;
     }
     case 4: {
       int32_t* dst = reinterpret_cast<int32_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        const int64_t f = i / channels, c = i % channels;
-        double scaled = static_cast<double>(in[c * frames + f]) * 2147483648.0;
-        double r = std::nearbyint(scaled);
-        if (r < -2147483648.0) r = -2147483648.0;
-        if (r > 2147483647.0) r = 2147483647.0;
-        int32_t v = static_cast<int32_t>(r);
-        if (big_endian) v = static_cast<int32_t>(bswap32(static_cast<uint32_t>(v)));
-        dst[i] = v;
+      for (int32_t c = 0; c < channels; ++c) {
+        const float* src = in + static_cast<int64_t>(c) * frames;
+        int32_t* d = dst + c;
+        for (int64_t f = 0; f < frames; ++f, d += channels) {
+          double r = std::nearbyint(static_cast<double>(src[f]) * 2147483648.0);
+          if (r < -2147483648.0) r = -2147483648.0;
+          if (r > 2147483647.0) r = 2147483647.0;
+          int32_t v = static_cast<int32_t>(r);
+          if (big_endian) v = static_cast<int32_t>(bswap32(static_cast<uint32_t>(v)));
+          *d = v;
+        }
       }
       return 0;
     }
     case 5: {
       uint32_t* dst = reinterpret_cast<uint32_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        const int64_t f = i / channels, c = i % channels;
-        uint32_t bits;
-        std::memcpy(&bits, &in[c * frames + f], 4);
-        if (big_endian) bits = bswap32(bits);
-        dst[i] = bits;
+      for (int32_t c = 0; c < channels; ++c) {
+        const float* src = in + static_cast<int64_t>(c) * frames;
+        uint32_t* d = dst + c;
+        for (int64_t f = 0; f < frames; ++f, d += channels) {
+          uint32_t bits;
+          std::memcpy(&bits, &src[f], 4);
+          if (big_endian) bits = bswap32(bits);
+          *d = bits;
+        }
       }
       return 0;
     }
     case 6: {
       uint64_t* dst = reinterpret_cast<uint64_t*>(raw);
-      for (int64_t i = 0; i < n; ++i) {
-        const int64_t f = i / channels, c = i % channels;
-        double v = static_cast<double>(in[c * frames + f]);
-        uint64_t bits;
-        std::memcpy(&bits, &v, 8);
-        if (big_endian) bits = bswap64(bits);
-        dst[i] = bits;
+      for (int32_t c = 0; c < channels; ++c) {
+        const float* src = in + static_cast<int64_t>(c) * frames;
+        uint64_t* d = dst + c;
+        for (int64_t f = 0; f < frames; ++f, d += channels) {
+          double v = static_cast<double>(src[f]);
+          uint64_t bits;
+          std::memcpy(&bits, &v, 8);
+          if (big_endian) bits = bswap64(bits);
+          *d = bits;
+        }
       }
       return 0;
     }
@@ -189,6 +216,7 @@ int strug_encode(const float* in, uint8_t* raw, int64_t frames,
 // at every `chunk` boundary.
 int strug_fix_nans(float* data, int64_t frames, int32_t channels,
                    int64_t chunk) {
+  if (chunk <= 0) return -1;
   for (int32_t c = 0; c < channels; ++c) {
     float* row = data + static_cast<int64_t>(c) * frames;
     for (int64_t start = 0; start < frames; start += chunk) {

@@ -17,8 +17,11 @@ __all__ = ["full_to_feat", "feat_to_full", "load_norm", "read_features",
 
 def full_to_feat(n: int, step_size: int) -> int:
     """Audio frame → feature frame: ``(n + step/2) / step`` (round-to-nearest,
-    reference FeatureCorrelationImpl.scala:38)."""
-    return int((int(n) + (step_size >> 1)) // step_size)
+    reference FeatureCorrelationImpl.scala:38).  Java long division truncates
+    toward zero, so negative positions map like the JVM (−744/512 = −1, not
+    Python floor's −2)."""
+    q = int(n) + (step_size >> 1)
+    return q // step_size if q >= 0 else -((-q) // step_size)
 
 
 def feat_to_full(i: int, step_size: int) -> int:

@@ -36,12 +36,18 @@ def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
     num_ch, n = data.shape
     if n == 0:
         raise ValueError(f"empty feature file: {path}")
-    d64 = data.astype(np.float64)
 
-    mins = d64.min(axis=1)
-    maxs = d64.max(axis=1)
-    means = d64.sum(axis=1) / n          # f64 accumulation (:79, :87)
-    d = maxs - mins
+    # JVM float semantics matter bit-for-bit here: mins/maxs and the range
+    # d are Scala Float (f32) values (:61-62, :87 `maxs(ch) - mins(ch)`),
+    # the mean accumulates in Double (:79), and the pass-2 quotient
+    # `(f - min) / d` is an all-Float expression (:106) widened to Double
+    # only for math.pow
+    mins32 = data.min(axis=1)                                # f32
+    maxs32 = data.max(axis=1)                                # f32
+    d32 = (maxs32 - mins32).astype(np.float32)               # f32 subtract
+    means = data.astype(np.float64).sum(axis=1) / n          # f64 accumulate
+    mins = mins32.astype(np.float64)
+    d = d32.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         mn = (means - mins) / d
         skews = np.log(0.5) / np.log(mn)                     # (:86-91)
@@ -52,7 +58,8 @@ def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
     p99n = int(n * 0.99)
     for ch in range(num_ch):
         with np.errstate(divide="ignore", invalid="ignore"):
-            norm = np.power((d64[ch] - mins[ch]) / d[ch], skews[ch]) * 2047 + 0.5
+            q32 = ((data[ch] - mins32[ch]) / d32[ch]).astype(np.float32)
+            norm = np.power(q32.astype(np.float64), skews[ch]) * 2047 + 0.5
         bins = _to_int_java(norm)
         counts = np.bincount(np.clip(bins, 0, 2047), minlength=2048)
         # walk the histogram exactly like the reference (:123-132): advance
@@ -87,6 +94,8 @@ class FeatureStats(ProcessorFactory):
         paths = [str(p) for p in config]
 
         def body(proc: Processor) -> List[Tuple[float, float]]:
+            if not paths:
+                raise ValueError("no feature files given")
             # files are independent and the element-wise min/max merge is
             # order-invariant, so fan the IO+histogram work over a thread
             # pool (the reference is strictly sequential, README.md:83)

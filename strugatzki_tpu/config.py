@@ -183,8 +183,14 @@ class ExtractionConfig:
     def build(self) -> "ExtractionConfig":
         cfg = dataclasses.replace(self)
         if cfg.feature_output is None:
-            fd, path = tempfile.mkstemp(prefix="features", suffix=".aif", dir=tmp_dir)
+            # mint the temp path ONCE and cache it on this builder, like
+            # the reference's lazy _featureOutput (FeatureExtraction.scala:
+            # 123-127) — repeated build()/to_xml() must agree on the path
+            # (a saved meta sidecar has to point at the file run() writes)
+            fd, path = tempfile.mkstemp(prefix="features", suffix=".aif",
+                                        dir=tmp_dir)
             os.close(fd)
+            self.feature_output = path
             cfg.feature_output = path
         ChannelsBehavior.check(cfg.channels_behavior)
         return cfg

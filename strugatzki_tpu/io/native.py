@@ -42,12 +42,17 @@ def lib() -> Optional[ctypes.CDLL]:
         if os.environ.get("STRUGATZKI_NO_NATIVE"):
             return None
         so = os.path.join(_native_dir(), "libstrugatzki_codec.so")
-        if not os.path.exists(so):
+        src = os.path.join(_native_dir(), "codec.cpp")
+        stale = (not os.path.exists(so)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(so)))
+        if stale:
             try:
                 subprocess.run(["make", "-C", _native_dir()],
                                check=True, capture_output=True, timeout=120)
             except Exception:
-                return None
+                if not os.path.exists(so):
+                    return None
         try:
             l = ctypes.CDLL(so)
         except OSError:
@@ -98,15 +103,18 @@ def encode(data: np.ndarray, fmt: str, big_endian: bool) -> Optional[bytes]:
 
 
 def fix_nans(data: np.ndarray, chunk: int = 1024) -> bool:
-    """In-place NaN forward-fill with per-chunk reset; False if unavailable."""
+    """In-place NaN forward-fill with per-chunk reset; False if unavailable
+    (the caller must then use a fallback).  The array must be C-contiguous
+    float32 — anything else returns False rather than silently fixing a
+    private copy."""
     l = lib()
-    if l is None:
+    if l is None or chunk <= 0:
         return False
-    data = np.ascontiguousarray(data)
-    if data.dtype != np.float32:
+    if (data.dtype != np.float32 or data.ndim != 2
+            or not data.flags["C_CONTIGUOUS"]):
         return False
     channels, frames = data.shape
-    l.strug_fix_nans(
+    rc = l.strug_fix_nans(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         frames, channels, chunk)
-    return True
+    return rc == 0

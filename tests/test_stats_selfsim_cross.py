@@ -33,23 +33,26 @@ def _write_meta(meta_path, audio, feat):
 # ---------------------------------------------------------------------------
 
 def _scala_stats(data):
-    """Transcription of FeatureStatsImpl.body1 (:56-140), scalar."""
+    """Transcription of FeatureStatsImpl.body1 (:56-140), scalar — keeping
+    the JVM's float widths: mins/maxs/d are Scala Float, the mean is a
+    Double accumulation, and the pass-2 quotient ``(f - min) / d`` is an
+    all-Float expression (:106) widened to Double only for math.pow."""
     num_ch, n = data.shape
-    mins = [float(np.float32(data[ch].min())) for ch in range(num_ch)]
-    maxs = [float(np.float32(data[ch].max())) for ch in range(num_ch)]
+    mins32 = [np.float32(data[ch].min()) for ch in range(num_ch)]
+    maxs32 = [np.float32(data[ch].max()) for ch in range(num_ch)]
+    d32 = [np.float32(maxs32[ch] - mins32[ch]) for ch in range(num_ch)]
     sums = [float(data[ch].astype(np.float64).sum()) for ch in range(num_ch)]
     log05 = math.log(0.5)
     skews, p01, p99 = [], [], []
     for ch in range(num_ch):
         mean = sums[ch] / n
-        d = maxs[ch] - mins[ch]
-        mn = (mean - mins[ch]) / d
+        mn = (mean - float(mins32[ch])) / float(d32[ch])
         skews.append(log05 / math.log(mn))
     for ch in range(num_ch):
         cp = [0] * 2048
         for f in data[ch]:
-            norm = int(((float(f) - mins[ch]) / (maxs[ch] - mins[ch]))
-                       ** skews[ch] * 2047 + 0.5)
+            q32 = np.float32(np.float32(f - mins32[ch]) / d32[ch])
+            norm = int(float(q32) ** skews[ch] * 2047 + 0.5)
             cp[norm] += 1
         p01n = int(n * 0.01)
         p99n = int(n * 0.99)
@@ -58,11 +61,11 @@ def _scala_stats(data):
             cnt += cp[i]
             i += 1
         skew_r = 1.0 / skews[ch]
-        p01.append((i / 2048.0) ** skew_r * (maxs[ch] - mins[ch]) + mins[ch])
+        p01.append((i / 2048.0) ** skew_r * float(d32[ch]) + float(mins32[ch]))
         while cnt < p99n:
             cnt += cp[i]
             i += 1
-        p99.append((i / 2048.0) ** skew_r * (maxs[ch] - mins[ch]) + mins[ch])
+        p99.append((i / 2048.0) ** skew_r * float(d32[ch]) + float(mins32[ch]))
     return np.array(p01), np.array(p99)
 
 
