@@ -38,7 +38,7 @@ def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
     """Replace NaNs with the last non-NaN per channel, resetting the carried
     value to 0 at every ``chunk`` boundary (NonRealtimeProcessor.scala:178-190:
     ``lasts`` is re-allocated per temp-file chunk)."""
-    out = np.ascontiguousarray(features, dtype=np.float32).copy()
+    out = np.array(features, dtype=np.float32, order="C")  # one copy
     from ..io import native as _native
     if _native.fix_nans(out, chunk):
         return out
@@ -59,6 +59,23 @@ def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
     return out
 
 
+def _collapse_mono(block: np.ndarray, spec, cfg) -> np.ndarray:
+    """Channel collapse (Mix = SUM / First / Last,
+    FeatureExtractionImpl.scala:45-49) + the lossless raw-int16 shipping
+    path for PCM16 sources (halves the upload bytes, dsp/frontend.py)."""
+    if cfg.channels_behavior == ChannelsBehavior.MIX:
+        mono = block.sum(axis=0)
+    elif cfg.channels_behavior == ChannelsBehavior.FIRST:
+        mono = block[0]
+    else:
+        mono = block[spec.num_channels - 1]
+    if (spec.sample_format == af.SampleFormat.INT16
+            and (spec.num_channels == 1
+                 or cfg.channels_behavior != ChannelsBehavior.MIX)):
+        mono = np.round(mono * 32768.0).astype(np.int16)
+    return mono
+
+
 def _stream_body(proc: Processor, cfg: ExtractionConfig, spec) -> None:
     """Bounded-memory path: chunked read → streaming extraction → incremental
     feature-file write (the reference streams through scsynth + a chunked
@@ -70,23 +87,9 @@ def _stream_body(proc: Processor, cfg: ExtractionConfig, spec) -> None:
     writer = af.open_write(cfg.feature_output,
                            af.feature_spec(cfg.num_features, feat_rate))
     try:
-        int16_path = (spec.sample_format == af.SampleFormat.INT16
-                      and (spec.num_channels == 1
-                           or cfg.channels_behavior != ChannelsBehavior.MIX))
-
         def read_samples(n):
             proc.check_aborted()
-            block = reader.read_frames(n)
-            if cfg.channels_behavior == ChannelsBehavior.MIX:
-                mono = block.sum(axis=0)
-            elif cfg.channels_behavior == ChannelsBehavior.FIRST:
-                mono = block[0]
-            else:
-                mono = block[spec.num_channels - 1]
-            if int16_path:
-                # lossless for PCM16 sources; halves the upload bytes
-                mono = np.round(mono * 32768.0).astype(np.int16)
-            return mono
+            return _collapse_mono(reader.read_frames(n), spec, cfg)
 
         def emit(feats):
             writer.write_frames(fix_nans(feats))
@@ -138,27 +141,45 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
         print(f"success = {'true' if success else 'false'} - "
               f"tail? {'true' if tail else 'false'}")
 
-    def flush_group() -> None:
+    def flush_group() -> bool:
+        """Dispatch and report the pending group; on a per-file failure,
+        report it like the reference chain and abort (returns False).
+        Always leaves the group empty."""
         if not group:
-            return
-        sr = group[0][4]
+            return True
+        pending = list(group)
+        group.clear()
+        sr = pending[0][4]
         # announce the first file, then dispatch the whole group async: the
         # transcript below overlaps the device compute
-        print(f"Starting extraction... {os.path.basename(group[0][1])}")
-        feats_dev, _ = extract_features_batch(
-            [m for _, _, _, m, _ in group], sr, as_device=True)
-        for i, (idx, head, cfg, mono, _) in enumerate(group):
+        print(f"Starting extraction... {os.path.basename(pending[0][1])}")
+        try:
+            feats_dev, _ = extract_features_batch(
+                [m for _, _, _, m, _ in pending], sr, as_device=True)
+        except Exception as e:  # noqa: BLE001 - first file carries the failure
+            print("  Failed: ")
+            traceback.print_exception(type(e), e, e.__traceback__)
+            report(pending[0][0], False)
+            return False
+        for i, (idx, head, cfg, mono, _) in enumerate(pending):
             if i > 0:
                 print(f"Starting extraction... {os.path.basename(head)}")
-            total = num_output_frames(len(mono), cfg.step_size)
-            feats = fix_nans(finalize_features(feats_dev[i], total))
-            af_.write(cfg.feature_output, feats,
-                      af_.feature_spec(cfg.num_features, sr / cfg.step_size))
-            if cfg.meta_output:
-                cfg.save_xml(cfg.meta_output)
+            try:
+                total = num_output_frames(len(mono), cfg.step_size)
+                feats = fix_nans(finalize_features(feats_dev[i], total))
+                af_.write(cfg.feature_output, feats,
+                          af_.feature_spec(cfg.num_features,
+                                           sr / cfg.step_size))
+                if cfg.meta_output:
+                    cfg.save_xml(cfg.meta_output)
+            except Exception as e:  # noqa: BLE001 - abort chain at this file
+                print("  Failed: ")
+                traceback.print_exception(type(e), e, e.__traceback__)
+                report(idx, False)
+                return False
             print("#" * 25 + "  Success.")
             report(idx, True)
-        group.clear()
+        return True
 
     ok = True
     for idx, head in enumerate(in_files):
@@ -168,42 +189,44 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
             feature_output=os.path.join(target_dir, f"{name1}_feat.aif"),
             meta_output=os.path.join(target_dir, f"{name1}_feat.xml"),
             channels_behavior=chan_mode).build()
+        announced = False
         try:
             spec = af_.read_spec(head)
             if spec.num_frames * spec.num_channels > STREAMING_THRESHOLD:
-                flush_group()
+                if not flush_group():
+                    ok = False
+                    break
                 print(f"Starting extraction... {os.path.basename(head)}")
+                announced = True
                 proc = FeatureExtraction.run(cfg)
                 proc.result()
                 print("#" * 25 + "  Success.")
                 report(idx, True)
                 continue
             audio, spec = af_.read(head)
-            if cfg.channels_behavior == ChannelsBehavior.MIX:
-                mono = audio.sum(axis=0)
-            elif cfg.channels_behavior == ChannelsBehavior.FIRST:
-                mono = audio[0]
-            else:
-                mono = audio[spec.num_channels - 1]
-            if (spec.sample_format == af_.SampleFormat.INT16
-                    and (spec.num_channels == 1
-                         or cfg.channels_behavior != ChannelsBehavior.MIX)):
-                mono = np.round(mono * 32768.0).astype(np.int16)
+            mono = _collapse_mono(audio, spec, cfg)
             if group and group[0][4] != spec.sample_rate:
-                flush_group()
+                if not flush_group():
+                    ok = False
+                    break
             group.append((idx, head, cfg, mono, spec.sample_rate))
             if len(group) >= 16:
-                flush_group()
+                if not flush_group():
+                    ok = False
+                    break
         except Exception as e:  # noqa: BLE001 - per-file failure ends the chain
-            flush_group()
-            print(f"Starting extraction... {os.path.basename(head)}")
+            if not flush_group():
+                ok = False
+                break
+            if not announced:
+                print(f"Starting extraction... {os.path.basename(head)}")
             print("  Failed: ")
             traceback.print_exception(type(e), e, e.__traceback__)
             report(idx, False)
             ok = False
             break
     if ok:
-        flush_group()
+        ok = flush_group()
     return 0 if ok else 1
 
 
@@ -223,20 +246,7 @@ class FeatureExtraction(ProcessorFactory):
                 return _stream_body(proc, cfg, spec)
             audio, spec = af.read(cfg.audio_input)
             proc.check_aborted()
-
-            if cfg.channels_behavior == ChannelsBehavior.MIX:
-                mono = audio.sum(axis=0)  # SC Mix sums channels
-            elif cfg.channels_behavior == ChannelsBehavior.FIRST:
-                mono = audio[0]
-            else:
-                mono = audio[spec.num_channels - 1]
-
-            # PCM16 single-channel path: ship raw int16 to the device
-            # (half the transfer, bit-exact — see dsp/frontend.py)
-            if (spec.sample_format == af.SampleFormat.INT16
-                    and (spec.num_channels == 1
-                         or cfg.channels_behavior != ChannelsBehavior.MIX)):
-                mono = np.round(mono * 32768.0).astype(np.int16)
+            mono = _collapse_mono(audio, spec, cfg)
 
             step = cfg.step_size
             feat_rate = spec.sample_rate / step

@@ -284,8 +284,11 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
         w < 1.0, tdot(template_s, X[nt:]) / (a_std_s * std_s * n_s), 0.0)
     sim = sim_t * w + sim_s * (1.0 - w)
 
-    # loudness boost: window mean of (unshifted) channel 0
-    loud_mean = mu_t + temporal_shift
+    # loudness boost: window mean of (unshifted) channel 0 — NOT the whole
+    # temporal group (calcBoost averages b(0) only,
+    # FeatureCorrelationImpl.scala:73-78)
+    mu0 = mu_t if nt == 1 else wsum(X[0]) / L
+    loud_mean = mu0 + temporal_shift
     boost = jnp.exp((ln_avg_loud - jnp.log(loud_mean)) / 0.6)
     sim = jnp.where(boost <= max_boost, sim, 0.0)
     return sim.astype(jnp.float32), boost.astype(jnp.float32)

@@ -85,6 +85,22 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
     if mesh is None:
         sims, boosts = _batched_traces(*args)
     else:
+        fn = _sharded_traces_fn(mesh)
+        xs_s = jax.device_put(args[0], NamedSharding(mesh, P("files")))
+        sims, boosts = fn(xs_s, *args[1:])
+    return np.asarray(sims), np.asarray(boosts)
+
+
+_SHARDED_TRACES_CACHE: dict = {}
+
+
+def _sharded_traces_fn(mesh: Mesh):
+    """Build-once cached pjit wrapper per mesh (a fresh jax.jit per call
+    would bypass the dispatch fastpath — and any cache miss costs minutes
+    of remote compile on the relay-attached chip)."""
+    key = tuple(d.id for d in mesh.devices.flat)
+    fn = _SHARDED_TRACES_CACHE.get(key)
+    if fn is None:
         shard = NamedSharding(mesh, P("files"))
         repl = NamedSharding(mesh, P())
         fn = jax.jit(
@@ -92,9 +108,8 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
             in_shardings=(shard, repl, repl, repl, repl, repl, shard,
                           repl, repl),
             out_shardings=(shard, shard))
-        xs_s = jax.device_put(args[0], shard)
-        sims, boosts = fn(xs_s, *args[1:])
-    return np.asarray(sims), np.asarray(boosts)
+        _SHARDED_TRACES_CACHE[key] = fn
+    return fn
 
 
 def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
@@ -107,7 +122,9 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
     Window starts are split into contiguous per-chip ranges; each shard
     receives its slab plus the ``L − 1``-frame halo so every window is
     computed locally (no collectives in the hot path — only the trace
-    gather on fetch).  Results are bit-comparable to the single-chip trace.
+    gather on fetch).  Results match the single-chip trace to f32 rounding
+    (the per-shard FFT length differs, so not bit-identical; tests budget
+    3e-5).
 
     ``xs``: prepared (normalized, group-shifted) features ``[C, T]``.
     Returns ``(sims[W], boosts[W])``, ``W = T − L + 1``.

@@ -25,7 +25,16 @@ if not logger.handlers:
     _h.setFormatter(logging.Formatter(
         "%(asctime)s %(name)s %(levelname)s %(message)s"))
     logger.addHandler(_h)
-    logger.setLevel(os.environ.get("STRUGATZKI_LOG", "WARNING").upper())
+    # own handler + no propagation: embedding apps that configure the root
+    # logger must not see every record twice
+    logger.propagate = False
+    _lvl = os.environ.get("STRUGATZKI_LOG", "WARNING").upper()
+    try:
+        logger.setLevel(int(_lvl) if _lvl.isdigit() else _lvl)
+    except ValueError:
+        logger.setLevel(logging.WARNING)
+        logger.warning("STRUGATZKI_LOG=%r is not a logging level; "
+                       "defaulting to WARNING", _lvl)
 
 
 @contextlib.contextmanager

@@ -70,3 +70,42 @@ def test_batch_as_device_zero_frames():
     for i in range(2):
         out = finalize_features(feats_dev[i], totals[i])
         assert out.shape == (14, 0)
+
+
+def test_batch_cli_failure_aborts_chain(tmp_path, capsys):
+    """A failing file flushes the pending group first (its files report
+    success), then reports the failure once and aborts the chain like the
+    reference (Strugatzki.scala:506-508) — no duplicate Starting lines, no
+    reports for never-started files."""
+    from strugatzki_tpu.analysis.extraction import extract_batch_cli
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.io.formats import AIFF
+    from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+
+    snd = tmp_path / "snd"
+    db = tmp_path / "db"
+    snd.mkdir()
+    db.mkdir()
+    rng = np.random.default_rng(1)
+    for name in ("a", "c"):
+        x = (0.2 * rng.standard_normal(22050)).astype(np.float32)
+        af.write(snd / f"{name}.aif", x[None],
+                 AudioFileSpec(AIFF, SampleFormat.INT16, 1, 44100.0))
+    (snd / "b.aif").write_bytes(b"not an audio file at all")
+
+    rc = extract_batch_cli([str(snd / "a.aif"), str(snd / "b.aif"),
+                            str(snd / "c.aif")], str(db), 0)
+    assert rc == 1
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert lines == [
+        "Starting extraction... a.aif",
+        "#" * 25 + "  Success.",
+        "success = true - tail? true",
+        "Starting extraction... b.aif",
+        "  Failed: ",
+        "success = false - tail? true",
+    ], lines
+    # c was never started; a's outputs exist, b/c's do not
+    assert (db / "a_feat.aif").exists()
+    assert not (db / "b_feat.aif").exists()
+    assert not (db / "c_feat.aif").exists()
