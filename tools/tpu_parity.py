@@ -105,6 +105,20 @@ def main() -> None:
     print("correlation trace (341 windows) vs f64 mirror:")
     check("sim trace TPU vs mirror", float(np.abs(sims - ref).max()), 1e-5)
 
+    # 2b. novelty trace (segmentation) vs mirror
+    xs_j = jnp.asarray(xs)
+    h = 20
+    nov = np.asarray(K.novelty_trace(xs_j, h, jnp.float32(0.5)))
+    W_n = feats.shape[1] - 2 * h + 1
+    ref_n = np.empty(W_n, np.float32)
+    for t in range(W_n):
+        buf = feats[:, t:t + 2 * h]
+        ref_n[t] = (0.5 * M.correlate_half(1, h, buf, 0, 0)
+                    + 0.5 * M.correlate_half(13, h, buf, 0, 1))
+    print("novelty trace (segmentation) vs f64 mirror:")
+    check("novelty TPU vs mirror", float(np.abs(nov[:W_n] - ref_n).max()),
+          1e-5)
+
     # 3. gram similarity block vs mirror (self-similarity cells)
     win_starts = np.arange(64, dtype=np.int64)
     w = K.extract_windows(jnp.asarray(xs), jnp.asarray(win_starts), 30)
