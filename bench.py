@@ -156,7 +156,7 @@ def main() -> None:
                         .astype(np.float32)) for i in range(n_files)]
             tmpl = InputTemplate(entries[0][1][:, 100:100 + punch_frames].copy())
             t0 = time.perf_counter()
-            db = FeatureDatabase(entries, norm=None)
+            db = FeatureDatabase(entries, norm=None, cache_spectra=True)
             t_load = time.perf_counter() - t0
             db.query(tmpl)  # compile
             t0 = time.perf_counter()
