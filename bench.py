@@ -150,7 +150,7 @@ def main() -> None:
             from strugatzki_tpu.analysis.correlation import InputTemplate
             from strugatzki_tpu.parallel.database import FeatureDatabase
 
-            n_files, file_frames, punch_frames = 64, 10336, 861
+            n_files, file_frames, punch_frames = 512, 10336, 861
             entries = [(f"f{i}.aif",
                         np.abs(0.5 + 0.1 * rng.standard_normal((14, file_frames)))
                         .astype(np.float32)) for i in range(n_files)]
@@ -168,6 +168,9 @@ def main() -> None:
                 res = db.query(tmpl)
             amort = (time.perf_counter() - t0) / k
             windows = n_files * (file_frames - punch_frames + 1)
+            # extrapolate from a base large enough that per-file device
+            # time dominates the fixed dispatch overhead (64-file bases
+            # overestimate 3-6x)
             rtt = 0.028  # measured dispatch+fetch round trip
             est10k = rtt + max(amort - rtt, 0.0) * 10000 / n_files
             print(f"correlation (resident DB): load {t_load:.2f}s; query "
