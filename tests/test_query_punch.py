@@ -137,3 +137,41 @@ def test_query_batch_boosts_and_bf16_rerank():
     np.testing.assert_array_equal(rb.frames, rq.frames)
     np.testing.assert_allclose(rb.boosts, rq.boosts, atol=1e-6)
     assert abs(rb.sims[2, 0] - 1.0) < 3e-5  # exact after re-rank
+
+
+def test_query_punch_with_normalization():
+    """The device prep normalizes with feat_norms ranges; results must match
+    the exact replay under the same norm."""
+    inp, files = _make_db(8)
+    allf = np.concatenate([f for _, f in files] + [inp], axis=1)
+    norm = np.stack([allf.min(axis=1) - 1e-3, allf.max(axis=1) + 1e-3],
+                    axis=1).astype(np.float32)
+
+    meta = ExtractionConfig(audio_input="in.aif", feature_output="mem",
+                            num_coeffs=13, fft_size=1024, fft_overlap=2)
+    entries = [(ExtractionConfig(audio_input=n, feature_output=n),
+                (lambda f_=f: f_)) for n, f in files]
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 50 * STEP), 0.5),
+        punch_out=Punch(Span(160 * STEP, 185 * STEP), 0.5),
+        min_punch=60 * STEP, max_punch=120 * STEP,
+        normalize=True, num_matches=5, num_per_file=1, min_spacing=0).build()
+    import strugatzki_tpu.analysis.correlation as corr_mod
+    orig = corr_mod.read_features
+    corr_mod.read_features = lambda m: inp
+    try:
+        exact = correlate_database(meta, entries, norm, cfg, skip_nan=True)
+    finally:
+        corr_mod.read_features = orig
+
+    db = FeatureDatabase(files, norm=norm, pad_multiple=64)
+    t_in = InputTemplate.from_features(inp, norm, 20, 50)
+    t_out = InputTemplate.from_features(inp, norm, 160, 185)
+    res = db.query_punch(t_in, t_out, min_punch=60, max_punch=120, k=2)
+    ours = res.matches(step_size=STEP, k_total=5, num_per_file=1)
+    assert len(ours) == len(exact)
+    for a, b in zip(ours, exact):
+        assert a.file == b.file, (a, b)
+        assert a.punch == b.punch, (a, b)
+        assert abs(a.sim - b.sim) < 5e-5, (a, b)
+        assert abs(a.boost_in - b.boost_in) < 1e-3 * max(1, abs(b.boost_in))
