@@ -39,6 +39,7 @@ from ..analysis.correlation import InputTemplate
 from ..config import ExtractionConfig, Match
 from ..kernels import corr as K
 from ..span import Span, spacing
+from ..util.transfer import staged_put
 from .sweep import pad_stack
 
 __all__ = ["FeatureDatabase", "QueryResult", "PunchQueryResult"]
@@ -429,7 +430,9 @@ class FeatureDatabase:
             raw_dev = jax.device_put(jnp.asarray(raw), shard)
             self._lens_dev = jax.device_put(jnp.asarray(lens), shard)
         else:
-            raw_dev = jnp.asarray(raw)
+            # chunked staging: the raw stack easily exceeds the relay's
+            # large-transfer cliff (util/transfer.py)
+            raw_dev = staged_put(raw)
             self._lens_dev = jnp.asarray(lens)
         self._xs, self._shifts = prepare_database(raw_dev, norm,
                                                   self._lens_dev)
