@@ -341,35 +341,35 @@ def _punch_one_from_spectra(X, Xsq, t_padded,
     # banded combine: candidates gate on inSim > 0 (:342 with low ≥ 0),
     # so argmax_j inSim·outSim[t+minPunch+j] = argmax_j outSim over the
     # band — a sliding-window maximum.  Computed sparse-table style:
-    # doubling (max, earliest-argmax) tables M_p for p = 1, 2, 4, …,
-    # then width-S max at offset o is the max of the two overlapping
-    # power blocks M_p[o] and M_p[o+S−p], p = 2^⌊log2 S⌋ — O(log Tp)
-    # elementwise passes instead of S sequential steps (ties keep the
-    # earliest j, exactly like the reference's strict-> scan).
+    # doubling (max, earliest-argmax) passes M_p for p = 1, 2, 4, …, then
+    # width-S max at offset o is the max of the two overlapping power
+    # blocks M_p[o] and M_p[o+S−p], p = 2^⌊log2 S⌋ — O(log S) elementwise
+    # passes instead of S sequential steps (ties keep the earliest j,
+    # exactly like the reference's strict-> scan).  Only the selected
+    # level is carried (a fori_loop over the ⌊log2 S⌋ doublings) so the
+    # vmapped kernel holds O(w_pad) per file, not O(w_pad·log) — a 10k-file
+    # punch query stays well inside HBM.
     n_levels = max(1, int(np.ceil(np.log2(w_pad))) + 1)
-    v = out_vals
-    a = jnp.arange(w_pad, dtype=jnp.int32)
-    levels_v = [v]
-    levels_a = [a]
-    for j in range(1, n_levels):
-        sh = 1 << (j - 1)
-        v2 = jnp.concatenate(
-            [v[sh:], jnp.full((sh,), -jnp.inf, v.dtype)])
-        a2 = jnp.concatenate([a[sh:], jnp.zeros((sh,), a.dtype)])
-        take = v2 > v
-        v = jnp.where(take, v2, v)
-        a = jnp.where(take, a2, a)
-        levels_v.append(v)
-        levels_a.append(a)
-    levels_v = jnp.stack(levels_v)              # [J, w_pad]
-    levels_a = jnp.stack(levels_a)
-
     # exact integer ⌊log2 S⌋ (float log2 can misround at powers of two)
     j_sel = 31 - jax.lax.clz(jnp.maximum(scan_span, 1).astype(jnp.int32))
     j_sel = jnp.clip(j_sel, 0, n_levels - 1)
     p = jnp.left_shift(jnp.int32(1), j_sel)
-    lv = jax.lax.dynamic_index_in_dim(levels_v, j_sel, 0, keepdims=False)
-    la = jax.lax.dynamic_index_in_dim(levels_a, j_sel, 0, keepdims=False)
+
+    neg_pad = jnp.full((w_pad,), -jnp.inf, out_vals.dtype)
+    zero_pad = jnp.zeros((w_pad,), jnp.int32)
+
+    def double(j, carry):
+        v, a = carry
+        sh = jnp.left_shift(jnp.int32(1), j)
+        v2 = jax.lax.dynamic_slice(
+            jnp.concatenate([v, neg_pad]), (sh,), (w_pad,))
+        a2 = jax.lax.dynamic_slice(
+            jnp.concatenate([a, zero_pad]), (sh,), (w_pad,))
+        take = v2 > v
+        return jnp.where(take, v2, v), jnp.where(take, a2, a)
+
+    lv, la = jax.lax.fori_loop(
+        0, j_sel, double, (out_vals, jnp.arange(w_pad, dtype=jnp.int32)))
     # block 1 at offset min_punch, block 2 at min_punch + scan_span − p
     v1 = jax.lax.dynamic_slice(lv, (min_punch,), (W_in,))
     a1 = jax.lax.dynamic_slice(la, (min_punch,), (W_in,))
