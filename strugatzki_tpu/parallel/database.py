@@ -44,6 +44,12 @@ from .sweep import pad_stack
 
 __all__ = ["FeatureDatabase", "QueryResult", "PunchQueryResult"]
 
+#: Files per query dispatch on a single device: bounds the per-dispatch FFT
+#: intermediates (~1 MB HBM per 2-minute file) so 10k-file databases query
+#: without OOM; chunks reuse one jit key (the files axis is padded to a
+#: multiple at staging).  Mesh-sharded databases split across chips instead.
+_QUERY_CHUNK = 2048
+
 
 @dataclass
 class QueryResult:
@@ -420,9 +426,19 @@ class FeatureDatabase:
                 [np.asarray(f, np.float32) for _, f in entries],
                 multiple=pad_multiple)
         self.step_size = step_size
+        # pad the files axis to a _QUERY_CHUNK multiple when chunked
+        # dispatch will be needed (zero rows, lens 0 — masked everywhere)
+        if mesh is None and raw.shape[0] > _QUERY_CHUNK:
+            pad_rows = -raw.shape[0] % _QUERY_CHUNK
+            if pad_rows:
+                raw = np.concatenate(
+                    [raw, np.zeros((pad_rows,) + raw.shape[1:], raw.dtype)])
+                lens = np.concatenate(
+                    [lens, np.zeros(pad_rows, lens.dtype)])
         self._raw = raw
         self._lens = lens
         self.norm = norm
+        self._mesh = mesh
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -444,13 +460,34 @@ class FeatureDatabase:
         # cache_spectra: keep every file's forward spectra resident
         # (~1.8× the feature HBM) so each query pays only its inverse
         # FFTs — ~4× lower query latency on large DBs
-        self._spectra = _spectra_kernel(self._xs) if cache_spectra else None
+        if cache_spectra:
+            parts = [_spectra_kernel(self._xs[o:o + _QUERY_CHUNK])
+                     for o in range(0, self._xs.shape[0], _QUERY_CHUNK)]
+            self._spectra = tuple(
+                jnp.concatenate([p[i] for p in parts]) for i in range(2)) \
+                if len(parts) > 1 else parts[0]
+        else:
+            self._spectra = None
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
 
     @property
     def num_files(self) -> int:
         return len(self.files)
+
+    def _chunks(self):
+        """Per-dispatch file ranges (one range when unchunked/sharded)."""
+        b = self._xs.shape[0]
+        if self._mesh is not None or b <= _QUERY_CHUNK:
+            return [slice(0, b)]
+        return [slice(o, o + _QUERY_CHUNK) for o in range(0, b, _QUERY_CHUNK)]
+
+    def _trim(self, *arrays, axis: int = 0):
+        """Drop the staging-padding rows beyond the real file count."""
+        n = len(self.files)
+        out = tuple(np.asarray(a)[(slice(None),) * axis + (slice(0, n),)]
+                    for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     def query(self, template: InputTemplate, temp_weight: float = 0.5,
               max_boost: float = 8.0, k: int = 4,
@@ -467,31 +504,34 @@ class FeatureDatabase:
         bf16 ranked *outside* the top-k are still lost; raise ``k`` or use a
         float32 database when recall at that margin matters.
         """
-        targs = (template.device_temporal(), template.device_spectral(),
-                 jnp.float32(template.temporal_std),
-                 jnp.float32(template.spectral_std),
-                 jnp.float32(template.ln_avg_loudness), self._shifts,
-                 jnp.float32(temp_weight), jnp.float32(max_boost))
-        if self._spectra is not None:
-            out = _query_kernel_spectra(
-                self._spectra[0], self._spectra[1], self._xs.shape[2],
-                self._lens_dev, *targs, k=k)
-        else:
-            out = _query_kernel(self._xs, self._lens_dev, *targs, k=k)
-        # one device_get: each separate small fetch costs a host round trip
-        # (~tens of ms on tunneled chips)
-        if with_traces:
-            vals, idx, boosts_k, sims, boosts = jax.device_get(out)
-            res = QueryResult(vals, idx, list(self.files), boosts_k)
-        else:
-            vals, idx, boosts_k = jax.device_get(out[:3])
-            res = QueryResult(vals, idx, list(self.files), boosts_k)
+        tmpl_args = (template.device_temporal(), template.device_spectral(),
+                     jnp.float32(template.temporal_std),
+                     jnp.float32(template.spectral_std),
+                     jnp.float32(template.ln_avg_loudness))
+        scal_args = (jnp.float32(temp_weight), jnp.float32(max_boost))
+        parts = []
+        for sl in self._chunks():
+            targs = tmpl_args + (self._shifts[sl],) + scal_args
+            if self._spectra is not None:
+                out = _query_kernel_spectra(
+                    self._spectra[0][sl], self._spectra[1][sl],
+                    self._xs.shape[2], self._lens_dev[sl], *targs, k=k)
+            else:
+                out = _query_kernel(self._xs[sl], self._lens_dev[sl],
+                                    *targs, k=k)
+            # one device_get per chunk (each small fetch costs a relay RTT)
+            parts.append(jax.device_get(out if with_traces else out[:3]))
+        got = tuple(np.concatenate([p[i] for p in parts])
+                    for i in range(len(parts[0])))
+        vals, idx, boosts_k = self._trim(got[0], got[1], got[2])
+        res = QueryResult(vals, idx, list(self.files), boosts_k)
         if exact_rerank is None:
             exact_rerank = self._xs.dtype != jnp.float32
         if exact_rerank:
             self._rerank_exact(res, template, temp_weight, max_boost)
         if with_traces:
-            return res, (sims, boosts, self._lens)
+            sims, boosts = self._trim(got[3], got[4])
+            return res, (sims, boosts, self._lens[:len(self.files)])
         return res
 
     def _rerank_exact(self, res: QueryResult, template: InputTemplate,
@@ -546,16 +586,23 @@ class FeatureDatabase:
                  jnp.float32(punch_out.temporal_std),
                  jnp.float32(punch_out.spectral_std),
                  jnp.float32(punch_out.ln_avg_loudness),
-                 self._shifts, jnp.float32(temp_weight_in),
+                 None,  # per-chunk shifts slot
+                 jnp.float32(temp_weight_in),
                  jnp.float32(temp_weight_out), jnp.float32(max_boost),
                  jnp.int32(min_punch), jnp.int32(max_punch - min_punch + 1))
-        if self._spectra is not None:
-            out = _punch_query_kernel_spectra(
-                self._spectra[0], self._spectra[1], self._xs.shape[2],
-                self._lens_dev, *targs, k=k)
-        else:
-            out = _punch_query_kernel(self._xs, self._lens_dev, *targs, k=k)
-        vals, t_idx, j_k, b_in, b_out = jax.device_get(out)
+        parts = []
+        for sl in self._chunks():
+            ch_args = targs[:10] + (self._shifts[sl],) + targs[11:]
+            if self._spectra is not None:
+                out = _punch_query_kernel_spectra(
+                    self._spectra[0][sl], self._spectra[1][sl],
+                    self._xs.shape[2], self._lens_dev[sl], *ch_args, k=k)
+            else:
+                out = _punch_query_kernel(self._xs[sl], self._lens_dev[sl],
+                                          *ch_args, k=k)
+            parts.append(jax.device_get(out))
+        vals, t_idx, j_k, b_in, b_out = self._trim(
+            *(np.concatenate([p[i] for p in parts]) for i in range(5)))
         return PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
                                 list(self.files), min_punch)
 
@@ -585,16 +632,23 @@ class FeatureDatabase:
             st_t = jnp.asarray([t.temporal_std for t in group], jnp.float32)
             st_s = jnp.asarray([t.spectral_std for t in group], jnp.float32)
             la = jnp.asarray([t.ln_avg_loudness for t in group], jnp.float32)
-            qargs = (tt, ts, st_t, st_s, la, self._shifts,
-                     jnp.float32(temp_weight), jnp.float32(max_boost))
-            if self._spectra is not None:
-                out = _multi_query_kernel_spectra(
-                    self._spectra[0], self._spectra[1], self._xs.shape[2],
-                    self._lens_dev, *qargs, k=k)
-            else:
-                out = _multi_query_kernel(self._xs, self._lens_dev,
-                                          *qargs, k=k)
-            vals, idx, boosts = jax.device_get(out)
+            parts = []
+            for sl in self._chunks():
+                qargs = (tt, ts, st_t, st_s, la, self._shifts[sl],
+                         jnp.float32(temp_weight), jnp.float32(max_boost))
+                if self._spectra is not None:
+                    out = _multi_query_kernel_spectra(
+                        self._spectra[0][sl], self._spectra[1][sl],
+                        self._xs.shape[2], self._lens_dev[sl], *qargs, k=k)
+                else:
+                    out = _multi_query_kernel(self._xs[sl],
+                                              self._lens_dev[sl], *qargs, k=k)
+                parts.append(jax.device_get(out))
+            # per-chunk results are [Q, chunk, k]: concat the files axis
+            vals, idx, boosts = (
+                self._trim(np.concatenate([p[i] for p in parts], axis=1),
+                           axis=1)
+                for i in range(3))
             for q, qi in enumerate(idxs):
                 res = QueryResult(vals[q], idx[q], list(self.files),
                                   boosts[q])

@@ -219,3 +219,42 @@ def test_cached_spectra_punch_and_batch_match(db_entries):
     for r1, r2 in zip(b1, b2):
         np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
         np.testing.assert_array_equal(r1.frames, r2.frames)
+
+
+def test_chunked_query_dispatch_matches(db_entries, monkeypatch):
+    """Databases past _QUERY_CHUNK files pad the staged axis and answer in
+    equal chunks (bounded per-dispatch HBM); results must equal the
+    single-dispatch path, including punch, batch and traces."""
+    from strugatzki_tpu.analysis.correlation import InputTemplate as IT
+    from strugatzki_tpu.parallel import database as D
+
+    entries = [(n, f.copy()) for n, f in db_entries]   # 12 files
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    tmpl = IT(entries[3][1][:, 10:40].copy())
+    t_out = IT(entries[3][1][:, 100:120].copy())
+
+    ref_db = D.FeatureDatabase(entries, norm=None, pad_multiple=64)
+    r_ref = ref_db.query(tmpl, k=3)
+    p_ref = ref_db.query_punch(tmpl, t_out, min_punch=70, max_punch=85, k=2)
+    b_ref = ref_db.query_batch([tmpl, t_out], k=2)
+    _, (sims_ref, _, lens_ref) = ref_db.query(tmpl, with_traces=True)
+
+    monkeypatch.setattr(D, "_QUERY_CHUNK", 5)          # 12 files → pad to 15
+    db = D.FeatureDatabase(entries, norm=None, pad_multiple=64,
+                           cache_spectra=True)
+    assert db._xs.shape[0] == 15 and db.num_files == 12
+    r = db.query(tmpl, k=3)
+    assert r.sims.shape == (12, 3)
+    np.testing.assert_allclose(r.sims, r_ref.sims, atol=1e-5)
+    np.testing.assert_array_equal(r.frames, r_ref.frames)
+    p = db.query_punch(tmpl, t_out, min_punch=70, max_punch=85, k=2)
+    np.testing.assert_allclose(p.sims, p_ref.sims, atol=1e-5)
+    np.testing.assert_array_equal(p.frames, p_ref.frames)
+    b = db.query_batch([tmpl, t_out], k=2)
+    for r1, r2 in zip(b, b_ref):
+        np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
+        np.testing.assert_array_equal(r1.frames, r2.frames)
+    _, (sims, _, lens) = db.query(tmpl, with_traces=True)
+    assert sims.shape[0] == 12 and len(lens) == 12
+    np.testing.assert_allclose(sims, sims_ref, atol=1e-5)
