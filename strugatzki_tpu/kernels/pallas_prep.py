@@ -9,11 +9,18 @@ Staging a database for resident serving requires, per file:
 3. remembering the temporal shift for the loudness-boost reconstruction.
 
 Done on host this is three NumPy passes over the whole database (gigabytes
-for the 10k-file target); this kernel fuses them into a single HBM pass on
-device, one grid step per file.  Correctness note: Pearson correlation is
-invariant to *any* per-group constant, so the device's f32 mean needs no f64
-parity with the host version — the shift cancels exactly in the math and
-``μ + shift`` reconstructs the true window mean to f32 rounding either way.
+for the 10k-file target); on device the group shifts come from one cheap
+XLA reduction pass and the normalize+shift rewrite is a single fused HBM
+pass (this kernel), one grid step per file.  Correctness note: Pearson
+correlation is invariant to *any* per-group constant, so the device's f32
+mean needs no f64 parity with the host version — the shift cancels exactly
+in the math and ``μ + shift`` reconstructs the true window mean to f32
+rounding either way.
+
+The shifts travel INTO the kernel as scalar-prefetch SMEM arrays: an
+earlier revision emitted them as a ``[B, 1]`` SMEM *output* window, whose
+(8, 128) tiling pads to ``B×512`` bytes and blows the ~1 MB SMEM budget
+around 2k files (found staging a real 10k-file database).
 
 Falls back to a plain-XLA implementation off-TPU (CPU tests, interpret).
 """
@@ -28,12 +35,12 @@ import jax.numpy as jnp
 __all__ = ["prepare_database", "prepare_database_xla"]
 
 
-def _prep_kernel(lens_ref, feats_ref, norm_ref, out_ref, shifts_ref,
-                 *, num_temporal: int):
-    """One grid step = one file: normalize, group-shift, emit temporal shift.
+def _prep_kernel(lens_ref, shift_t_ref, shift_s_ref, feats_ref, norm_ref,
+                 out_ref, *, num_temporal: int):
+    """One grid step = one file: normalize and group-shift.
 
     feats_ref: [1, C, T] VMEM block; norm_ref: [C, 2] (min, max) replicated;
-    lens_ref: scalar-prefetched true lengths [B] (SMEM).
+    lens_ref / shift_*_ref: scalar-prefetched per-file values [B] (SMEM).
     """
     from jax.experimental import pallas as pl
 
@@ -48,23 +55,15 @@ def _prep_kernel(lens_ref, feats_ref, norm_ref, out_ref, shifts_ref,
     valid = t_idx < n
 
     # group membership as masks (Mosaic dislikes sublane-misaligned row
-    # slices; masked full-array reductions lower cleanly)
+    # slices; masked full-array ops lower cleanly)
     nt = num_temporal
     c_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, dimension=0)
     is_t = (c_idx < nt).astype(jnp.float32)
-    is_s = 1.0 - is_t
+    shift_rows = is_t * shift_t_ref[b] + (1.0 - is_t) * shift_s_ref[b]
 
-    denom_t = jnp.maximum(n * nt, 1).astype(jnp.float32)
-    denom_s = jnp.maximum(n * (y.shape[0] - nt), 1).astype(jnp.float32)
-    y0 = jnp.where(valid, y, 0.0)
-    shift_t = (y0 * is_t).sum() / denom_t
-    shift_s = (y0 * is_s).sum() / denom_s
-
-    shift_rows = is_t * shift_t + is_s * shift_s         # [C, T]
     # padded tail must not hold inf/NaN (it would poison FFT traces): the
     # valid windows never read it, so write the shift-consistent constant
     out_ref[0] = jnp.where(valid, y, 0.0) - shift_rows
-    shifts_ref[b, 0] = shift_t
 
 
 def _supports_pallas() -> bool:
@@ -72,6 +71,29 @@ def _supports_pallas() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def _group_shifts(feats: jnp.ndarray, norm: jnp.ndarray, lens: jnp.ndarray,
+                  num_temporal: int = 1):
+    """Per-file masked group means of the normalized features
+    (``(shift_t [B], shift_s [B])``) — one cheap XLA reduction pass."""
+    nt = num_temporal
+
+    def one(x, n):
+        mins = norm[:, 0:1]
+        rng = norm[:, 1:2] - mins
+        y = (x - mins) / rng
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        valid = t_idx < n
+        yt = jnp.where(valid[:nt], y[:nt], 0.0)
+        ys = jnp.where(valid[nt:], y[nt:], 0.0)
+        shift_t = yt.sum() / jnp.maximum(n * nt, 1).astype(jnp.float32)
+        shift_s = ys.sum() / jnp.maximum(
+            n * (y.shape[0] - nt), 1).astype(jnp.float32)
+        return shift_t, shift_s
+
+    return jax.vmap(one)(feats, lens)
 
 
 @partial(jax.jit, static_argnames=("num_temporal",))
@@ -127,30 +149,25 @@ def prepare_database(feats, norm, lens, num_temporal: int = 1,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    shift_t, shift_s = _group_shifts(feats, norm_arr, lens,
+                                     num_temporal=num_temporal)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,          # lens
+        num_scalar_prefetch=3,          # lens, shift_t, shift_s
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, C, T), lambda b, lens: (b, 0, 0),
+            pl.BlockSpec((1, C, T), lambda b, *pf: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 2), lambda b, lens: (0, 0),
+            pl.BlockSpec((C, 2), lambda b, *pf: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, C, T), lambda b, lens: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # whole [B, 1] scalar buffer shared across grid steps (per-step
-            # sub-blocks of SMEM scalars violate TPU tiling rules); each
-            # step writes its own row
-            pl.BlockSpec((B, 1), lambda b, lens: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        out_specs=pl.BlockSpec((1, C, T), lambda b, *pf: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    out, shifts = pl.pallas_call(
+    out = pl.pallas_call(
         partial(_prep_kernel, num_temporal=num_temporal),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B, C, T), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((B, C, T), jnp.float32),
         interpret=interpret,
-    )(lens, feats, norm_arr)
-    return out, shifts[:, 0]
+    )(lens, shift_t, shift_s, feats, norm_arr)
+    return out, shift_t

@@ -4,13 +4,15 @@ The reference re-reads every feature file from disk for every search
 (FeatureCorrelationImpl.scala:161-246).  The TPU-native serving model loads
 the database once — normalized, group-shifted, padded and staged in HBM
 (optionally sharded over a ``files`` mesh axis) — and answers each punch
-query with one dispatch: batched FFT correlation traces + masked device
-top-k.  Measured on one v5e chip (2026-08-16, forced round-trips): a 10 s
-punch against 64 / 512 two-minute files answers in ~46 / ~62 ms including
-the ~28 ms relay round-trip — ~68 µs of device time per file, so a
-10k-file resident DB answers in ~0.7 s (north star < 1 s, BASELINE.json).
+query in a handful of chunked dispatches: batched FFT correlation traces
++ masked device top-k.  Measured on one v5e chip (2026-08-16, forced
+round-trips): a 10 s punch against 64 / 512 two-minute files answers in
+~46 / ~62 ms including the ~28 ms relay round-trip, and against a real
+**10,000-file** database (5.8 GB staged slab-wise) in **0.82–0.85 s**
+(tools/db10k_bench.py) — north star < 1 s, BASELINE.json.
 ``cache_spectra=True`` keeps each file's forward FFTs resident (~1.8× the
-feature HBM) and cuts that to ~30 µs/file (512 files: 44 ms; 10k ≈ 0.33 s).
+feature HBM) and roughly halves query device time where it fits
+(512 files: 62 → 44 ms; too large for a 10k DB on one 16 GB chip).
 
 Exact-semantics searches (``FeatureCorrelation``) can still replay their
 host-side selection over the returned dense traces; :meth:`query` serves the
@@ -446,12 +448,32 @@ class FeatureDatabase:
             raw_dev = jax.device_put(jnp.asarray(raw), shard)
             self._lens_dev = jax.device_put(jnp.asarray(lens), shard)
         else:
-            # chunked staging: the raw stack easily exceeds the relay's
-            # large-transfer cliff (util/transfer.py)
-            raw_dev = staged_put(raw)
             self._lens_dev = jnp.asarray(lens)
-        self._xs, self._shifts = prepare_database(raw_dev, norm,
-                                                  self._lens_dev)
+        if mesh is None and raw.shape[0] > _QUERY_CHUNK:
+            # slab-wise staging: uploading + preparing the whole stack at
+            # once would hold raw + prepared + normalization temporaries
+            # simultaneously (~3x the database; a 10k-file DB OOMs a 16 GB
+            # chip).  Each ≤_QUERY_CHUNK slab uploads (chunked puts, see
+            # util/transfer.py), prepares, and frees its raw copy.
+            parts, shift_parts = [], []
+            for o in range(0, raw.shape[0], _QUERY_CHUNK):
+                dev = staged_put(raw[o:o + _QUERY_CHUNK])
+                xs_p, sh_p = prepare_database(
+                    dev, norm, self._lens_dev[o:o + _QUERY_CHUNK])
+                xs_p.block_until_ready()
+                del dev
+                parts.append(xs_p)
+                shift_parts.append(sh_p)
+            self._xs = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            del parts
+            self._shifts = jnp.concatenate(shift_parts)
+        else:
+            if mesh is None:
+                # chunked staging: the raw stack easily exceeds the relay's
+                # large-transfer cliff (util/transfer.py)
+                raw_dev = staged_put(raw)
+            self._xs, self._shifts = prepare_database(raw_dev, norm,
+                                                      self._lens_dev)
         if storage_dtype is not None:
             # e.g. jnp.bfloat16: doubles resident capacity; queries upcast
             # on the fly (similarities good to ~1e-2 — re-rank with an
@@ -519,8 +541,10 @@ class FeatureDatabase:
             else:
                 out = _query_kernel(self._xs[sl], self._lens_dev[sl],
                                     *targs, k=k)
-            # one device_get per chunk (each small fetch costs a relay RTT)
-            parts.append(jax.device_get(out if with_traces else out[:3]))
+            parts.append(out if with_traces else out[:3])
+        # dispatch every chunk first, then one fetch pass: chunk k+1's
+        # device work overlaps chunk k's transfer
+        parts = jax.device_get(parts)
         got = tuple(np.concatenate([p[i] for p in parts])
                     for i in range(len(parts[0])))
         vals, idx, boosts_k = self._trim(got[0], got[1], got[2])
@@ -600,7 +624,8 @@ class FeatureDatabase:
             else:
                 out = _punch_query_kernel(self._xs[sl], self._lens_dev[sl],
                                           *ch_args, k=k)
-            parts.append(jax.device_get(out))
+            parts.append(out)
+        parts = jax.device_get(parts)   # all chunks dispatched before fetch
         vals, t_idx, j_k, b_in, b_out = self._trim(
             *(np.concatenate([p[i] for p in parts]) for i in range(5)))
         return PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
@@ -643,7 +668,8 @@ class FeatureDatabase:
                 else:
                     out = _multi_query_kernel(self._xs[sl],
                                               self._lens_dev[sl], *qargs, k=k)
-                parts.append(jax.device_get(out))
+                parts.append(out)
+            parts = jax.device_get(parts)
             # per-chunk results are [Q, chunk, k]: concat the files axis
             vals, idx, boosts = (
                 self._trim(np.concatenate([p[i] for p in parts], axis=1),

@@ -1,0 +1,37 @@
+"""The 10k-file north-star scenario, measured end to end on the chip:
+synthesize 10,000 two-minute feature files (5.8 GB), stage them resident
+(slab-wise; ~1.5-3 min through the relay), and answer a 10 s punch query.
+
+Measured 2026-08-16 (one v5e through the relay): staging 85-180 s,
+query 816-852 ms — north star < 1 s (BASELINE.json).
+
+    python tools/db10k_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from strugatzki_tpu.analysis.correlation import InputTemplate
+from strugatzki_tpu.parallel.database import FeatureDatabase
+
+rng = np.random.default_rng(0)
+n_files, file_frames, punch = 10000, 10336, 861
+base = rng.uniform(0.3, 0.7, size=(n_files, 14, 1)).astype(np.float32)
+feats = np.abs(base + 0.1 * rng.standard_normal(
+    (n_files, 14, file_frames)).astype(np.float32))
+entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
+tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
+t0 = time.perf_counter()
+db = FeatureDatabase(entries, norm=None)
+print(f"staged in {time.perf_counter()-t0:.0f}s", flush=True)
+t0 = time.perf_counter(); db.query(tmpl)
+print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
+ts = []
+for _ in range(5):
+    t0 = time.perf_counter(); res = db.query(tmpl); ts.append(time.perf_counter()-t0)
+print(f"10k query (async chunk fetch): {sorted(round(x*1e3) for x in ts)} ms", flush=True)
+print(f"hit: {res.frames[77,0]} sim={res.sims[77,0]:.4f}", flush=True)
