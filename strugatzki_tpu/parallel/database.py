@@ -561,33 +561,83 @@ class FeatureDatabase:
     def _rerank_exact(self, res: QueryResult, template: InputTemplate,
                       temp_weight: float, max_boost: float) -> None:
         """Replace each returned candidate's (sim, boost) with the exact
-        host-side value (f64-mirror math over the raw stacked features) and
-        re-sort every file's k hits."""
-        from ..analysis.correlation import _single_window_trace
+        host-side value and re-sort every file's k hits.
 
+        Batched mirror of analysis.correlation._single_window_trace with
+        the same float widths (f32 normalization, f64 accumulation, f32
+        results) — a per-candidate Python loop costs ~a minute at 10k
+        files × k."""
         # device_get hands back read-only views; re-ranking mutates
         res.sims = np.array(res.sims)
         res.frames = np.array(res.frames)
         if res.boosts is not None:
             res.boosts = np.array(res.boosts)
-        L = template.num_frames
-        for i in range(res.sims.shape[0]):
-            for j in range(res.sims.shape[1]):
-                if not np.isfinite(res.sims[i, j]):
-                    continue
+        finite = np.isfinite(res.sims)
+        cand = np.argwhere(finite)
+        if cand.size:
+            L = template.num_frames
+            C = self._raw.shape[1]
+            nt = template.num_temporal
+            n = len(cand)
+            wins = np.zeros((n, C, L), np.float32)
+            valid_len = np.empty(n, np.int64)
+            for m, (i, j) in enumerate(cand):
                 t = int(res.frames[i, j])
                 stop = min(t + L, int(self._lens[i]))
-                win = self._raw[i][:, t:stop]
-                sim, boost = _single_window_trace(
-                    win, self.norm, template, temp_weight, max_boost)
-                res.sims[i, j] = sim[0]
-                if res.boosts is not None:
-                    res.boosts[i, j] = boost[0]
-            order = np.argsort(-np.nan_to_num(res.sims[i], nan=-np.inf))
-            res.sims[i] = res.sims[i][order]
-            res.frames[i] = res.frames[i][order]
+                wins[m, :, :stop - t] = self._raw[i][:, t:stop]
+                valid_len[m] = stop - t
+            if self.norm is not None:
+                mins = np.asarray(self.norm[:, 0:1], np.float32)
+                rng = (np.asarray(self.norm[:, 1:2], np.float32) - mins)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    normed = (wins - mins) / rng
+                # only the read frames are normalized; a zero tail stays 0
+                # (the freshly-allocated buffer, _single_window_trace)
+                tail = np.arange(L)[None, :] >= valid_len[:, None]
+                normed[np.broadcast_to(tail[:, None, :], normed.shape)] = 0.0
+                wins = normed.astype(np.float32)
+            w64 = wins.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                avg32 = (w64[:, 0, :].sum(axis=1) / L).astype(np.float32)
+                boosts = np.exp(
+                    (template.ln_avg_loudness
+                     - np.log(avg32.astype(np.float64))) / 0.6
+                ).astype(np.float32)
+
+                def group_sim(lo, hi, centered, a_mean, a_std):
+                    g = w64[:, lo:hi, :]
+                    size = (hi - lo) * L
+                    bm = g.reshape(n, -1).sum(axis=1) / size
+                    var = ((g - bm[:, None, None]) ** 2
+                           ).reshape(n, -1).sum(axis=1) / size
+                    bs = np.sqrt(var)
+                    # f32 reconstruction THEN widening, exactly like
+                    # _single_window_trace feeding M.correlate
+                    a64 = (np.asarray(centered, np.float32)
+                           + np.float32(a_mean)).astype(np.float64)
+                    num = ((a64[None] - a_mean) * (g - bm[:, None, None])
+                           ).reshape(n, -1).sum(axis=1)
+                    return (num / (a_std * bs * size)).astype(np.float32)
+
+                sim_t = group_sim(0, nt, template.temporal_centered,
+                                  template.temporal_mean,
+                                  template.temporal_std) \
+                    if temp_weight > 0 else np.zeros(n, np.float32)
+                sim_s = group_sim(nt, C, template.spectral_centered,
+                                  template.spectral_mean,
+                                  template.spectral_std) \
+                    if temp_weight < 1 else np.zeros(n, np.float32)
+            sims = (sim_t * np.float32(temp_weight)
+                    + sim_s * np.float32(1 - temp_weight)).astype(np.float32)
+            sims = np.where(boosts <= max_boost, sims, np.float32(0.0))
+            res.sims[cand[:, 0], cand[:, 1]] = sims
             if res.boosts is not None:
-                res.boosts[i] = res.boosts[i][order]
+                res.boosts[cand[:, 0], cand[:, 1]] = boosts
+        order = np.argsort(-np.nan_to_num(res.sims, nan=-np.inf), axis=1)
+        res.sims = np.take_along_axis(res.sims, order, axis=1)
+        res.frames = np.take_along_axis(res.frames, order, axis=1)
+        if res.boosts is not None:
+            res.boosts = np.take_along_axis(res.boosts, order, axis=1)
 
     def query_punch(self, punch_in: InputTemplate, punch_out: InputTemplate,
                     min_punch: int, max_punch: int,
