@@ -141,7 +141,7 @@ def main() -> None:
     # persistent cache, and each extra program risks minutes of compile.
     # Measured on this chip (2026-08-16): 64 files ~46 ms, 512 files
     # ~62 ms incl. the ~28 ms relay RTT -> ~68 us/file device time ->
-    # 10k-file estimate ~0.7 s (north star < 1 s).
+    # real 10k-file DB measured 0.82-0.85 s (tools/db10k_bench.py).
     if not os.environ.get("BENCH_CORRELATION"):
         print("correlation bench skipped (set BENCH_CORRELATION=1)",
               file=sys.stderr)
