@@ -316,7 +316,7 @@ def test_max_boost_gating():
     assert all(m.file != "db0.aif" for m in ours)
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_fuzz_parity_with_transcription(seed):
     """Randomized configs and databases: the framework must agree with the
     reference transcription match-for-match across edge combinations
