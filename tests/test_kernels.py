@@ -205,3 +205,34 @@ def test_gram_block_matches_reference():
     np.testing.assert_allclose(sims, ref, atol=2e-5)
     # diagonal is the self-correlation of identical halves = 1
     np.testing.assert_allclose(np.diag(sims), 1.0, atol=1e-4)
+
+
+def test_correlation_trace_multi_temporal_boost_uses_channel0():
+    """With num_temporal > 1 the boost must still come from channel 0's
+    window mean only (reference calcBoost averages b(0),
+    FeatureCorrelationImpl.scala:73-78), not the whole temporal group."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.analysis.correlation import InputTemplate
+    from strugatzki_tpu.kernels import corr as K
+    from strugatzki_tpu.kernels import mathref as M
+
+    rng = np.random.default_rng(5)
+    nt = 2
+    feats = np.abs(0.5 + 0.1 * rng.standard_normal((6, 300))).astype(np.float32)
+    # make channel 1 loud so a whole-group mean would differ strongly
+    feats[1] *= 5.0
+    L = 40
+    tmpl = InputTemplate(feats[:, 50:50 + L].copy(), num_temporal=nt)
+    xs, sh_t, _ = K.shift_per_group(feats, num_temporal=nt)
+    sims, boosts = K.correlation_trace(
+        jnp.asarray(xs), tmpl.device_temporal(), tmpl.device_spectral(),
+        jnp.float32(tmpl.temporal_std), jnp.float32(tmpl.spectral_std),
+        jnp.float32(tmpl.ln_avg_loudness), jnp.float32(sh_t),
+        jnp.float32(0.5), jnp.float32(1e9), num_temporal=nt)
+    boosts = np.asarray(boosts)
+    for t in (0, 77, 200):
+        expect = np.exp(
+            (tmpl.ln_avg_loudness
+             - np.log(np.float64(M.avg(feats[0], t, L)))) / 0.6)
+        assert abs(boosts[t] - expect) < 1e-3 * max(1.0, expect), (
+            t, boosts[t], expect)
