@@ -231,3 +231,23 @@ def test_selfsim_abort(tmp_path):
     proc.abort()
     res = proc.ready(timeout=300)
     assert res.is_aborted or res.is_success
+
+
+def test_result_event_dispatched_before_waiters_wake():
+    """Regression for a completion race: the Result event must reach the
+    observer BEFORE ready()/result() waiters wake, or callers like the CLI
+    read their observer state too early (intermittent None results)."""
+    from strugatzki_tpu.runtime.processor import Processor, Result
+
+    for _ in range(50):
+        seen = []
+
+        def body(proc):
+            return "v"
+
+        p = Processor(body, name="race",
+                      observer=lambda e: seen.append(e)
+                      if isinstance(e, Result) else None)
+        p.start()
+        p.ready(10)
+        assert seen and seen[0].value == "v"
