@@ -177,7 +177,11 @@ def _scala_reference_correlation(meta_in_feats, db, norm, cfg):
                             po_off = t_in_off + i + min_p
                             for k in range(max(n2, 0)):
                                 out_sim = float(sims_out[i + k])
-                                s = float(np.float32(np.sqrt(np.float64(in_sim) * out_sim)))
+                                with np.errstate(invalid="ignore"):
+                                    # NaN for negative products is the
+                                    # reference's own behavior (:370)
+                                    s = float(np.float32(np.sqrt(
+                                        np.float64(in_sim) * out_sim)))
                                 if hs or s > low:
                                     add(Match(s, name,
                                               Span(t2f(t_in_off + i), t2f(po_off + k)),
