@@ -3,9 +3,10 @@ synthesize 10,000 two-minute feature files (5.8 GB), stage them resident
 (slab-wise; ~1.5-3 min through the relay), and answer a 10 s punch query.
 
 Measured 2026-08-16 (one v5e through the relay): staging 85-180 s,
-query 816-852 ms — north star < 1 s (BASELINE.json).
+query 816-852 ms — north star < 1 s (BASELINE.json); with --punch, the
+full punch-in × punch-out combined search measures 1.23-1.28 s.
 
-    python tools/db10k_bench.py
+    python tools/db10k_bench.py [--punch]
 """
 
 import os
@@ -35,3 +36,19 @@ for _ in range(5):
     t0 = time.perf_counter(); res = db.query(tmpl); ts.append(time.perf_counter()-t0)
 print(f"10k query (async chunk fetch): {sorted(round(x*1e3) for x in ts)} ms", flush=True)
 print(f"hit: {res.frames[77,0]} sim={res.sims[77,0]:.4f}", flush=True)
+
+if "--punch" in sys.argv:
+    t_out = InputTemplate(feats[77][:, 3000:3430].copy())   # 5 s punch-out
+    t0 = time.perf_counter()
+    db.query_punch(tmpl, t_out, min_punch=2000, max_punch=3500, k=2)
+    print(f"punch compile {time.perf_counter()-t0:.0f}s", flush=True)
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        pres = db.query_punch(tmpl, t_out, min_punch=2000, max_punch=3500,
+                              k=2)
+        ts.append(time.perf_counter() - t0)
+    m = pres.matches(step_size=512, k_total=1)[0]
+    print(f"10k punch-in x punch-out: {sorted(round(x*1e3) for x in ts)} ms; "
+          f"hit {m.file} {m.punch.start//512}..{m.punch.stop//512} "
+          f"sim={m.sim:.4f}", flush=True)
