@@ -190,3 +190,56 @@ def test_streaming_dtype_switch_mid_stream():
     streamed = np.concatenate(chunks, axis=1)
     whole = extract_features(xi, 44100.0)
     np.testing.assert_allclose(streamed, whole, atol=2e-5)
+
+
+_LONG = r"""
+import resource, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from strugatzki_tpu.analysis.extraction import FeatureExtraction
+from strugatzki_tpu.config import ExtractionConfig
+from strugatzki_tpu.io import audiofile as af
+from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+from strugatzki_tpu.io.formats import AIFF
+from strugatzki_tpu.dsp.frontend import num_output_frames
+
+sr = 44100
+minutes = 20
+snd = {snd!r}
+rng = np.random.default_rng(0)
+# write a 20-minute mono PCM16 file incrementally (bounded host memory)
+w = af.open_write(snd, AudioFileSpec(AIFF, SampleFormat.INT16, 1, float(sr)))
+n_total = sr * 60 * minutes
+for _ in range(minutes * 60):
+    w.write_frames((0.2 * rng.standard_normal((1, sr))).astype(np.float32))
+w.close()
+
+cfg = ExtractionConfig(audio_input=snd, feature_output={out!r}).build()
+FeatureExtraction.run(cfg).result(timeout=600)
+data, spec = af.read({out!r})
+assert spec.num_frames == num_output_frames(n_total, 512), spec.num_frames
+assert np.isfinite(data).all()
+rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+print(f"frames={{spec.num_frames}} rss={{rss_mb:.0f}}MB")
+assert rss_mb < 2048, rss_mb
+"""
+
+
+def test_long_file_extraction_bounded_memory(tmp_path):
+    """A 20-minute file (above STREAMING_THRESHOLD) extracts through the
+    chunked streaming path with bounded host memory (fresh process,
+    RSS < 2 GB; the file itself is ~100 MB)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _LONG.replace("{{", "\x00").replace("}}", "\x01")
+    script = script.format(repo=repo, snd=str(tmp_path / "long.aif"),
+                           out=str(tmp_path / "long_feat.aif"))
+    script = script.replace("\x00", "{").replace("\x01", "}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STRUGATZKI_PLATFORM="cpu")
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "rss=" in res.stdout
