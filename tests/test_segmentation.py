@@ -145,7 +145,7 @@ def test_short_span_single_window():
 import pytest
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_parity_with_transcription(seed):
     """Randomized spans, lengths, norms and break counts: break-for-break
     agreement with the reference loop transcription."""
