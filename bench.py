@@ -176,7 +176,9 @@ def main() -> None:
             print(f"correlation (resident DB): load {t_load:.2f}s; query "
                   f"latency {lat * 1000:.1f} ms, amortized {amort * 1000:.1f} ms "
                   f"/{n_files} files = {windows / amort / 1e6:.0f}M windows/s; "
-                  f"10k-file est ≈ {est10k:.2f}s (north star < 1s); "
+                  f"10k-file est ≈ {est10k:.2f}s from this cached-spectra "
+                  f"base (uncached 10k MEASURED 0.82-0.85s, "
+                  f"tools/db10k_bench.py; north star < 1s); "
                   f"best @ {res.frames[0, 0]}", file=sys.stderr)
         except Exception as e:  # never break the metric line
             print(f"correlation bench skipped: {e}", file=sys.stderr)
