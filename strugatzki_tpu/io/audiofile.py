@@ -318,6 +318,10 @@ def _parse_w64(f) -> _Layout:
             break
         guid = head[:16]
         (size,) = struct.unpack("<Q", head[16:24])
+        if size < 24:
+            # declared size includes this 24-byte header; anything smaller
+            # would seek backwards onto the same header and loop forever
+            raise IOError(f"corrupt Wave64 chunk: declared size {size} < 24")
         body_size = size - 24
         pos = f.tell()
         if guid[:4] == b"fmt ":

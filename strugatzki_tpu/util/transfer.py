@@ -27,7 +27,9 @@ def staged_put(arr: np.ndarray):
     lead = arr.shape[0] if arr.ndim else 1
     row_bytes = max(1, arr.nbytes // max(lead, 1))
     rows_per = max(1, STAGE_CHUNK_BYTES // row_bytes)
-    if arr.ndim >= 2 and rows_per < lead:
+    if arr.ndim >= 2 and rows_per < lead and row_bytes <= STAGE_CHUNK_BYTES:
+        # per-row pieces only when a row itself fits the chunk budget;
+        # otherwise fall through to the flat split so no piece exceeds it
         parts = [jax.device_put(arr[i:i + rows_per])
                  for i in range(0, lead, rows_per)]
         return jnp.concatenate(parts, axis=0)

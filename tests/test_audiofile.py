@@ -167,6 +167,43 @@ def test_wave64_roundtrip(tmp_path):
     np.testing.assert_allclose(back, data, atol=1 / 32768)
 
 
+def test_wave64_zero_size_chunk_raises(tmp_path):
+    """A Wave64 chunk declaring size < 24 (size includes its own 24-byte
+    header) must raise, not seek backwards and spin forever (advisor
+    finding, round 2)."""
+    from strugatzki_tpu.io.formats import WAVE64
+    data = _sig(1, 64, seed=5)
+    p = tmp_path / "x.w64"
+    af.write(p, data, af.AudioFileSpec(WAVE64, SampleFormat.FLOAT, 1, 44100.0))
+    raw = bytearray(p.read_bytes())
+    # first chunk header starts after the 16-byte riff GUID + 8-byte total
+    # + 16-byte wave GUID = offset 40; its size field is at +16
+    raw[40 + 16:40 + 24] = (0).to_bytes(8, "little")
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        af.read_spec(p)
+
+
+def test_staged_put_row_larger_than_chunk():
+    """One leading-axis row bigger than STAGE_CHUNK_BYTES must go through
+    the flat split, never a >chunk per-row put (advisor finding, round 2)."""
+    from unittest import mock
+    from strugatzki_tpu.util import transfer
+    arr = np.zeros((2, 1 << 20), dtype=np.float32)  # 4 MB rows
+    sizes = []
+    real_put = transfer.jax.device_put
+
+    def spy(x, *a, **k):
+        sizes.append(x.nbytes)
+        return real_put(x, *a, **k)
+
+    with mock.patch.object(transfer, "STAGE_CHUNK_BYTES", 1 << 20), \
+            mock.patch.object(transfer.jax, "device_put", side_effect=spy):
+        out = transfer.staged_put(arr)
+    assert out.shape == arr.shape
+    assert sizes and max(sizes) <= (1 << 20)
+
+
 def test_ircam_int32_roundtrip(tmp_path):
     data = _sig(2, 300, seed=4)
     p = tmp_path / "x.irc"
