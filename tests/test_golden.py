@@ -14,8 +14,8 @@ import numpy as np
 
 from strugatzki_tpu.dsp.frontend import extract_features
 
-# v2: regenerated for the ML.cpp-transcribed front-end (round 2)
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "features_v2.npz")
+# v3: regenerated for the rd1987 (pre-2003, anchor-fitted) contours (round 3)
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "features_v3.npz")
 
 
 def _signals():

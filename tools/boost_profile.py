@@ -10,13 +10,13 @@ transcription calibrates the reconstruction empirically:
 
 Interpretation (docs/ML_DERIVATION.md): the error at frequency f is set by
 the local equal-loudness contour slope s = Δphon/ΔdB there
-(err ≈ 2^(1−s) − 1 for a 0.5 attenuation), so matching error magnitudes
-mean matching contour slopes.  Measured 2026-08-16: ours matches the
-scsynth profile within a few points at 200–1000 Hz and 5–10 kHz, but lacks
-its 28–30% bump at 3–4 kHz — evidence that ML.cpp tabulates *pre-2003*
-equal-loudness data (Robinson–Dadson era, much steeper mid-high slopes)
-rather than the ISO 226:2003 values this reconstruction uses.  The contour
-table remains the top item for a one-session check against the source.
+(err = 2^(1−s) − 1 for a 0.5 attenuation), so matching error magnitudes
+mean matching contour slopes.  Round 2 showed the ISO-2003 rebuild lacks
+the UGen's 28–30% bump at 3–4 kHz (⇒ ML.cpp tabulates pre-2003 data);
+round 3's default ``rd1987`` contour model fits the pre-2003 analytic form
+to these anchors (tools/fit_contours.py) and reproduces all nine within
+0.3 points.  This tool re-measures the profile against whatever contour
+source is active (fit / iso2003 / verbatim drop-in).
 """
 
 import os
