@@ -334,12 +334,17 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     left_pad = fft_size - step
     padded_len = num_blocks * block * step + fft_size - step
     dtype = np.int16 if all(a.dtype == np.int16 for a in audios) else np.float32
-    padded = np.zeros((len(audios), padded_len), dtype)
+    # np.empty + explicit pad-region zeroing: the rows are mostly payload,
+    # so zeroing the whole buffer first would double host memory traffic
+    # (tens of ms per 100 MB batch on the bench path)
+    padded = np.empty((len(audios), padded_len), dtype)
+    padded[:, :left_pad] = 0
     for i, a in enumerate(audios):
         if dtype == np.float32 and a.dtype == np.int16:
             a = a.astype(np.float32) / 32768.0  # dequantize mixed batches
         n = min(len(a), padded_len - left_pad)
         padded[i, left_pad:left_pad + n] = a[:n]
+        padded[i, left_pad + n:] = 0
     carry0 = jnp.zeros((len(audios), T.ERB_BANDS), dtype=jnp.float32)
     feats, _ = _extract_scan_batch(
         _staged_put(padded), carry0, *consts,
