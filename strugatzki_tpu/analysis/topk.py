@@ -20,12 +20,13 @@ observable in results and replicated here exactly:
 from __future__ import annotations
 
 import bisect
+import math
 import struct
-from typing import Generic, List, TypeVar
+from typing import Generic, Iterable, List, Sequence, TypeVar
 
 T = TypeVar("T")
 
-__all__ = ["SimSortedSet", "java_float_key"]
+__all__ = ["SimSortedSet", "java_float_key", "replay_selection"]
 
 
 def java_float_key(sim: float) -> int:
@@ -111,3 +112,87 @@ class SimSortedSet(Generic[T]):
             if k not in self._items:
                 bisect.insort(self._keys, k)
                 self._items[k] = item
+
+
+class _Candidate:
+    """A match plus its punch-in-only sim — the latter drives the
+    reference's ``inSim > low²`` scan gate (FeatureCorrelationImpl.scala:342)
+    in :func:`replay_selection`."""
+
+    __slots__ = ("match", "in_sim")
+
+    def __init__(self, match, in_sim=None) -> None:
+        self.match = match
+        self.in_sim = in_sim
+
+    @property
+    def sim(self):
+        return self.match.sim
+
+    @property
+    def punch(self):
+        return self.match.punch
+
+
+def replay_selection(per_file_candidates: Iterable[Sequence],
+                     num_matches: int, num_per_file: int,
+                     min_spacing: int, skip_nan: bool = False) -> List:
+    """Exact replay of the reference's stateful match selection over
+    externally produced candidates.
+
+    Reproduces FeatureCorrelationImpl.scala's per-file entry queue and
+    global merge (:113-150 ``addMatch``/``entryHasSpace``/``lowestSim``,
+    :399-400 merge + truncate), offered the same way the reference offers
+    windows: *per file, in ascending window order* — each element of
+    ``per_file_candidates`` must already be sorted the way the reference's
+    scan visits them (ascending punch-in offset, then punch length).
+    Candidates need ``.sim`` (float) and ``.punch`` (:class:`Span`)
+    attributes (e.g. :class:`~strugatzki_tpu.config.Match`).
+
+    The replay is exact over the candidates it is given; a caller feeding
+    it a device top-k (the serving path) therefore equals the full
+    ``FeatureCorrelation`` output whenever that top-k contains every
+    candidate the reference's selection would have touched — raise the
+    device ``k`` when ``num_matches·num_per_file`` (plus spacing-collapse
+    churn) approaches it.
+    """
+    from ..span import spacing
+
+    all_prio: SimSortedSet = SimSortedSet(descending=True)
+    for cands in per_file_candidates:
+        entry_prio: SimSortedSet = SimSortedSet(descending=True)
+        last = None
+        for m in cands:
+            sim = m.sim
+            if skip_nan and math.isnan(sim):
+                continue
+            has_space = len(entry_prio) < min(num_matches - len(all_prio),
+                                              num_per_file)
+            if len(entry_prio):
+                low = entry_prio.last_sim
+            elif len(all_prio):
+                low = all_prio.last_sim
+            else:
+                low = 0.0
+            # the punch-out combine's scan gate: a punch-in offset is only
+            # visited at all when its in-sim alone beats low² (:342) —
+            # applies regardless of queue space
+            in_sim = getattr(m, "in_sim", None)
+            if in_sim is not None and not (in_sim > low * low):
+                continue
+            if not (has_space or sim > low):
+                continue
+            if last is not None and spacing(m.punch, last.punch) < min_spacing:
+                # collapse against the most recent match only (:135-143)
+                if last.sim < sim:
+                    entry_prio.remove_sim(last.sim)
+                    entry_prio.add(sim, m)
+                    last = m
+            else:
+                entry_prio.add(sim, m)
+                if len(entry_prio) > num_per_file:
+                    entry_prio.drop_last()
+                last = m
+        all_prio.update(entry_prio)
+        all_prio.truncate(num_matches)
+    return all_prio.items()

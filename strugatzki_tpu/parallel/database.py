@@ -53,6 +53,14 @@ __all__ = ["FeatureDatabase", "QueryResult", "PunchQueryResult"]
 _QUERY_CHUNK = 2048
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_slab(buf, slab, offset):
+    """Write a prepared slab into the resident database buffer in place
+    (the buffer is donated, so staging never holds two database-sized
+    arrays; one jit key — ``offset`` is traced)."""
+    return jax.lax.dynamic_update_slice(buf, slab, (offset, 0, 0))
+
+
 @dataclass
 class QueryResult:
     """Top-k hits of one query: parallel arrays ``[num_files, k]``."""
@@ -64,24 +72,49 @@ class QueryResult:
     #: the producing kernel predates boost gathering
     boosts: Optional[np.ndarray] = None
 
-    def matches(self, punch_len: int, step_size: int,
-                k_total: int = 10) -> List[Match]:
-        """Flatten to the best ``k_total`` :class:`Match`es across files,
-        carrying each window's boost (boostOut = 1 as in the reference's
-        punch-in-only mode, FeatureCorrelationImpl.scala:236)."""
-        flat = [(float(self.sims[i, j]), i, int(self.frames[i, j]),
-                 float(self.boosts[i, j]) if self.boosts is not None else 1.0)
-                for i in range(self.sims.shape[0])
-                for j in range(self.sims.shape[1])
-                if np.isfinite(self.sims[i, j])]
-        flat.sort(key=lambda t: -t[0])
-        out = []
-        for sim, i, t, b_in in flat[:k_total]:
-            out.append(Match(sim, self.files[i],
-                             Span(feat_to_full(t, step_size),
-                                  feat_to_full(t + punch_len, step_size)),
-                             b_in, 1.0))
-        return out
+    def matches(self, punch_len: int, step_size: int, k_total: int = 10,
+                num_per_file: Optional[int] = None,
+                min_spacing: int = 0) -> List[Match]:
+        """Best ``k_total`` :class:`Match`es across files, carrying each
+        window's boost (boostOut = 1 as in the reference's punch-in-only
+        mode, FeatureCorrelationImpl.scala:236).
+
+        With the defaults (``num_per_file=None``, ``min_spacing=0``) this is
+        a plain flat top-k — the serving convenience.  Passing
+        ``num_per_file`` (or a ``min_spacing``) switches to the *exact
+        replay* of the reference's stateful selection
+        (:func:`~strugatzki_tpu.analysis.topk.replay_selection`): candidates
+        are offered per file in ascending window order through the same
+        entry-queue / spacing-collapse / merge machinery FeatureCorrelation
+        uses, so the result equals the full reference search whenever the
+        device top-k contains every candidate that selection touches (raise
+        the query ``k`` accordingly)."""
+        def mk(i, j):
+            t = int(self.frames[i, j])
+            return Match(float(self.sims[i, j]), self.files[i],
+                         Span(feat_to_full(t, step_size),
+                              feat_to_full(t + punch_len, step_size)),
+                         float(self.boosts[i, j])
+                         if self.boosts is not None else 1.0, 1.0)
+
+        if num_per_file is None and min_spacing == 0:
+            flat = [(float(self.sims[i, j]), i, j)
+                    for i in range(self.sims.shape[0])
+                    for j in range(self.sims.shape[1])
+                    if np.isfinite(self.sims[i, j])]
+            flat.sort(key=lambda t: -t[0])
+            return [mk(i, j) for _, i, j in flat[:k_total]]
+
+        from ..analysis.topk import replay_selection
+        per_file = []
+        for i in range(self.sims.shape[0]):
+            cands = [mk(i, j) for j in range(self.sims.shape[1])
+                     if np.isfinite(self.sims[i, j])]
+            cands.sort(key=lambda m: m.punch.start)
+            per_file.append(cands)
+        return replay_selection(per_file, k_total,
+                                num_per_file if num_per_file is not None
+                                else k_total, min_spacing)
 
 
 @dataclass
@@ -100,6 +133,10 @@ class PunchQueryResult:
     boosts_out: np.ndarray
     files: List[str]
     min_punch: int
+    #: punch-in-only sim per candidate — drives the reference's
+    #: ``inSim > low²`` scan gate in the exact selection replay
+    #: (FeatureCorrelationImpl.scala:342); None for legacy producers
+    in_sims: Optional[np.ndarray] = None
 
     def matches(self, step_size: int, k_total: int = 10,
                 num_per_file: Optional[int] = None,
@@ -108,35 +145,51 @@ class PunchQueryResult:
         reference's span convention ``[start, start + minPunch + k)``
         (FeatureCorrelationImpl.scala:370-374).
 
-        ``num_per_file``/``min_spacing`` apply a per-file cap and a
-        spacing collapse over the returned candidates in descending-sim
-        order — the serving approximation of the reference's in-order
-        stateful selection (exact for the defaults numPerFile = 1,
-        minSpacing = 0; use FeatureCorrelation for full replay semantics).
-        """
-        out: List[Match] = []
-        per_file: dict = {}
-        flat = [(float(self.sims[i, j]), i, int(self.frames[i, j]),
-                 int(self.punch_lens[i, j]), float(self.boosts_in[i, j]),
-                 float(self.boosts_out[i, j]))
-                for i in range(self.sims.shape[0])
-                for j in range(self.sims.shape[1])
-                if np.isfinite(self.sims[i, j])]
-        flat.sort(key=lambda t: -t[0])
-        for sim, i, t, kl, b_in, b_out in flat:
-            if len(out) >= k_total:
-                break
-            span = Span(feat_to_full(t, step_size),
-                        feat_to_full(t + self.min_punch + kl, step_size))
-            kept = per_file.setdefault(i, [])
-            if num_per_file is not None and len(kept) >= num_per_file:
-                continue
-            if min_spacing > 0 and any(
-                    spacing(span, s) < min_spacing for s in kept):
-                continue
-            kept.append(span)
-            out.append(Match(sim, self.files[i], span, b_in, b_out))
-        return out
+        With the defaults (``num_per_file=None``, ``min_spacing=0``) this
+        is a plain flat top-k — the serving convenience.  Passing
+        ``num_per_file`` (or a ``min_spacing``) runs the *exact replay* of
+        the reference's stateful selection
+        (:func:`~strugatzki_tpu.analysis.topk.replay_selection`) over the
+        returned candidates, offered per file in ascending punch-in-offset
+        order exactly like FeatureCorrelationImpl's combine pass — so the
+        result equals the full reference search whenever the device top-k
+        contains every candidate that selection touches (raise the query
+        ``k`` when ``k_total·num_per_file`` approaches it).  The kernel
+        already keeps only the best punch length per offset, which is what
+        the reference's always-on overlap collapse reduces same-offset
+        candidates to."""
+        def mk(i, j):
+            t = int(self.frames[i, j])
+            kl = int(self.punch_lens[i, j])
+            return Match(float(self.sims[i, j]), self.files[i],
+                         Span(feat_to_full(t, step_size),
+                              feat_to_full(t + self.min_punch + kl,
+                                           step_size)),
+                         float(self.boosts_in[i, j]),
+                         float(self.boosts_out[i, j]))
+
+        if num_per_file is None and min_spacing == 0:
+            flat = [(float(self.sims[i, j]), i, j)
+                    for i in range(self.sims.shape[0])
+                    for j in range(self.sims.shape[1])
+                    if np.isfinite(self.sims[i, j])]
+            flat.sort(key=lambda t: -t[0])
+            return [mk(i, j) for _, i, j in flat[:k_total]]
+
+        from ..analysis.topk import _Candidate, replay_selection
+        per_file = []
+        for i in range(self.sims.shape[0]):
+            cands = [_Candidate(mk(i, j),
+                                None if self.in_sims is None
+                                else float(self.in_sims[i, j]))
+                     for j in range(self.sims.shape[1])
+                     if np.isfinite(self.sims[i, j])]
+            cands.sort(key=lambda c: c.punch.start)
+            per_file.append(cands)
+        kept = replay_selection(per_file, k_total,
+                                num_per_file if num_per_file is not None
+                                else k_total, min_spacing)
+        return [c.match for c in kept]
 
 
 @partial(jax.jit, static_argnames=("num_temporal", "k"))
@@ -278,8 +331,8 @@ def _punch_query_kernel(xs_b, lens,
     ``FeatureCorrelation`` for faithful stateful selection.
 
     ``min_punch``/``scan_span`` are traced (no jit key per punch config).
-    Returns per-file ``(sims, t_idx, punch_len_k, boost_in, boost_out)``,
-    each ``[B, k]``.
+    Returns per-file ``(sims, t_idx, punch_len_k, boost_in, boost_out,
+    in_sims)``, each ``[B, k]``.
     """
     def one(xs, shift_t, t_len):
         # forward spectra once per file, shared by both punch templates
@@ -397,7 +450,10 @@ def _punch_one_from_spectra(X, Xsq, t_padded,
     j_k = best_j[t_idx]
     b_in = boosts_in[t_idx]
     b_out = out_boosts_p[t_idx + min_punch + j_k]
-    return vals, t_idx, j_k, b_in, b_out
+    # each candidate's punch-in-only sim: the exact selection replay needs
+    # it for the reference's ``inSim > low²`` scan gate (:342)
+    si = sims_in[t_idx]
+    return vals, t_idx, j_k, b_in, b_out, si
 
 
 class FeatureDatabase:
@@ -454,18 +510,26 @@ class FeatureDatabase:
             # once would hold raw + prepared + normalization temporaries
             # simultaneously (~3x the database; a 10k-file DB OOMs a 16 GB
             # chip).  Each ≤_QUERY_CHUNK slab uploads (chunked puts, see
-            # util/transfer.py), prepares, and frees its raw copy.
-            parts, shift_parts = [], []
+            # util/transfer.py), prepares, and is written into a
+            # preallocated buffer through a donated dynamic-update-slice —
+            # peak device memory ≈ the database + ONE slab in flight.
+            # (Round 2 concatenated the prepared slabs while they were all
+            # still alive, transiently holding ~2× the database; the real
+            # capacity ceiling was half of HBM.)
+            store_dtype = (jnp.float32 if storage_dtype is None
+                           else storage_dtype)
+            buf = jnp.zeros(raw.shape, store_dtype)
+            shift_parts = []
             for o in range(0, raw.shape[0], _QUERY_CHUNK):
                 dev = staged_put(raw[o:o + _QUERY_CHUNK])
                 xs_p, sh_p = prepare_database(
                     dev, norm, self._lens_dev[o:o + _QUERY_CHUNK])
-                xs_p.block_until_ready()
-                del dev
-                parts.append(xs_p)
+                buf = _write_slab(buf, xs_p.astype(store_dtype),
+                                  jnp.int32(o))
+                buf.block_until_ready()   # one slab in flight at a time
+                del dev, xs_p
                 shift_parts.append(sh_p)
-            self._xs = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            del parts
+            self._xs = buf
             self._shifts = jnp.concatenate(shift_parts)
         else:
             if mesh is None:
@@ -474,11 +538,11 @@ class FeatureDatabase:
                 raw_dev = staged_put(raw)
             self._xs, self._shifts = prepare_database(raw_dev, norm,
                                                       self._lens_dev)
-        if storage_dtype is not None:
-            # e.g. jnp.bfloat16: doubles resident capacity; queries upcast
-            # on the fly (similarities good to ~1e-2 — re-rank with an
-            # exact query or FeatureCorrelation when that matters)
-            self._xs = self._xs.astype(storage_dtype)
+            if storage_dtype is not None:
+                # e.g. jnp.bfloat16: doubles resident capacity; queries
+                # upcast on the fly (device sims good to ~1e-2; the exact
+                # re-rank + automatic k-inflation recover exact results)
+                self._xs = self._xs.astype(storage_dtype)
         # cache_spectra: keep every file's forward spectra resident
         # (~1.8× the feature HBM) so each query pays only its inverse
         # FFTs — ~4× lower query latency on large DBs
@@ -521,11 +585,18 @@ class FeatureDatabase:
         ``exact_rerank`` recomputes the returned top-k candidates' sims and
         boosts exactly on host (float64 mirror over the raw features) and
         re-sorts each file's hits — it defaults to ON for reduced-precision
-        storage (e.g. bfloat16, whose device sims are only good to ~1e-2),
-        so compact databases return exact values automatically.  Candidates
-        bf16 ranked *outside* the top-k are still lost; raise ``k`` or use a
-        float32 database when recall at that margin matters.
+        storage (e.g. bfloat16, whose device sims are only good to ~1e-2).
+        For reduced-precision storage the device top-k is automatically
+        inflated 4× before the exact re-rank and trimmed back after, so
+        candidates the lossy sims mis-rank just outside the top-k are
+        recovered (recall at the ~1e-2 margin); use a float32 database when
+        even that inflation is not enough.
         """
+        reduced = self._xs.dtype != jnp.float32
+        if exact_rerank is None:
+            exact_rerank = reduced
+        k_dev = self._inflated_k(k, template.num_frames) \
+            if (exact_rerank and reduced) else k
         tmpl_args = (template.device_temporal(), template.device_spectral(),
                      jnp.float32(template.temporal_std),
                      jnp.float32(template.spectral_std),
@@ -537,10 +608,10 @@ class FeatureDatabase:
             if self._spectra is not None:
                 out = _query_kernel_spectra(
                     self._spectra[0][sl], self._spectra[1][sl],
-                    self._xs.shape[2], self._lens_dev[sl], *targs, k=k)
+                    self._xs.shape[2], self._lens_dev[sl], *targs, k=k_dev)
             else:
                 out = _query_kernel(self._xs[sl], self._lens_dev[sl],
-                                    *targs, k=k)
+                                    *targs, k=k_dev)
             parts.append(out if with_traces else out[:3])
         # dispatch every chunk first, then one fetch pass: chunk k+1's
         # device work overlaps chunk k's transfer
@@ -549,14 +620,23 @@ class FeatureDatabase:
                     for i in range(len(parts[0])))
         vals, idx, boosts_k = self._trim(got[0], got[1], got[2])
         res = QueryResult(vals, idx, list(self.files), boosts_k)
-        if exact_rerank is None:
-            exact_rerank = self._xs.dtype != jnp.float32
         if exact_rerank:
             self._rerank_exact(res, template, temp_weight, max_boost)
+        if k_dev != k:
+            res.sims = res.sims[:, :k]
+            res.frames = res.frames[:, :k]
+            if res.boosts is not None:
+                res.boosts = res.boosts[:, :k]
         if with_traces:
             sims, boosts = self._trim(got[3], got[4])
             return res, (sims, boosts, self._lens[:len(self.files)])
         return res
+
+    def _inflated_k(self, k: int, tmpl_frames: int) -> int:
+        """Device top-k for reduced-precision storage: 4× the requested k
+        (bounded by the window count) so the exact re-rank can pull back
+        candidates the lossy device sims pushed just outside the top-k."""
+        return max(k, min(4 * k, self._xs.shape[2] - tmpl_frames + 1))
 
     def _rerank_exact(self, res: QueryResult, template: InputTemplate,
                       temp_weight: float, max_boost: float) -> None:
@@ -676,10 +756,10 @@ class FeatureDatabase:
                                           *ch_args, k=k)
             parts.append(out)
         parts = jax.device_get(parts)   # all chunks dispatched before fetch
-        vals, t_idx, j_k, b_in, b_out = self._trim(
-            *(np.concatenate([p[i] for p in parts]) for i in range(5)))
+        vals, t_idx, j_k, b_in, b_out, in_sims = self._trim(
+            *(np.concatenate([p[i] for p in parts]) for i in range(6)))
         return PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
-                                list(self.files), min_punch)
+                                list(self.files), min_punch, in_sims)
 
     def query_batch(self, templates: Sequence[InputTemplate],
                     temp_weight: float = 0.5, max_boost: float = 8.0,
@@ -694,13 +774,16 @@ class FeatureDatabase:
         come back in input order with boosts, and reduced-precision
         storage re-ranks exactly on host like :meth:`query`.
         """
+        reduced = self._xs.dtype != jnp.float32
         if exact_rerank is None:
-            exact_rerank = self._xs.dtype != jnp.float32
+            exact_rerank = reduced
         buckets: dict = {}
         for qi, t in enumerate(templates):
             buckets.setdefault(t.num_frames, []).append(qi)
         results: List[Optional[QueryResult]] = [None] * len(templates)
-        for _, idxs in sorted(buckets.items()):
+        for frames_len, idxs in sorted(buckets.items()):
+            k_dev = self._inflated_k(k, frames_len) \
+                if (exact_rerank and reduced) else k
             group = [templates[qi] for qi in idxs]
             tt = jnp.stack([t.device_temporal() for t in group])
             ts = jnp.stack([t.device_spectral() for t in group])
@@ -714,10 +797,12 @@ class FeatureDatabase:
                 if self._spectra is not None:
                     out = _multi_query_kernel_spectra(
                         self._spectra[0][sl], self._spectra[1][sl],
-                        self._xs.shape[2], self._lens_dev[sl], *qargs, k=k)
+                        self._xs.shape[2], self._lens_dev[sl], *qargs,
+                        k=k_dev)
                 else:
                     out = _multi_query_kernel(self._xs[sl],
-                                              self._lens_dev[sl], *qargs, k=k)
+                                              self._lens_dev[sl], *qargs,
+                                              k=k_dev)
                 parts.append(out)
             parts = jax.device_get(parts)
             # per-chunk results are [Q, chunk, k]: concat the files axis
@@ -730,6 +815,11 @@ class FeatureDatabase:
                                   boosts[q])
                 if exact_rerank:
                     self._rerank_exact(res, group[q], temp_weight, max_boost)
+                if k_dev != k:
+                    res.sims = res.sims[:, :k]
+                    res.frames = res.frames[:, :k]
+                    if res.boosts is not None:
+                        res.boosts = res.boosts[:, :k]
                 results[qi] = res
         return results
 

@@ -175,3 +175,150 @@ def test_query_punch_with_normalization():
         assert a.punch == b.punch, (a, b)
         assert abs(a.sim - b.sim) < 5e-5, (a, b)
         assert abs(a.boost_in - b.boost_in) < 1e-3 * max(1, abs(b.boost_in))
+
+
+# ---------------------------------------------------------------------------
+# round 3: exact selection replay on the serving path
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 7, 11, 13])
+def test_punch_serving_replay_num_per_file_spacing(seed):
+    """With num_per_file=2 and min_spacing>0 the serving result must equal
+    the full FeatureCorrelation replay — PunchQueryResult.matches now runs
+    the reference's stateful selection (analysis.topk.replay_selection)
+    over the device candidates instead of a greedy descending-sim cap.
+    num_matches ≥ files·num_per_file keeps the reference's trace-open
+    pruning inert so the device kernel's candidate space matches."""
+    inp, files = _make_db(seed)
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 50 * STEP), 0.5),
+        punch_out=Punch(Span(160 * STEP, 185 * STEP), 0.5),
+        min_punch=60 * STEP, max_punch=120 * STEP,
+        normalize=False, num_matches=10, num_per_file=2,
+        min_spacing=40 * STEP).build()
+    exact = _run_exact(inp, files, cfg)
+
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    t_in = InputTemplate.from_features(inp, None, 20, 50)
+    t_out = InputTemplate.from_features(inp, None, 160, 185)
+    # exactness needs the COMPLETE candidate set: the reference's collapse
+    # chain steps through low-sim candidates too, so k = every window
+    k_all = db._xs.shape[2] - 30 + 1
+    res = db.query_punch(t_in, t_out, min_punch=60, max_punch=120,
+                         temp_weight_in=0.5, temp_weight_out=0.5, k=k_all)
+    ours = res.matches(step_size=STEP, k_total=10, num_per_file=2,
+                       min_spacing=40 * STEP)
+
+    assert len(ours) == len(exact), (seed, ours, exact)
+    for a, b in zip(ours, exact):
+        assert a.file == b.file, (seed, a, b)
+        assert a.punch == b.punch, (seed, a, b)
+        assert abs(a.sim - b.sim) < 3e-5, (seed, a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 2, 4, 6, 9])
+def test_punchin_serving_replay_num_per_file_spacing(seed):
+    """Punch-in-only serving (QueryResult.matches) under the same exact
+    replay, against the analysis path's inline-scan selection."""
+    inp, files = _make_db(seed)
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(20 * STEP, 50 * STEP), 0.5),
+        punch_out=None, normalize=False, num_matches=10, num_per_file=2,
+        min_spacing=35 * STEP).build()
+    exact = _run_exact(inp, files, cfg)
+
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    tmpl = InputTemplate.from_features(inp, None, 20, 50)
+    res = db.query(tmpl, k=db._xs.shape[2] - 30 + 1)   # complete set
+    ours = res.matches(punch_len=30, step_size=STEP, k_total=10,
+                       num_per_file=2, min_spacing=35 * STEP)
+
+    assert len(ours) == len(exact), (seed, ours, exact)
+    for a, b in zip(ours, exact):
+        assert a.file == b.file, (seed, a, b)
+        assert a.punch == b.punch, (seed, a, b)
+        assert abs(a.sim - b.sim) < 3e-5, (seed, a, b)
+
+
+def _plant_graded(base, tmpl_mat, off, deficit, rng):
+    """Plant a copy of ``tmpl_mat`` at ``off`` whose exact correlation sim
+    is 1 − ``deficit`` by construction: per channel group (temporal ch 0 /
+    spectral 1..13, the kernel's Pearson groups), add noise centered and
+    orthogonalized against the centered template, scaled to the target
+    deficit — so the true sim gap between plants is deterministic while
+    each plant's bf16 quantization noise stays independent."""
+    C, L = tmpl_mat.shape
+    t0 = tmpl_mat[0] - tmpl_mat[0].mean()
+    ts = (tmpl_mat[1:] - tmpl_mat[1:].mean()).ravel()
+    e0, es = float((t0 ** 2).sum()), float((ts ** 2).sum())
+    n0 = rng.standard_normal(L)
+    n0 -= n0.mean()
+    n0 -= (n0 @ t0) / e0 * t0
+    n0 /= np.linalg.norm(n0)
+    ns = rng.standard_normal((C - 1) * L)
+    ns -= ns.mean()
+    ns -= (ns @ ts) / es * ts
+    ns /= np.linalg.norm(ns)
+    p = tmpl_mat.copy()
+    p[0] += np.sqrt(2 * e0 * deficit) * n0
+    p[1:] += (np.sqrt(2 * es * deficit) * ns).reshape(C - 1, L)
+    base[:, off:off + L] = p.astype(np.float32)
+
+
+def test_bf16_k_inflation_recovers_misordered_topk():
+    """bf16 storage quantizes the (group-shifted) features: its device sims
+    carry ~1e-5 noise, so candidates with true sim gaps of ~1.5e-6 get
+    misordered out of a small top-k.  The automatic 4× device-k inflation +
+    exact re-rank must recover the f32 database's exact top-k on every
+    seed — and the construction must genuinely misorder the plain bf16
+    device ranking on several."""
+    import jax.numpy as jnp
+    misordered = 0
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        C, T = 14, 420
+        base = np.abs(0.5 + 5.0 * rng.standard_normal((C, T))).astype(np.float32)
+        tmpl_mat = np.abs(0.5 + 5.0 * rng.standard_normal((C, 30))).astype(np.float32)
+        # exact sims 0.9990015 > 0.9990000 > 0.9989985 at offsets 100/200/300
+        for i, off in enumerate((100, 200, 300)):
+            _plant_graded(base, tmpl_mat, off, 1e-3 + i * 1.5e-6, rng)
+        files = [("probe.aif", base)]
+        tmpl = InputTemplate(tmpl_mat)
+        db32 = FeatureDatabase(files, norm=None, pad_multiple=64)
+        db16 = FeatureDatabase(files, norm=None, pad_multiple=64,
+                               storage_dtype=jnp.bfloat16)
+        r32 = db32.query(tmpl, k=2, exact_rerank=True)
+        r16 = db16.query(tmpl, k=2)                     # inflation + rerank
+        raw16 = db16.query(tmpl, k=2, exact_rerank=False)
+        assert r16.sims.shape == (1, 2)
+        np.testing.assert_array_equal(np.asarray(r32.frames), [[100, 200]])
+        np.testing.assert_array_equal(r16.frames, r32.frames, err_msg=str(seed))
+        np.testing.assert_allclose(r16.sims, r32.sims, atol=2e-5,
+                                   err_msg=str(seed))
+        if not np.array_equal(np.asarray(raw16.frames),
+                              np.asarray(r32.frames)):
+            misordered += 1
+    # the adversarial construction must actually bite for the test to mean
+    # anything (measured: 4-6 of 12 seeds misorder)
+    assert misordered >= 3, misordered
+
+
+def test_chunked_bf16_staging_matches(monkeypatch):
+    """Chunked slab staging with reduced-precision storage writes each
+    prepared slab into the preallocated bf16 buffer; results must equal the
+    unchunked bf16 database."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.parallel import database as D
+    inp, files = _make_db(1, num_files=7)
+    tmpl = InputTemplate(files[2][1][:, 137:167].copy())
+    ref = D.FeatureDatabase(files, norm=None, pad_multiple=64,
+                            storage_dtype=jnp.bfloat16)
+    monkeypatch.setattr(D, "_QUERY_CHUNK", 3)
+    db = D.FeatureDatabase(files, norm=None, pad_multiple=64,
+                           storage_dtype=jnp.bfloat16)
+    assert db._xs.dtype == jnp.bfloat16
+    assert db._xs.shape[0] == 9 and db.num_files == 7
+    r1 = ref.query(tmpl, k=2)
+    r2 = db.query(tmpl, k=2)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)

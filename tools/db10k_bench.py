@@ -28,7 +28,14 @@ entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
 tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
 t0 = time.perf_counter()
 db = FeatureDatabase(entries, norm=None)
-print(f"staged in {time.perf_counter()-t0:.0f}s", flush=True)
+stage_s = time.perf_counter() - t0
+db_bytes = db._xs.nbytes
+stats = getattr(db._xs.device, "memory_stats", lambda: None)() or {}
+peak = stats.get("peak_bytes_in_use")
+print(f"staged in {stage_s:.0f}s; database {db_bytes/2**30:.2f} GiB resident"
+      + (f", peak HBM {peak/2**30:.2f} GiB = {peak/db_bytes:.2f}x the "
+         f"database (slab-wise donated staging; round 2 held ~2x)"
+         if peak else ""), flush=True)
 t0 = time.perf_counter(); db.query(tmpl)
 print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
 ts = []
