@@ -175,3 +175,117 @@ def test_batch_transcript_sequential_order(tmp_path):
         expect.append("#" * 25 + "  Success.")
         expect.append(f"success = true - tail? {'true' if i < 2 else 'false'}")
     assert lines == expect, lines
+
+
+# ---------------------------------------------------------------------------
+# round 3: the reference's real production invocations (notes/Ex.txt),
+# transcribed shape-for-shape (times scaled to the 2 s fixture files) and
+# asserting the transcript's exact line format (Strugatzki.scala:180-196)
+# ---------------------------------------------------------------------------
+
+def _match_blocks(stdout: str, punch_out: bool):
+    """Parse the reference-format match transcript into blocks, asserting
+    the exact line order File / Similarity / Span start / Boost in
+    (+ Span stop / Boost out with a punch-out)."""
+    lines = stdout.splitlines()
+    assert any("Success." in l for l in lines), stdout
+    blocks = []
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("File      "):
+            blk = {"file": lines[i][len("File      "):]}
+            assert lines[i + 1].startswith("Similarity: "), lines[i + 1]
+            assert lines[i + 1].rstrip().endswith("%")
+            assert lines[i + 2].startswith("Span start: ")
+            assert lines[i + 3].startswith("Boost in  : ")
+            assert lines[i + 3].rstrip().endswith(" dB")
+            blk["sim"] = lines[i + 1].split(": ")[1]
+            blk["start"] = int(lines[i + 2].split(": ")[1])
+            i += 4
+            if punch_out:
+                assert lines[i].startswith("Span stop : "), lines[i]
+                assert lines[i + 1].startswith("Boost out : ")
+                blk["stop"] = int(lines[i].split(": ")[1])
+                i += 2
+            blocks.append(blk)
+        else:
+            i += 1
+    return blocks
+
+
+def test_ex1_dur_range_temp(demo):
+    # run -c --in-start 0.800 --in-stop 1.146 --in-temp 0.4
+    #        --dur-min 0.700 --dur-max 1.400 <meta>
+    _, _, db, _ = demo
+    r = run_cli("-c", "-d", str(db), "--in-start", "0.800", "--in-stop",
+                "1.146", "--in-temp", "0.4", "--dur-min", "0.350",
+                "--dur-max", "0.700", str(db / "tones_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    blocks = _match_blocks(r.stdout, punch_out=False)
+    assert len(blocks) == 1          # default numMatches = 1
+    assert blocks[0]["start"] % 512 == 0   # featToFull quantization
+
+
+def test_ex2_fixed_duration(demo):
+    # run -c ... --dur-min 1.0 --dur-max 1.0 <meta>: a single punch length
+    _, _, db, _ = demo
+    r = run_cli("-c", "-d", str(db), "--in-start", "0.615", "--in-stop",
+                "0.714", "--in-temp", "0.6", "--dur-min", "1.0",
+                "--dur-max", "1.0", str(db / "tones_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    blocks = _match_blocks(r.stdout, punch_out=False)
+    assert len(blocks) == 1
+
+
+def test_ex3_num_matches_per_file(demo):
+    # run -c ... -m 10 --num-per-file 2 <meta>
+    _, _, db, _ = demo
+    r = run_cli("-c", "-d", str(db), "--in-start", "0.615", "--in-stop",
+                "0.714", "--in-temp", "0.6", "--dur-min", "0.4",
+                "--dur-max", "0.4", "-m", "10", "--num-per-file", "2",
+                str(db / "tones_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    blocks = _match_blocks(r.stdout, punch_out=False)
+    assert 1 <= len(blocks) <= 10
+    per_file = {}
+    for b in blocks:
+        per_file[b["file"]] = per_file.get(b["file"], 0) + 1
+    assert max(per_file.values()) <= 2, per_file
+
+
+def test_ex4_punch_out_wide(demo):
+    # run -c ... -m 20 --num-per-file 20 --out-start --out-stop <meta>
+    _, _, db, _ = demo
+    r = run_cli("-c", "-d", str(db), "--in-start", "0.615", "--in-stop",
+                "0.714", "--in-temp", "0.6", "--dur-min", "0.4",
+                "--dur-max", "0.4", "-m", "20", "--num-per-file", "20",
+                "--out-start", "0.712", "--out-stop", "0.770",
+                str(db / "tones_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    blocks = _match_blocks(r.stdout, punch_out=True)
+    assert 1 <= len(blocks) <= 20
+    # fixed punch length: every span is exactly fullToFeat(0.4 s) frames
+    want = ((int(0.4 * 44100) + 256) // 512) * 512
+    for b in blocks:
+        assert b["stop"] - b["start"] == want, b
+
+
+def test_ex5_punch_out_longer_durations(demo):
+    # run -c ... --dur-min 2.0 --dur-max 3.0 -m 10 --num-per-file 4
+    #     --out-start --out-stop <meta>   (durations scaled to 2 s files)
+    _, _, db, _ = demo
+    r = run_cli("-c", "-d", str(db), "--in-start", "0.615", "--in-stop",
+                "0.714", "--in-temp", "0.6", "--dur-min", "0.5",
+                "--dur-max", "0.75", "-m", "10", "--num-per-file", "4",
+                "--out-start", "0.712", "--out-stop", "0.770",
+                str(db / "tones_feat.xml"))
+    assert r.returncode == 0, r.stderr
+    blocks = _match_blocks(r.stdout, punch_out=True)
+    assert 1 <= len(blocks) <= 10
+    per_file = {}
+    for b in blocks:
+        per_file[b["file"]] = per_file.get(b["file"], 0) + 1
+        lo = ((int(0.5 * 44100) + 256) // 512) * 512
+        hi = ((int(0.75 * 44100) + 256) // 512 + 1) * 512
+        assert lo <= b["stop"] - b["start"] <= hi, b
+    assert max(per_file.values()) <= 4, per_file
