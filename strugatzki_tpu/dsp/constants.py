@@ -92,3 +92,71 @@ FULL_SCALE_DB = 90.0
 #: (notes/BoostFactor.txt: boost = exp(Δln/0.6), 0% error at 1 kHz ⇔
 #: sone ∝ amp^(2·log10 2) ≈ amp^0.602 there).
 SONE_PIVOT_PHON = 40.0
+
+# ---------------------------------------------------------------------------
+# Structural hypotheses under experimental discrimination
+# ---------------------------------------------------------------------------
+# Four ML.cpp details remain C-grade reconstructions (docs/ML_DERIVATION.md):
+# what the MFCC triangles sum (power vs magnitude), the MFCC log floor, the
+# two masking update forms, and the absolute dB calibration.  Each is held
+# behind a named hypothesis here so ``tools/discriminate_constants.py`` can
+# extract the same probe signal under every candidate and score which one a
+# reference-extracted feature file matches (per-channel affine-invariant
+# residual).  The defaults are the shipped transcription; change them only
+# through :func:`set_hypothesis` (it invalidates the compiled pipelines).
+
+#: What the mel triangles integrate: ``"power"`` (re²+im², the shipped
+#: choice — avoids per-bin sqrt in a per-block UGen) or ``"magnitude"``.
+#: A global power↔magnitude factor washes out (log → spectral scale), but
+#: band *contrast* between tonal and broadband content does not.
+MEL_BAND_INPUT = "power"
+
+#: Spectral masking update: ``"factor_db"`` (the shipped form,
+#: e_k = max(db_k, e_{k−1}·smask): the factor scales the dB value) or
+#: ``"factor_intensity"`` (the factor scales the masker's intensity —
+#: equivalently e_k = max(db_k, e_{k−1} + 10·log10 smask), a constant
+#: −6.02 dB/band skirt at the default 0.25).
+SMASK_FORM = "factor_db"
+
+#: Temporal masking update: ``"prev_frame"`` (the shipped one-frame-deep
+#: form, m_t = max(e_t, e_{t−1}·tmask)) or ``"feedback"``
+#: (m_t = max(e_t, m_{t−1}·tmask): the masked output feeds back — an
+#: unbounded running max at the default tmask = 1, which the UGen's
+#: decaying output argues against, but kept as a testable candidate).
+TMASK_FORM = "prev_frame"
+
+#: candidate values per structural hypothesis (the discriminator scans
+#: these; numeric constants MEL_LOG_FLOOR / FULL_SCALE_DB are scanned over
+#: numeric grids instead)
+HYPOTHESES = {
+    "MEL_BAND_INPUT": ("power", "magnitude"),
+    "SMASK_FORM": ("factor_db", "factor_intensity"),
+    "TMASK_FORM": ("prev_frame", "feedback"),
+}
+
+
+def set_hypothesis(**kw) -> None:
+    """Set structural/numeric DSP hypotheses and invalidate every compiled
+    pipeline that baked the old values (the structural branches are traced
+    statically; lru/jit caches would silently keep serving stale code).
+
+    Accepts the three structural names above plus ``MEL_LOG_FLOOR`` and
+    ``FULL_SCALE_DB``.  Discrimination tooling only — production code uses
+    the shipped defaults."""
+    import sys as _sys
+    g = globals()
+    for name, value in kw.items():
+        if name in HYPOTHESES:
+            if value not in HYPOTHESES[name]:
+                raise ValueError(f"{name}: unknown candidate {value!r} "
+                                 f"(choose from {HYPOTHESES[name]})")
+        elif name not in ("MEL_LOG_FLOOR", "FULL_SCALE_DB"):
+            raise ValueError(f"unknown hypothesis {name!r}")
+        g[name] = value
+    fe = _sys.modules.get("strugatzki_tpu.dsp.frontend")
+    if fe is not None:
+        fe.make_basis.cache_clear()
+        fe._device_consts.cache_clear()
+        for fn in (fe._extract_block, fe._extract_scan,
+                   fe._extract_scan_batch):
+            getattr(fn, "clear_cache", lambda: None)()

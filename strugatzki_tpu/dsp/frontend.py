@@ -197,7 +197,11 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
         power = re * re + im * im
 
     # ---- MFCC (ML.cpp, Dan Stowell) ----------------------------------------
-    mel_e = jnp.matmul(power, mel_fb, precision=_hi)         # [F, 42]
+    # band input: power (shipped hypothesis) vs magnitude — a structural
+    # C-grade choice under experimental discrimination (constants.py
+    # HYPOTHESES; tools/discriminate_constants.py)
+    band_in = power if C.MEL_BAND_INPUT == "power" else jnp.sqrt(power)
+    mel_e = jnp.matmul(band_in, mel_fb, precision=_hi)       # [F, 42]
     log_e = jnp.log10(jnp.maximum(mel_e, C.MEL_LOG_FLOOR))
     coeffs = (jnp.matmul(log_e, dct, precision=_hi)
               * C.MFCC_SCALE + C.MFCC_OFFSET)                # [F, num_coeffs]
@@ -210,20 +214,36 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
                           + power_cal_db, 0.0)
 
     # spectral masking: lower bands mask higher ones — excitation
-    # e_k = max(db_k, e_{k-1}·smask), unrolled over the 42 bands (cheap
-    # elementwise chain; deterministic order → plan-invariant)
+    # e_k = max(db_k, e_{k-1}·smask) in the shipped "factor_db" form,
+    # unrolled over the 42 bands (cheap elementwise chain; deterministic
+    # order → plan-invariant).  The "factor_intensity" candidate scales the
+    # masker's intensity instead: e_k = max(db_k, e_{k-1} + 10·log10 smask).
     cols = []
     prev = jnp.zeros_like(band_db[:, 0])
-    for k in range(T.ERB_BANDS):
-        prev = jnp.maximum(band_db[:, k], prev * smask)
-        cols.append(prev)
+    if C.SMASK_FORM == "factor_db":
+        for k in range(T.ERB_BANDS):
+            prev = jnp.maximum(band_db[:, k], prev * smask)
+            cols.append(prev)
+    else:  # factor_intensity
+        skirt = 10.0 * jnp.log10(jnp.maximum(smask, 1e-10))
+        for k in range(T.ERB_BANDS):
+            prev = jnp.maximum(band_db[:, k], prev + skirt)
+            cols.append(prev)
     exc = jnp.stack(cols, axis=1)                            # [F, 42]
 
-    # temporal masking: a frame masks its successor —
-    # m_t = max(e_t, e_{t-1}·tmask); state is exactly one frame deep
-    prev_exc = jnp.concatenate([carry[None, :], exc[:-1]], axis=0)
-    masked = jnp.maximum(exc, prev_exc * tmask)
-    new_carry = exc[-1]
+    # temporal masking: a frame masks its successor — shipped "prev_frame"
+    # form m_t = max(e_t, e_{t-1}·tmask): state is exactly one frame deep.
+    # The "feedback" candidate feeds the masked output back
+    # (m_t = max(e_t, m_{t-1}·tmask) — a sequential scan over frames).
+    if C.TMASK_FORM == "prev_frame":
+        prev_exc = jnp.concatenate([carry[None, :], exc[:-1]], axis=0)
+        masked = jnp.maximum(exc, prev_exc * tmask)
+        new_carry = exc[-1]
+    else:  # feedback
+        def tstep(m_prev, e_t):
+            m_t = jnp.maximum(e_t, m_prev * tmask)
+            return m_t, m_t
+        new_carry, masked = jax.lax.scan(tstep, carry, exc)
 
     # dB → phon via the band's equal-loudness contour (linear interpolation
     # across the 11 tabulated levels, extrapolated above 100 phon); bands
