@@ -56,6 +56,7 @@ __all__ = [
     "correlation_trace", "novelty_trace",
     "window_stats", "gram_similarity_block", "extract_windows",
     "prepare_template", "shift_per_group",
+    "trace_spectra", "pack_spectra", "unpack_spectra",
 ]
 
 
@@ -233,6 +234,23 @@ def trace_spectra(xs: jnp.ndarray, num_temporal: int = 1):
                          (xs[nt:] * xs[nt:]).sum(axis=0, keepdims=True)],
                         axis=0), n=N, axis=1)             # [2, N/2+1]
     return X, Xsq
+
+
+def pack_spectra(z: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Complex spectra → real ``[..., 2]`` (re, im) in a reduced dtype.
+
+    Halves the resident size of a spectra cache (parallel/database.py
+    ``cache_spectra="bf16"``) — what makes cached-spectra queries fit a
+    10k-file database on one 16 GB chip.  Quantization adds ~1e-3-level
+    noise to device sims; the serving layer's exact re-rank (+ automatic
+    k-inflation) restores exact results for the returned candidates."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).astype(dtype)
+
+
+def unpack_spectra(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_spectra` (any real dtype → complex64)."""
+    f = p.astype(jnp.float32)
+    return jax.lax.complex(f[..., 0], f[..., 1])
 
 
 def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,

@@ -55,10 +55,11 @@ _QUERY_CHUNK = 2048
 
 @partial(jax.jit, donate_argnums=(0,))
 def _write_slab(buf, slab, offset):
-    """Write a prepared slab into the resident database buffer in place
-    (the buffer is donated, so staging never holds two database-sized
-    arrays; one jit key — ``offset`` is traced)."""
-    return jax.lax.dynamic_update_slice(buf, slab, (offset, 0, 0))
+    """Write a prepared slab into a resident buffer in place along the
+    leading (files) axis (the buffer is donated, so staging never holds
+    two full-size arrays; one jit key — ``offset`` is traced)."""
+    idx = (offset,) + (jnp.int32(0),) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, slab, idx)
 
 
 @dataclass
@@ -226,12 +227,22 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
             jnp.swapaxes(boosts_k, 0, 1))
 
 
+def _unpack_if_reduced(X_b, Xsq_b):
+    """Reduced-precision caches store (re, im) pairs; rebuild complex64
+    inside the jit (the upcast fuses into the first consumer)."""
+    if not jnp.issubdtype(X_b.dtype, jnp.complexfloating):
+        return K.unpack_spectra(X_b), K.unpack_spectra(Xsq_b)
+    return X_b, Xsq_b
+
+
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
 def _multi_query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
                                 a_std_t, a_std_s, ln_avg, shifts_t,
                                 temp_weight, max_boost,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_multi_query_kernel` continued from cached spectra."""
+    X_b, Xsq_b = _unpack_if_reduced(X_b, Xsq_b)
+
     def one_file(X, Xsq, shift_t):
         def one_query(tt, ts, st_t, st_s, la):
             return K.correlation_trace_from_spectra(
@@ -251,11 +262,19 @@ def _multi_query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
             jnp.swapaxes(boosts_k, 0, 1))
 
 
-@partial(jax.jit, static_argnames=("num_temporal",))
-def _spectra_kernel(xs_b, num_temporal: int = 1):
+@partial(jax.jit, static_argnames=("num_temporal", "pack_dtype"))
+def _spectra_kernel(xs_b, num_temporal: int = 1, pack_dtype: str = ""):
     """Per-file forward spectra of the whole database (the shared half of
-    every trace) — cached resident when ``cache_spectra=True``."""
-    return jax.vmap(partial(K.trace_spectra, num_temporal=num_temporal))(xs_b)
+    every trace) — cached resident when ``cache_spectra`` is set.  With a
+    ``pack_dtype`` (e.g. ``"bfloat16"``) the complex spectra are stored as
+    reduced (re, im) pairs — half the cache, the mode that fits a 10k-file
+    database's spectra on one chip."""
+    X, Xsq = jax.vmap(partial(K.trace_spectra,
+                              num_temporal=num_temporal))(xs_b)
+    if pack_dtype:
+        dt = jnp.dtype(pack_dtype)
+        return K.pack_spectra(X, dt), K.pack_spectra(Xsq, dt)
+    return X, Xsq
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
@@ -264,6 +283,8 @@ def _query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
                           max_boost, num_temporal: int = 1, k: int = 4):
     """:func:`_query_kernel` continued from cached spectra: a query costs
     only the ~6 inverse FFTs per file."""
+    X_b, Xsq_b = _unpack_if_reduced(X_b, Xsq_b)
+
     def one(X, Xsq, shift_t):
         return K.correlation_trace_from_spectra(
             X, Xsq, t_padded, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg,
@@ -354,6 +375,8 @@ def _punch_query_kernel_spectra(X_b, Xsq_b, t_padded, lens,
                                 min_punch, scan_span,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_punch_query_kernel` continued from cached spectra."""
+    X_b, Xsq_b = _unpack_if_reduced(X_b, Xsq_b)
+
     def one(X, Xsq, shift_t, t_len):
         return _punch_one_from_spectra(
             X, Xsq, t_padded, in_t, in_s, in_std_t, in_std_s, in_ln,
@@ -544,14 +567,38 @@ class FeatureDatabase:
                 # re-rank + automatic k-inflation recover exact results)
                 self._xs = self._xs.astype(storage_dtype)
         # cache_spectra: keep every file's forward spectra resident
-        # (~1.8× the feature HBM) so each query pays only its inverse
-        # FFTs — ~4× lower query latency on large DBs
+        # (~1.8× the feature HBM at f32, half that packed to bf16) so each
+        # query pays only its inverse FFTs — ~4× lower query latency on
+        # large DBs.  True = full complex64; "bf16"/"bfloat16" (or any
+        # real dtype name) = reduced (re, im) pairs — the mode that fits a
+        # 10k-file database's spectra on one 16 GB chip (pair it with
+        # storage_dtype=bfloat16); device sims then carry ~1e-3 noise and
+        # the automatic exact re-rank (+4× k-inflation) restores exact
+        # returned results.
+        self._spectra_reduced = False
         if cache_spectra:
-            parts = [_spectra_kernel(self._xs[o:o + _QUERY_CHUNK])
-                     for o in range(0, self._xs.shape[0], _QUERY_CHUNK)]
-            self._spectra = tuple(
-                jnp.concatenate([p[i] for p in parts]) for i in range(2)) \
-                if len(parts) > 1 else parts[0]
+            pack = "" if cache_spectra is True else str(
+                jnp.dtype("bfloat16" if cache_spectra in ("bf16",)
+                          else cache_spectra))
+            self._spectra_reduced = bool(pack)
+            b = self._xs.shape[0]
+            if b <= _QUERY_CHUNK:
+                self._spectra = _spectra_kernel(self._xs, pack_dtype=pack)
+            else:
+                # chunk-wise into preallocated donated buffers: one chunk's
+                # f32 forward-FFT transient in flight at a time
+                probe = _spectra_kernel(self._xs[:1], pack_dtype=pack)
+                bufs = [jnp.zeros((b,) + p.shape[1:], p.dtype)
+                        for p in probe]
+                del probe
+                for o in range(0, b, _QUERY_CHUNK):
+                    part = _spectra_kernel(self._xs[o:o + _QUERY_CHUNK],
+                                           pack_dtype=pack)
+                    bufs = [_write_slab(buf, p, jnp.int32(o))
+                            for buf, p in zip(bufs, part)]
+                    jax.block_until_ready(bufs)
+                    del part
+                self._spectra = tuple(bufs)
         else:
             self._spectra = None
         # block so construction reports staging errors here, not at query time
@@ -592,7 +639,7 @@ class FeatureDatabase:
         recovered (recall at the ~1e-2 margin); use a float32 database when
         even that inflation is not enough.
         """
-        reduced = self._xs.dtype != jnp.float32
+        reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
         if exact_rerank is None:
             exact_rerank = reduced
         k_dev = self._inflated_k(k, template.num_frames) \
@@ -641,12 +688,7 @@ class FeatureDatabase:
     def _rerank_exact(self, res: QueryResult, template: InputTemplate,
                       temp_weight: float, max_boost: float) -> None:
         """Replace each returned candidate's (sim, boost) with the exact
-        host-side value and re-sort every file's k hits.
-
-        Batched mirror of analysis.correlation._single_window_trace with
-        the same float widths (f32 normalization, f64 accumulation, f32
-        results) — a per-candidate Python loop costs ~a minute at 10k
-        files × k."""
+        host-side value and re-sort every file's k hits."""
         # device_get hands back read-only views; re-ranking mutates
         res.sims = np.array(res.sims)
         res.frames = np.array(res.frames)
@@ -655,61 +697,9 @@ class FeatureDatabase:
         finite = np.isfinite(res.sims)
         cand = np.argwhere(finite)
         if cand.size:
-            L = template.num_frames
-            C = self._raw.shape[1]
-            nt = template.num_temporal
-            n = len(cand)
-            wins = np.zeros((n, C, L), np.float32)
-            valid_len = np.empty(n, np.int64)
-            for m, (i, j) in enumerate(cand):
-                t = int(res.frames[i, j])
-                stop = min(t + L, int(self._lens[i]))
-                wins[m, :, :stop - t] = self._raw[i][:, t:stop]
-                valid_len[m] = stop - t
-            if self.norm is not None:
-                mins = np.asarray(self.norm[:, 0:1], np.float32)
-                rng = (np.asarray(self.norm[:, 1:2], np.float32) - mins)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    normed = (wins - mins) / rng
-                # only the read frames are normalized; a zero tail stays 0
-                # (the freshly-allocated buffer, _single_window_trace)
-                tail = np.arange(L)[None, :] >= valid_len[:, None]
-                normed[np.broadcast_to(tail[:, None, :], normed.shape)] = 0.0
-                wins = normed.astype(np.float32)
-            w64 = wins.astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                avg32 = (w64[:, 0, :].sum(axis=1) / L).astype(np.float32)
-                boosts = np.exp(
-                    (template.ln_avg_loudness
-                     - np.log(avg32.astype(np.float64))) / 0.6
-                ).astype(np.float32)
-
-                def group_sim(lo, hi, centered, a_mean, a_std):
-                    g = w64[:, lo:hi, :]
-                    size = (hi - lo) * L
-                    bm = g.reshape(n, -1).sum(axis=1) / size
-                    var = ((g - bm[:, None, None]) ** 2
-                           ).reshape(n, -1).sum(axis=1) / size
-                    bs = np.sqrt(var)
-                    # f32 reconstruction THEN widening, exactly like
-                    # _single_window_trace feeding M.correlate
-                    a64 = (np.asarray(centered, np.float32)
-                           + np.float32(a_mean)).astype(np.float64)
-                    num = ((a64[None] - a_mean) * (g - bm[:, None, None])
-                           ).reshape(n, -1).sum(axis=1)
-                    return (num / (a_std * bs * size)).astype(np.float32)
-
-                sim_t = group_sim(0, nt, template.temporal_centered,
-                                  template.temporal_mean,
-                                  template.temporal_std) \
-                    if temp_weight > 0 else np.zeros(n, np.float32)
-                sim_s = group_sim(nt, C, template.spectral_centered,
-                                  template.spectral_mean,
-                                  template.spectral_std) \
-                    if temp_weight < 1 else np.zeros(n, np.float32)
-            sims = (sim_t * np.float32(temp_weight)
-                    + sim_s * np.float32(1 - temp_weight)).astype(np.float32)
-            sims = np.where(boosts <= max_boost, sims, np.float32(0.0))
+            sims, boosts = self._exact_window_scores(
+                cand[:, 0], res.frames[cand[:, 0], cand[:, 1]],
+                template, temp_weight, max_boost)
             res.sims[cand[:, 0], cand[:, 1]] = sims
             if res.boosts is not None:
                 res.boosts[cand[:, 0], cand[:, 1]] = boosts
@@ -719,19 +709,141 @@ class FeatureDatabase:
         if res.boosts is not None:
             res.boosts = np.take_along_axis(res.boosts, order, axis=1)
 
+    def _exact_window_scores(self, file_idx: np.ndarray,
+                             frames: np.ndarray, template: InputTemplate,
+                             temp_weight: float, max_boost: float):
+        """Exact (sims, boosts) of ``template`` at windows
+        ``(file_idx[m], frames[m])`` — a batched mirror of
+        analysis.correlation._single_window_trace with the same float
+        widths (f32 normalization, f64 accumulation, f32 results); a
+        per-candidate Python loop costs ~a minute at 10k files × k."""
+        L = template.num_frames
+        C = self._raw.shape[1]
+        nt = template.num_temporal
+        n = len(file_idx)
+        wins = np.zeros((n, C, L), np.float32)
+        valid_len = np.empty(n, np.int64)
+        for m in range(n):
+            i, t = int(file_idx[m]), int(frames[m])
+            stop = min(t + L, int(self._lens[i]))
+            wins[m, :, :stop - t] = self._raw[i][:, t:stop]
+            valid_len[m] = stop - t
+        if self.norm is not None:
+            mins = np.asarray(self.norm[:, 0:1], np.float32)
+            rng = (np.asarray(self.norm[:, 1:2], np.float32) - mins)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                normed = (wins - mins) / rng
+            # only the read frames are normalized; a zero tail stays 0
+            # (the freshly-allocated buffer, _single_window_trace)
+            tail = np.arange(L)[None, :] >= valid_len[:, None]
+            normed[np.broadcast_to(tail[:, None, :], normed.shape)] = 0.0
+            wins = normed.astype(np.float32)
+        w64 = wins.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg32 = (w64[:, 0, :].sum(axis=1) / L).astype(np.float32)
+            boosts = np.exp(
+                (template.ln_avg_loudness
+                 - np.log(avg32.astype(np.float64))) / 0.6
+            ).astype(np.float32)
+
+            def group_sim(lo, hi, centered, a_mean, a_std):
+                g = w64[:, lo:hi, :]
+                size = (hi - lo) * L
+                bm = g.reshape(n, -1).sum(axis=1) / size
+                var = ((g - bm[:, None, None]) ** 2
+                       ).reshape(n, -1).sum(axis=1) / size
+                bs = np.sqrt(var)
+                # f32 reconstruction THEN widening, exactly like
+                # _single_window_trace feeding M.correlate
+                a64 = (np.asarray(centered, np.float32)
+                       + np.float32(a_mean)).astype(np.float64)
+                num = ((a64[None] - a_mean) * (g - bm[:, None, None])
+                       ).reshape(n, -1).sum(axis=1)
+                return (num / (a_std * bs * size)).astype(np.float32)
+
+            sim_t = group_sim(0, nt, template.temporal_centered,
+                              template.temporal_mean,
+                              template.temporal_std) \
+                if temp_weight > 0 else np.zeros(n, np.float32)
+            sim_s = group_sim(nt, C, template.spectral_centered,
+                              template.spectral_mean,
+                              template.spectral_std) \
+                if temp_weight < 1 else np.zeros(n, np.float32)
+        sims = (sim_t * np.float32(temp_weight)
+                + sim_s * np.float32(1 - temp_weight)).astype(np.float32)
+        sims = np.where(boosts <= max_boost, sims, np.float32(0.0))
+        return sims, boosts
+
+    def _rerank_exact_punch(self, res: PunchQueryResult,
+                            punch_in: InputTemplate,
+                            punch_out: InputTemplate,
+                            tw_in: float, tw_out: float,
+                            max_boost: float) -> None:
+        """Exact host re-scoring of a punch result's candidates: both
+        windows per candidate through the f64 mirror, recombined as
+        ``√(inSim·outSim)`` with the kernel's gates (inSim > 0, positive
+        product), then each file's k hits re-sorted.  The device's *choice*
+        of best punch length per offset is kept (re-picking it would need
+        the whole band); with reduced-precision storage/spectra a near-tie
+        (≲1e-3) between lengths can therefore resolve differently than a
+        float32 database — offsets and returned values are exact."""
+        res.sims = np.array(res.sims)
+        res.frames = np.array(res.frames)
+        res.punch_lens = np.array(res.punch_lens)
+        res.boosts_in = np.array(res.boosts_in)
+        res.boosts_out = np.array(res.boosts_out)
+        if res.in_sims is not None:
+            res.in_sims = np.array(res.in_sims)
+        cand = np.argwhere(np.isfinite(res.sims))
+        if cand.size:
+            fi, fj = cand[:, 0], cand[:, 1]
+            t_in = res.frames[fi, fj]
+            in_sims, b_in = self._exact_window_scores(
+                fi, t_in, punch_in, tw_in, max_boost)
+            t_out = t_in + res.min_punch + res.punch_lens[fi, fj]
+            out_sims, b_out = self._exact_window_scores(
+                fi, t_out, punch_out, tw_out, max_boost)
+            prod = in_sims.astype(np.float64) * out_sims
+            sims = np.where((in_sims > 0) & (prod > 0),
+                            np.sqrt(np.maximum(prod, 0)),
+                            -np.inf).astype(np.float32)
+            res.sims[fi, fj] = sims
+            res.boosts_in[fi, fj] = b_in
+            res.boosts_out[fi, fj] = b_out
+            if res.in_sims is not None:
+                res.in_sims[fi, fj] = in_sims
+        order = np.argsort(-np.nan_to_num(res.sims, nan=-np.inf), axis=1)
+        for name in ("sims", "frames", "punch_lens", "boosts_in",
+                     "boosts_out", "in_sims"):
+            arr = getattr(res, name)
+            if arr is not None:
+                setattr(res, name, np.take_along_axis(arr, order, axis=1))
+
     def query_punch(self, punch_in: InputTemplate, punch_out: InputTemplate,
                     min_punch: int, max_punch: int,
                     temp_weight_in: float = 0.5,
                     temp_weight_out: float = 0.5,
-                    max_boost: float = 8.0, k: int = 4) -> PunchQueryResult:
+                    max_boost: float = 8.0, k: int = 4,
+                    exact_rerank: Optional[bool] = None) -> PunchQueryResult:
         """Punch-in × punch-out search in ONE dispatch (the reference's
         three hot loops, FeatureCorrelationImpl.scala:190-389, fused on
         device): per file, the best punch length in ``[min_punch,
         max_punch]`` (feature frames) is found for every punch-in offset
         and the top-k offsets returned with ``√(inSim·outSim)`` scores and
-        both boosts."""
+        both boosts.
+
+        ``exact_rerank`` (default ON for reduced-precision storage or
+        spectra, like :meth:`query`) re-scores the candidates' in/out
+        windows exactly on host, recombines, and re-sorts — with the
+        automatic 4× device-k inflation recovering candidates the lossy
+        sims mis-ranked just outside the top-k."""
         if min_punch > max_punch:
             raise ValueError(f"min_punch {min_punch} > max_punch {max_punch}")
+        reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
+        if exact_rerank is None:
+            exact_rerank = reduced
+        k_dev = self._inflated_k(k, punch_in.num_frames) \
+            if (exact_rerank and reduced) else k
         targs = (punch_in.device_temporal(), punch_in.device_spectral(),
                  jnp.float32(punch_in.temporal_std),
                  jnp.float32(punch_in.spectral_std),
@@ -750,16 +862,27 @@ class FeatureDatabase:
             if self._spectra is not None:
                 out = _punch_query_kernel_spectra(
                     self._spectra[0][sl], self._spectra[1][sl],
-                    self._xs.shape[2], self._lens_dev[sl], *ch_args, k=k)
+                    self._xs.shape[2], self._lens_dev[sl], *ch_args, k=k_dev)
             else:
                 out = _punch_query_kernel(self._xs[sl], self._lens_dev[sl],
-                                          *ch_args, k=k)
+                                          *ch_args, k=k_dev)
             parts.append(out)
         parts = jax.device_get(parts)   # all chunks dispatched before fetch
         vals, t_idx, j_k, b_in, b_out, in_sims = self._trim(
             *(np.concatenate([p[i] for p in parts]) for i in range(6)))
-        return PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
-                                list(self.files), min_punch, in_sims)
+        res = PunchQueryResult(vals, t_idx, j_k, b_in, b_out,
+                               list(self.files), min_punch, in_sims)
+        if exact_rerank:
+            self._rerank_exact_punch(res, punch_in, punch_out,
+                                     temp_weight_in, temp_weight_out,
+                                     max_boost)
+        if k_dev != k:
+            for name in ("sims", "frames", "punch_lens", "boosts_in",
+                         "boosts_out", "in_sims"):
+                arr = getattr(res, name)
+                if arr is not None:
+                    setattr(res, name, arr[:, :k])
+        return res
 
     def query_batch(self, templates: Sequence[InputTemplate],
                     temp_weight: float = 0.5, max_boost: float = 8.0,
@@ -774,7 +897,7 @@ class FeatureDatabase:
         come back in input order with boosts, and reduced-precision
         storage re-ranks exactly on host like :meth:`query`.
         """
-        reduced = self._xs.dtype != jnp.float32
+        reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
         if exact_rerank is None:
             exact_rerank = reduced
         buckets: dict = {}
@@ -835,13 +958,16 @@ class FeatureDatabase:
             files=np.array(self.files), step_size=self.step_size)
 
     @staticmethod
-    def load(path, mesh=None) -> "FeatureDatabase":
+    def load(path, mesh=None, **stage_kwargs) -> "FeatureDatabase":
+        """Re-stage a :meth:`save`d database.  ``stage_kwargs`` pass
+        through to the constructor (e.g. ``storage_dtype=jnp.bfloat16,
+        cache_spectra="bf16"`` for the compact serving mode)."""
         z = np.load(path, allow_pickle=False)
         norm = z["norm"] if z["norm"].size else None
         return FeatureDatabase(
             [str(f) for f in z["files"]], norm,
             step_size=int(z["step_size"]), mesh=mesh,
-            _prestacked=(z["raw"], z["lens"]))
+            _prestacked=(z["raw"], z["lens"]), **stage_kwargs)
 
     @staticmethod
     def from_folder(folder: str, num_coeffs: int = 13, step_size: int = 512,

@@ -258,3 +258,74 @@ def test_chunked_query_dispatch_matches(db_entries, monkeypatch):
     _, (sims, _, lens) = db.query(tmpl, with_traces=True)
     assert sims.shape[0] == 12 and len(lens) == 12
     np.testing.assert_allclose(sims, sims_ref, atol=1e-5)
+
+
+def test_bf16_spectra_cache_matches_f32(db_entries, monkeypatch):
+    """cache_spectra="bf16" halves the resident spectra (what lets a
+    10k-file database keep cached-spectra latency on one chip); with the
+    automatic exact re-rank + k-inflation, all three query kinds must
+    return the f32 database's frames and exact sims.  Runs chunked too
+    (the preallocated donated spectra buffers)."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.analysis.correlation import InputTemplate as IT
+    from strugatzki_tpu.parallel import database as D
+
+    entries = [(n, f.copy()) for n, f in db_entries]   # 12 files
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    tmpl = IT(entries[3][1][:, 10:40].copy())
+    t_out = IT(entries[3][1][:, 100:120].copy())
+
+    ref_db = D.FeatureDatabase(entries, norm=None, pad_multiple=64)
+    r_ref = ref_db.query(tmpl, k=3, exact_rerank=True)
+    p_ref = ref_db.query_punch(tmpl, t_out, min_punch=70, max_punch=85,
+                               k=2, exact_rerank=True)
+    b_ref = ref_db.query_batch([tmpl, t_out], k=2, exact_rerank=True)
+
+    monkeypatch.setattr(D, "_QUERY_CHUNK", 5)
+    db = D.FeatureDatabase(entries, norm=None, pad_multiple=64,
+                           storage_dtype=jnp.bfloat16, cache_spectra="bf16")
+    assert db._spectra_reduced
+    assert db._spectra[0].dtype == jnp.bfloat16
+    assert db._spectra[0].shape[-1] == 2          # packed (re, im)
+
+    r = db.query(tmpl, k=3)
+    np.testing.assert_array_equal(r.frames, r_ref.frames)
+    np.testing.assert_allclose(r.sims, r_ref.sims, atol=2e-5)
+    p = db.query_punch(tmpl, t_out, min_punch=70, max_punch=85, k=2)
+    # punch candidates at near-ties (≲1e-4 exact-sim gaps between different
+    # offsets) may resolve differently under reduced spectra (documented
+    # j-choice caveat, _rerank_exact_punch docstring): top-1 must agree
+    # exactly, every returned sim within tolerance of the f32 ranking
+    np.testing.assert_array_equal(p.frames[:, 0], p_ref.frames[:, 0])
+    np.testing.assert_allclose(p.sims, p_ref.sims, atol=1e-4)
+    np.testing.assert_allclose(p.boosts_in[:, 0], p_ref.boosts_in[:, 0],
+                               atol=1e-4)
+    np.testing.assert_allclose(p.boosts_out[:, 0], p_ref.boosts_out[:, 0],
+                               atol=1e-4)
+    for r1, r2 in zip(db.query_batch([tmpl, t_out], k=2), b_ref):
+        np.testing.assert_array_equal(r1.frames, r2.frames)
+        np.testing.assert_allclose(r1.sims, r2.sims, atol=2e-5)
+
+
+def test_punch_rerank_for_bf16_storage(db_entries):
+    """query_punch on a reduced-precision database re-scores candidates
+    exactly on host (new in round 3 — punch previously returned raw
+    device sims for bf16 databases)."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.analysis.correlation import InputTemplate as IT
+
+    entries = [(n, f.copy()) for n, f in db_entries[:8]]
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    tmpl = IT(entries[3][1][:, 10:40].copy())
+    t_out = IT(entries[3][1][:, 100:120].copy())
+    db32 = FeatureDatabase(entries, norm=None, pad_multiple=64)
+    db16 = FeatureDatabase(entries, norm=None, pad_multiple=64,
+                           storage_dtype=jnp.bfloat16)
+    p32 = db32.query_punch(tmpl, t_out, min_punch=70, max_punch=85, k=2,
+                           exact_rerank=True)
+    p16 = db16.query_punch(tmpl, t_out, min_punch=70, max_punch=85, k=2)
+    np.testing.assert_array_equal(p16.frames, p32.frames)
+    np.testing.assert_allclose(p16.sims, p32.sims, atol=2e-5)
+    np.testing.assert_allclose(p16.in_sims, p32.in_sims, atol=2e-5)

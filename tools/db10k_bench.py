@@ -6,7 +6,12 @@ Measured 2026-08-16 (one v5e through the relay): staging 85-180 s,
 query 816-852 ms — north star < 1 s (BASELINE.json); with --punch, the
 full punch-in × punch-out combined search measures 1.23-1.28 s.
 
-    python tools/db10k_bench.py [--punch]
+``--compact`` stages bf16 features + a bf16-packed spectra cache
+(~8.1 GB total vs 5.8 GB features-only f32): queries then skip every
+forward FFT, and the automatic exact re-rank (+4x k-inflation) keeps the
+returned results exact.
+
+    python tools/db10k_bench.py [--punch] [--compact]
 """
 
 import os
@@ -27,14 +32,23 @@ feats = np.abs(base + 0.1 * rng.standard_normal(
 entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
 tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
 t0 = time.perf_counter()
-db = FeatureDatabase(entries, norm=None)
+if "--compact" in sys.argv:
+    import jax.numpy as jnp
+    db = FeatureDatabase(entries, norm=None, storage_dtype=jnp.bfloat16,
+                         cache_spectra="bf16")
+else:
+    db = FeatureDatabase(entries, norm=None)
 stage_s = time.perf_counter() - t0
 db_bytes = db._xs.nbytes
+if db._spectra is not None:
+    db_bytes += sum(s.nbytes for s in db._spectra)
 stats = getattr(db._xs.device, "memory_stats", lambda: None)() or {}
 peak = stats.get("peak_bytes_in_use")
 print(f"staged in {stage_s:.0f}s; database {db_bytes/2**30:.2f} GiB resident"
+      + (" (bf16 features + bf16-packed spectra cache)"
+         if db._spectra is not None else "")
       + (f", peak HBM {peak/2**30:.2f} GiB = {peak/db_bytes:.2f}x the "
-         f"database (slab-wise donated staging; round 2 held ~2x)"
+         f"resident set (slab-wise donated staging; round 2 held ~2x)"
          if peak else ""), flush=True)
 t0 = time.perf_counter(); db.query(tmpl)
 print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
