@@ -62,13 +62,17 @@ def main() -> None:
     print(f"query_batch:  {len(batch)} results; best files: "
           f"{[r.matches(1, step, 1)[0].file for r in batch]}")
 
-    # 4. bfloat16 capacity mode: half the HBM; top-k re-ranked exactly on
-    #    host automatically
+    # 4. compact capacity mode: bf16 features + bf16-packed spectra cache
+    #    (~1/4 the f32+cached HBM — what fits 10k files on one chip); the
+    #    automatic 4x k-inflation + exact host re-rank keeps returned
+    #    values exact on all three query kinds, punch included
     import jax.numpy as jnp
-    db16 = FeatureDatabase(files, norm=None, storage_dtype=jnp.bfloat16)
+    db16 = FeatureDatabase(files, norm=None, storage_dtype=jnp.bfloat16,
+                           cache_spectra="bf16")
     r16 = db16.query(tmpl, k=3)
-    print(f"bf16+rerank:  sim={r16.matches(60, step, 1)[0].sim:.6f} "
-          f"(exact to ~1e-5)")
+    p16 = db16.query_punch(tmpl, t_out, min_punch=200, max_punch=300, k=2)
+    print(f"compact mode: sim={r16.matches(60, step, 1)[0].sim:.6f}, punch "
+          f"sim={p16.matches(step, 1)[0].sim:.6f} (exact after re-rank)")
 
     # 5. durable serving artifact: save/load skips per-file parsing
     with tempfile.TemporaryDirectory() as td:
