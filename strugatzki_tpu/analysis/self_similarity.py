@@ -34,7 +34,7 @@ from ..util.png import write_png, write_png_rows
 from .common import full_to_feat, load_norm, normalized, read_features
 
 __all__ = ["SelfSimilarity", "self_similarity_matrix",
-           "self_similarity_to_png"]
+           "self_similarity_image", "self_similarity_to_png"]
 
 _MAX_EXTENT = 0xB504
 _BLOCK = 512
@@ -44,8 +44,7 @@ _PAIR_GROUP = 8
 _STREAM_EXTENT = 11000
 
 
-@partial(jax.jit, static_argnames=("num_temporal",))
-def _gram_pair_group(wi_s, wj_s, stats_i, stats_j, temp_weight,
+def _gram_group_core(wi_s, wj_s, stats_i, stats_j, temp_weight,
                      num_temporal: int = 1):
     """vmap of gram_similarity_block over a stacked group of block pairs —
     amortizes dispatch overhead across ``_PAIR_GROUP`` matmuls."""
@@ -54,6 +53,90 @@ def _gram_pair_group(wi_s, wj_s, stats_i, stats_j, temp_weight,
                                        num_temporal=num_temporal)
 
     return jax.vmap(one)(wi_s, wj_s, stats_i, stats_j)
+
+
+_gram_pair_group = partial(jax.jit, static_argnames=("num_temporal",))(
+    _gram_group_core)
+
+
+def _pix_epilogue(sims, inv_ceil, ncm1, gray: bool, inv: bool):
+    """Fused device colorization for the ``colorWarp == 1`` fast path.
+
+    Replicates the host quantization (``_colorize`` + ``apply_palette``)
+    with the identical float32 op sequence — IEEE mul/add/clip/truncate, no
+    pow — so the produced gray bytes / palette indices are bit-equal to the
+    host path (which itself mirrors the reference's Java float math,
+    SelfSimilarityImpl.scala:98-110).  Shipping uint8/uint16 instead of
+    float32 sims cuts the fetched bytes 4×/2× — the image pipeline through
+    this harness's link is fetch-bound (docs/BENCHMARKS.md) — and the
+    smooth integer rasters compress far better on the relay's wire.
+    """
+    v = jnp.maximum(sims, 0.0) * inv_ceil
+    if inv:
+        v = 1.0 - v
+    # np.nan_to_num semantics: NaN → 0 (Java's (int)NaN == 0 — same pixel
+    # the reference produces), ±inf → ±huge (the clips below resolve them
+    # to the same endpoints either way)
+    v = jnp.nan_to_num(v, nan=0.0)
+    if gray:
+        return jnp.clip(v * np.float32(255) + np.float32(0.5),
+                        0.0, 255.0).astype(jnp.uint8)
+    return (jnp.clip(v, 0.0, 1.0) * ncm1
+            + np.float32(0.5)).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("num_temporal", "gray", "inv"))
+def _gram_pair_group_pix(wi_s, wj_s, stats_i, stats_j, temp_weight,
+                         inv_ceil, ncm1, num_temporal: int = 1,
+                         gray: bool = False, inv: bool = False):
+    sims = _gram_group_core(wi_s, wj_s, stats_i, stats_j, temp_weight,
+                            num_temporal=num_temporal)
+    return _pix_epilogue(sims, inv_ceil, ncm1, gray, inv)
+
+
+def _device_pix(colors: str, color_warp: float, color_ceil: float,
+                color_inv: bool):
+    """``(inv_ceil, ncm1, gray, inv)`` for the fused device colorization,
+    or None when the bit-exact fast path does not apply: ``colorWarp != 1``
+    (pow on device is not ulp-identical to host pow) or a custom palette
+    too large for uint16 indices.  Callers fall back to fetching float32
+    sims and colorizing on host."""
+    if float(color_warp) != 1.0:
+        return None
+    gray = colors == ColorScheme.GRAY_SCALE
+    from ..util import palette as P
+    if not gray and P.NUM_COLORS > 0xFFFF:
+        return None
+    ncm1 = 0 if gray else P.NUM_COLORS - 1
+    return (jnp.float32(1.0 / color_ceil), jnp.float32(ncm1), gray,
+            bool(color_inv))
+
+
+def _fetch_group(blocks1, blocks2, pairs, tw, pix=None):
+    """Stack a group of (block-i, block-j) pairs, dispatch, fetch.  With
+    ``pix`` the fetch is the colorized uint8/uint16 raster; else float32
+    sims."""
+    wi_s = jnp.stack([blocks1[a][0] for a, _ in pairs])
+    wj_s = jnp.stack([blocks2[b][0] for _, b in pairs])
+    sti = tuple(jnp.stack([blocks1[a][1][t] for a, _ in pairs])
+                for t in range(4))
+    stj = tuple(jnp.stack([blocks2[b][1][t] for _, b in pairs])
+                for t in range(4))
+    if pix is None:
+        return np.asarray(_gram_pair_group(wi_s, wj_s, sti, stj, tw))
+    inv_ceil, ncm1, gray, inv = pix
+    return np.asarray(_gram_pair_group_pix(wi_s, wj_s, sti, stj, tw,
+                                           inv_ceil, ncm1, gray=gray,
+                                           inv=inv))
+
+
+def _pix_to_rgb(pix_vals: np.ndarray, gray: bool) -> np.ndarray:
+    """Device-colorized raster → RGB: gray bytes broadcast, palette indices
+    gathered through the (possibly drop-in) host table."""
+    if gray:
+        return np.stack([pix_vals, pix_vals, pix_vals], axis=-1)
+    from ..util.palette import lookup
+    return lookup(pix_vals)
 
 
 def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
@@ -85,34 +168,30 @@ def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
     return n, num_blocks, blocks1, blocks2
 
 
-def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
-                           decim: int, temp_weight: float,
-                           check_aborted=lambda: None,
-                           progress=lambda f: None) -> np.ndarray:
-    """Similarity matrix ``[n, n]`` over decimated window starts of two
-    prepared (normalized, *jointly* shifted) feature matrices."""
+def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                  decim: int, temp_weight: float,
+                  check_aborted=lambda: None,
+                  progress=lambda f: None, pix=None) -> np.ndarray:
+    """Shared matrix builder: float32 sims (``pix=None``) or the
+    device-colorized uint8/uint16 raster over the same block schedule."""
     n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
         x1, x2, half_win, decim)
+    dtype = np.float32 if pix is None else (
+        np.uint8 if pix[2] else np.uint16)
     if n == 0:
-        return np.zeros((0, 0), np.float32)
+        return np.zeros((0, 0), dtype)
     tw = jnp.float32(temp_weight)
 
     pairs = [(bi, bj) for bi in range(num_blocks)
              for bj in range(bi, num_blocks)]
-    out = np.empty((n, n), np.float32)
+    out = np.empty((n, n), dtype)
     done = 0
     for g0 in range(0, len(pairs), _PAIR_GROUP):
         check_aborted()
         group = pairs[g0:g0 + _PAIR_GROUP]
         # pad the final group to keep one jit key
         padded_group = group + [group[-1]] * (_PAIR_GROUP - len(group))
-        wi_s = jnp.stack([blocks1[bi][0] for bi, _ in padded_group])
-        wj_s = jnp.stack([blocks2[bj][0] for _, bj in padded_group])
-        sti = tuple(jnp.stack([blocks1[bi][1][t] for bi, _ in padded_group])
-                    for t in range(4))
-        stj = tuple(jnp.stack([blocks2[bj][1][t] for _, bj in padded_group])
-                    for t in range(4))
-        sims_g = np.asarray(_gram_pair_group(wi_s, wj_s, sti, stj, tw))
+        sims_g = _fetch_group(blocks1, blocks2, padded_group, tw, pix)
         for (bi, bj), sims in zip(group, sims_g):
             r0 = bi * _BLOCK
             c0 = bj * _BLOCK
@@ -133,6 +212,43 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
     return out
 
 
+def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                           decim: int, temp_weight: float,
+                           check_aborted=lambda: None,
+                           progress=lambda f: None) -> np.ndarray:
+    """Similarity matrix ``[n, n]`` over decimated window starts of two
+    prepared (normalized, *jointly* shifted) feature matrices."""
+    return _pixel_matrix(x1, x2, half_win, decim, temp_weight,
+                         check_aborted=check_aborted, progress=progress)
+
+
+def self_similarity_image(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                          decim: int, temp_weight: float,
+                          colors: str = ColorScheme.PSYCHO_OPTICAL,
+                          color_warp: float = 1.0, color_ceil: float = 1.0,
+                          color_inv: bool = False,
+                          check_aborted=lambda: None,
+                          progress=lambda f: None) -> np.ndarray:
+    """RGB image (reference pixel layout) for the similarity matrix.
+
+    Uses the fused device colorization when ``colorWarp == 1`` (fetching
+    uint8/uint16 rasters instead of float32 sims — bit-identical pixels,
+    2-4× fewer link bytes); otherwise computes the float32 matrix and
+    colorizes on host exactly like :func:`render_image`.
+    """
+    pix = _device_pix(colors, color_warp, color_ceil, color_inv)
+    if pix is None:
+        sims = _pixel_matrix(x1, x2, half_win, decim, temp_weight,
+                             check_aborted=check_aborted, progress=progress)
+        return render_image(sims, colors, color_warp, color_ceil, color_inv)
+    vals = _pixel_matrix(x1, x2, half_win, decim, temp_weight,
+                         check_aborted=check_aborted, progress=progress,
+                         pix=pix)
+    rgb = _pix_to_rgb(vals, pix[2])
+    # same layout rule as render_image: x = i, y = flipped j
+    return rgb.transpose(1, 0, 2)[::-1]
+
+
 def _colorize(v_sims: np.ndarray, colors: str, color_warp: float,
               color_ceil: float, color_inv: bool) -> np.ndarray:
     """sim values → RGB via the reference's color mapping
@@ -141,7 +257,12 @@ def _colorize(v_sims: np.ndarray, colors: str, color_warp: float,
     if color_inv:
         v = 1.0 - v
     if colors == ColorScheme.GRAY_SCALE:
-        g = np.clip(v * 255 + 0.5, 0, 255).astype(np.uint8)
+        # NaN → 0 like Java's (int)NaN (the reference's (sim*255+0.5).toInt,
+        # SelfSimilarityImpl.scala:100); apply_palette applies the same rule
+        v = np.nan_to_num(v, nan=0.0)
+        with np.errstate(over="ignore"):   # ±huge × 255 → ±inf → clip
+            g = np.clip(v * np.float32(255) + np.float32(0.5),
+                        0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return apply_palette(v)
 
@@ -185,6 +306,9 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
         write_png(path, np.zeros((0, 0, 3), np.uint8))
         return 0
     tw = jnp.float32(temp_weight)
+    pix = _device_pix(colors, color_warp, color_ceil, color_inv)
+    dtype = np.float32 if pix is None else (
+        np.uint8 if pix[2] else np.uint16)
 
     def stripes():
         done = 0
@@ -192,21 +316,14 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
             check_aborted()
             c0 = bj * _BLOCK
             c1 = min(c0 + _BLOCK, n)
-            stripe = np.empty((n, c1 - c0), np.float32)
+            stripe = np.empty((n, c1 - c0), dtype)
             # row-blocks in groups of _PAIR_GROUP; for bi > bj the cell is
             # the mirrored upper-triangle value → compute (bj, bi), transpose
             for g0 in range(0, num_blocks, _PAIR_GROUP):
                 group = list(range(g0, min(g0 + _PAIR_GROUP, num_blocks)))
                 padded = group + [group[-1]] * (_PAIR_GROUP - len(group))
                 lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
-                wi_s = jnp.stack([blocks1[lo][0] for lo, _ in lo_hi])
-                wj_s = jnp.stack([blocks2[hi][0] for _, hi in lo_hi])
-                sti = tuple(jnp.stack([blocks1[lo][1][t] for lo, _ in lo_hi])
-                            for t in range(4))
-                stj = tuple(jnp.stack([blocks2[hi][1][t] for _, hi in lo_hi])
-                            for t in range(4))
-                sims_g = np.asarray(
-                    _gram_pair_group(wi_s, wj_s, sti, stj, tw))
+                sims_g = _fetch_group(blocks1, blocks2, lo_hi, tw, pix)
                 for bi, sims in zip(group, sims_g):
                     r0 = bi * _BLOCK
                     r1 = min(r0 + _BLOCK, n)
@@ -218,8 +335,9 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
                     else:  # mirrored: computed as (bj, bi) → transpose
                         stripe[r0:r1] = sims[:c1 - c0, :r1 - r0].T
             # stripe columns j = c0..c1−1 → PNG rows y = n−1−j (descending j)
-            rgb = _colorize(stripe.T[::-1], colors, color_warp, color_ceil,
-                            color_inv)
+            flipped = stripe.T[::-1]
+            rgb = _pix_to_rgb(flipped, pix[2]) if pix is not None else \
+                _colorize(flipped, colors, color_warp, color_ceil, color_inv)
             done += 1
             progress(done / num_blocks)
             yield rgb
@@ -316,12 +434,11 @@ class SelfSimilarity(ProcessorFactory):
                         progress=proc.set_progress)
             else:
                 with proc.sub(0.95):
-                    sims = self_similarity_matrix(
+                    rgb = self_similarity_image(
                         x1, x2, half_win, decim, cfg.temporal_weight,
-                        check_aborted=proc.check_aborted,
+                        cfg.colors, cfg.color_warp, cfg.color_ceil,
+                        cfg.color_inv, check_aborted=proc.check_aborted,
                         progress=proc.set_progress)
-                rgb = render_image(sims, cfg.colors, cfg.color_warp,
-                                   cfg.color_ceil, cfg.color_inv)
                 write_png(cfg.image_output, rgb)
             proc.set_progress(1.0)
             return None

@@ -23,7 +23,7 @@ import os
 import numpy as np
 
 __all__ = ["intensity_rgb", "apply_palette", "load_palette",
-           "reset_palette", "NUM_COLORS"]
+           "reset_palette", "lookup", "NUM_COLORS"]
 
 NUM_COLORS = 1024
 
@@ -98,12 +98,25 @@ if os.environ.get("STRUGATZKI_PALETTE"):
 def intensity_rgb(value: float) -> tuple:
     """Single value in [0, 1] → (r, g, b); out-of-range clamps
     (cf. IntensityPalette.apply)."""
-    idx = int(np.clip(value, 0.0, 1.0) * (NUM_COLORS - 1) + 0.5)
-    return tuple(int(v) for v in _TABLE[idx])
+    return tuple(int(v) for v in apply_palette(np.float32(value)))
 
 
 def apply_palette(values: np.ndarray) -> np.ndarray:
-    """Vectorized map: float array [..] in [0,1] → uint8 rgb [.., 3]."""
-    v = np.nan_to_num(np.asarray(values, dtype=np.float64), nan=0.0)
-    idx = (np.clip(v, 0.0, 1.0) * (NUM_COLORS - 1) + 0.5).astype(np.int32)
+    """Vectorized map: float array [..] in [0,1] → uint8 rgb [.., 3].
+
+    Index quantization runs in float32 — the reference's
+    ``IntensityPalette.apply`` takes a Java ``Float`` and does float
+    arithmetic — and this exact op sequence is mirrored by the device
+    colorization epilogue (analysis/self_similarity.py), so device-quantized
+    indices are bit-identical to this host path."""
+    v = np.nan_to_num(np.asarray(values, dtype=np.float32), nan=0.0)
+    idx = (np.clip(v, np.float32(0.0), np.float32(1.0))
+           * np.float32(NUM_COLORS - 1) + np.float32(0.5)).astype(np.int32)
     return _TABLE[idx]
+
+
+def lookup(indices: np.ndarray) -> np.ndarray:
+    """Table gather for precomputed palette indices (the device
+    colorization path ships uint16 indices over the link instead of float32
+    sims; the RGB expansion happens here)."""
+    return _TABLE[np.asarray(indices)]
