@@ -190,7 +190,9 @@ def _parse_aiff(f) -> _Layout:
         cid, size = struct.unpack(">4sI", chunk_hdr)
         pos = f.tell()
         if cid == b"COMM":
-            body = f.read(size)
+            # parse at most the fields we use — a corrupt 4 GB declared
+            # size must not drive a 4 GB allocation (fuzz-pinned)
+            body = f.read(min(size, 64))
             num_channels, num_frames, bits = struct.unpack(">hIh", body[:8])
             sample_rate = _decode_f80(body[8:18])
             if is_aifc and size >= 22:
@@ -233,7 +235,7 @@ def _parse_wav(f) -> _Layout:
         cid, size = struct.unpack("<4sI", chunk_hdr)
         pos = f.tell()
         if cid == b"fmt ":
-            body = f.read(size)
+            body = f.read(min(size, 64))   # bound alloc on corrupt sizes
             wformat, num_channels, sample_rate, _br, _ba, bits = \
                 struct.unpack("<HHIIHH", body[:16])
             if wformat == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
@@ -325,7 +327,7 @@ def _parse_w64(f) -> _Layout:
         body_size = size - 24
         pos = f.tell()
         if guid[:4] == b"fmt ":
-            body = f.read(body_size)
+            body = f.read(min(body_size, 64))  # bound alloc on corrupt sizes
             wformat, num_channels, sample_rate, _, _, bits = \
                 struct.unpack("<HHIIHH", body[:16])
         elif guid[:4] == b"data":
@@ -368,14 +370,20 @@ def _parse(f, path: str) -> _Layout:
         elif magic[:4] in _IRCAM_MAGICS:
             layout = _parse_ircam(f, file_size)
     except (struct.error, KeyError, ZeroDivisionError, OverflowError,
-            IndexError) as e:
+            IndexError, ValueError) as e:
         # corrupt or unsupported-variant headers surface uniformly
+        # (ValueError covers e.g. a bogus 64-bit Wave64 chunk size blowing
+        # past the OS seek-offset range — found by tests/test_audiofile_fuzz)
         raise IOError(f"corrupt audio file {path}: {e!r}") from e
     if layout is None:
         raise IOError(f"unrecognized audio file format: {path}")
     if layout.spec.num_channels < 1:
         raise IOError(f"corrupt audio file {path}: "
                       f"{layout.spec.num_channels} channels")
+    if layout.spec.num_frames < 0:
+        # a data offset past EOF (truncated IRCAM/AU headers) implies a
+        # negative remaining-bytes frame count
+        raise IOError(f"corrupt audio file {path}: negative frame count")
     return layout
 
 
@@ -400,6 +408,7 @@ class AudioFileReader:
         self._frame_bytes = (self.spec.num_channels
                              * _bytes_per_sample(self.spec.sample_format))
         self._position = 0
+        self._file_size = os.fstat(self._f.fileno()).st_size
         self._f.seek(self._data_offset)
 
     # -- iteration ----------------------------------------------------------------
@@ -427,7 +436,15 @@ class AudioFileReader:
     def read_frames(self, num: Optional[int]) -> np.ndarray:
         """Read ``num`` frames (``None`` = to EOF); returns ``[channels, n]``
         float32 (n ≤ num at EOF)."""
-        raw = self._f.read(None if num is None else num * self._frame_bytes)
+        if num is None:
+            want = None
+        else:
+            # bound the request by the bytes actually left in the file: a
+            # corrupt header's huge frame count must not drive a huge
+            # read-buffer preallocation (fuzz-pinned)
+            left = max(0, self._file_size - self._f.tell())
+            want = min(max(0, num) * self._frame_bytes, left)
+        raw = self._f.read(want)
         n = len(raw) // self._frame_bytes
         raw = raw[: n * self._frame_bytes]
         self._position += n
