@@ -520,6 +520,11 @@ class FeatureDatabase:
         self._lens = lens
         self.norm = norm
         self._mesh = mesh
+        # retained for incremental add_files/remove_files and restaging
+        self._pad_multiple = pad_multiple
+        self._storage_dtype = storage_dtype
+        self._cache_spectra_mode = cache_spectra
+        self._spectra_pack = ""
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -580,6 +585,7 @@ class FeatureDatabase:
             pack = "" if cache_spectra is True else str(
                 jnp.dtype("bfloat16" if cache_spectra in ("bf16",)
                           else cache_spectra))
+            self._spectra_pack = pack
             self._spectra_reduced = bool(pack)
             b = self._xs.shape[0]
             if b <= _QUERY_CHUNK:
@@ -606,7 +612,112 @@ class FeatureDatabase:
 
     @property
     def num_files(self) -> int:
-        return len(self.files)
+        """Live file count (tombstoned entries excluded)."""
+        return sum(1 for n in self.files if n is not None)
+
+    # -- incremental updates -----------------------------------------------
+
+    def remove_files(self, names: Sequence[str]) -> None:
+        """Drop files from the resident database without restaging.
+
+        Rows are tombstoned: length masked to 0 on device (every kernel
+        already treats a zero-length file as "no valid window" → −inf sims,
+        the same masking the staging padding uses) and the name slot set to
+        None.  :meth:`add_files` reuses tombstoned rows; :meth:`save`
+        compacts them away.  O(bytes of one lens vector) — no feature data
+        moves.
+        """
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "incremental updates need a files-axis reshard under a "
+                "mesh; rebuild the sharded database instead")
+        pos = {n: i for i, n in enumerate(self.files) if n is not None}
+        idxs = []
+        for n in names:
+            if n not in pos:
+                raise KeyError(f"{n!r} is not in the database")
+            idxs.append(pos[n])
+        for i in idxs:
+            self.files[i] = None
+            self._lens[i] = 0
+            self._raw[i] = 0.0
+        self._lens_dev = jnp.asarray(self._lens)
+
+    def add_files(self, entries: Sequence[Tuple[str, np.ndarray]]) -> None:
+        """Stage additional files into the resident database.
+
+        New rows fill tombstoned slots (see :meth:`remove_files`) and the
+        staging padding; only the new files' features cross the link and
+        only they are prepared (one ``prepare_database`` pass).  When the
+        free slots run out, or a file exceeds the current time capacity,
+        the whole database restages — batch adds where possible, since
+        each distinct add-batch shape is its own jit key.
+        """
+        from ..kernels.pallas_prep import prepare_database
+        from .sweep import pad_stack
+
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "incremental updates need a files-axis reshard under a "
+                "mesh; rebuild the sharded database instead")
+        if not entries:
+            return
+        names = [n for n, _ in entries]
+        feats = [np.asarray(f, np.float32) for _, f in entries]
+        live = {n for n in self.files if n is not None}
+        for n in names:
+            if n in live:
+                raise ValueError(f"{n!r} is already in the database")
+        C, t_cap = self._raw.shape[1], self._raw.shape[2]
+        if any(f.shape[0] != C for f in feats):
+            raise ValueError(f"channel count mismatch (database has {C})")
+        if max(f.shape[1] for f in feats) > t_cap:
+            return self._restage(entries)
+
+        slots = [i for i, n in enumerate(self.files) if n is None]
+        tail = list(range(len(self.files), self._raw.shape[0]))
+        free = slots + tail
+        if len(free) < len(entries):
+            return self._restage(entries)   # files-axis growth
+
+        raw_new, lens_new = pad_stack(feats, multiple=1)
+        if raw_new.shape[2] < t_cap:
+            raw_new = np.pad(
+                raw_new, ((0, 0), (0, 0), (0, t_cap - raw_new.shape[2])))
+        dev = staged_put(raw_new)
+        xs_p, sh_p = prepare_database(dev, self.norm, jnp.asarray(lens_new))
+        if self._storage_dtype is not None:
+            xs_p = xs_p.astype(self._storage_dtype)
+        sp_p = _spectra_kernel(xs_p, pack_dtype=self._spectra_pack) \
+            if self._spectra is not None else None
+
+        for j, slot in enumerate(free[:len(entries)]):
+            if slot < len(self.files):
+                self.files[slot] = names[j]      # tombstone reuse
+            else:
+                assert slot == len(self.files)   # tail slots are in order
+                self.files.append(names[j])
+            self._lens[slot] = lens_new[j]
+            self._raw[slot] = raw_new[j]
+            self._xs = _write_slab(self._xs, xs_p[j:j + 1], jnp.int32(slot))
+            self._shifts = self._shifts.at[slot].set(sh_p[j])
+            if sp_p is not None:
+                self._spectra = tuple(
+                    _write_slab(buf, p[j:j + 1], jnp.int32(slot))
+                    for buf, p in zip(self._spectra, sp_p))
+        self._lens_dev = jnp.asarray(self._lens)
+        jax.block_until_ready(self._xs)
+
+    def _restage(self, new_entries: Sequence[Tuple[str, np.ndarray]]) -> None:
+        """Full rebuild with the surviving entries plus ``new_entries`` —
+        the fallback when an add outgrows the time or files capacity."""
+        old = [(n, self._raw[i][:, :int(self._lens[i])])
+               for i, n in enumerate(self.files) if n is not None]
+        self.__init__(old + list(new_entries), self.norm,
+                      step_size=self.step_size, mesh=None,
+                      pad_multiple=self._pad_multiple,
+                      storage_dtype=self._storage_dtype,
+                      cache_spectra=self._cache_spectra_mode)
 
     def _chunks(self):
         """Per-dispatch file ranges (one range when unchunked/sharded)."""
@@ -951,11 +1062,13 @@ class FeatureDatabase:
         file names) so serving restarts skip the per-file AIFF parsing —
         reload with :meth:`load` and the device staging re-runs in one
         fused pass."""
+        keep = [i for i, n in enumerate(self.files) if n is not None]
         np.savez_compressed(
-            path, raw=self._raw, lens=self._lens,
+            path, raw=self._raw[keep], lens=self._lens[keep],
             norm=(self.norm if self.norm is not None
                   else np.zeros((0, 2), np.float32)),
-            files=np.array(self.files), step_size=self.step_size)
+            files=np.array([self.files[i] for i in keep]),
+            step_size=self.step_size)
 
     @staticmethod
     def load(path, mesh=None, **stage_kwargs) -> "FeatureDatabase":

@@ -1,0 +1,131 @@
+"""Incremental FeatureDatabase updates: add_files / remove_files must be
+indistinguishable (matches and sims) from a freshly built database over the
+same live entries, across storage modes, slot reuse, and restage fallbacks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from strugatzki_tpu.analysis.correlation import InputTemplate
+from strugatzki_tpu.parallel.database import FeatureDatabase
+
+
+def _feats(rng, T=200, C=6):
+    return np.abs(0.5 + 0.2 * rng.standard_normal((C, T))).astype(np.float32)
+
+
+def _entries(seed, n, T=200, C=6):
+    rng = np.random.default_rng(seed)
+    return [(f"f{seed}_{i}.aif", _feats(rng, T + 7 * i, C))
+            for i in range(n)]
+
+
+def _tmpl(entries, i=0, start=20, L=60):
+    return InputTemplate(entries[i][1][:, start:start + L].copy())
+
+
+def _match_tuples(res, k=6, punch_len=60, step=512):
+    return [(m.file, m.punch.start, round(m.sim, 6), round(m.boost_in, 6))
+            for m in res.matches(punch_len, step, k)]
+
+
+def _assert_equiv(db, fresh_entries, tmpl, **kw):
+    fresh = FeatureDatabase(fresh_entries, norm=None, **kw)
+    got = db.query(tmpl, k=3)
+    want = fresh.query(tmpl, k=3)
+    assert _match_tuples(got) == _match_tuples(want)
+
+
+def test_add_files_appends():
+    base = _entries(1, 4)
+    extra = _entries(2, 3, T=150)
+    db = FeatureDatabase(base, norm=None)
+    db.add_files(extra)
+    assert db.num_files == 7
+    _assert_equiv(db, base + extra, _tmpl(extra, 1))
+
+
+def test_remove_tombstones_then_query():
+    ents = _entries(3, 5)
+    db = FeatureDatabase(ents, norm=None)
+    db.remove_files([ents[1][0], ents[3][0]])
+    assert db.num_files == 3
+    live = [e for i, e in enumerate(ents) if i not in (1, 3)]
+    # the removed file's own template must no longer hit it
+    _assert_equiv(db, live, _tmpl(ents, 1))
+    with pytest.raises(KeyError):
+        db.remove_files([ents[1][0]])
+
+
+def test_add_reuses_tombstone_slots():
+    ents = _entries(4, 5)
+    db = FeatureDatabase(ents, norm=None)
+    rows_before = db._xs.shape[0]
+    db.remove_files([ents[0][0], ents[2][0]])
+    extra = _entries(5, 2, T=120)
+    db.add_files(extra)
+    assert db._xs.shape[0] == rows_before          # no growth
+    assert db.num_files == 5
+    live = [e for i, e in enumerate(ents) if i not in (0, 2)] + extra
+    _assert_equiv(db, live, _tmpl(extra, 0))
+
+
+def test_add_longer_file_restages():
+    ents = _entries(6, 3, T=100)
+    db = FeatureDatabase(ents, norm=None)
+    long = [("long.aif", _feats(np.random.default_rng(9), T=900))]
+    db.add_files(long)
+    assert db._raw.shape[2] >= 900
+    _assert_equiv(db, ents + long, _tmpl(long, 0))
+
+
+def test_add_overflow_restages():
+    ents = _entries(7, 2)
+    db = FeatureDatabase(ents, norm=None)
+    extra = _entries(8, 4, T=150)
+    db.add_files(extra)                            # no free slots -> restage
+    assert db.num_files == 6
+    _assert_equiv(db, ents + extra, _tmpl(extra, 2))
+
+
+def test_duplicate_add_rejected():
+    ents = _entries(10, 3)
+    db = FeatureDatabase(ents, norm=None)
+    with pytest.raises(ValueError):
+        db.add_files([ents[0]])
+
+
+def test_incremental_compact_mode_spectra():
+    ents = _entries(11, 4)
+    kw = dict(storage_dtype=jnp.bfloat16, cache_spectra="bf16")
+    db = FeatureDatabase(ents, norm=None, **kw)
+    db.remove_files([ents[2][0]])
+    extra = _entries(12, 2, T=180)
+    db.add_files(extra)
+    live = [e for i, e in enumerate(ents) if i != 2] + extra
+    _assert_equiv(db, live, _tmpl(extra, 1), **kw)
+    # punch query exercises the updated spectra cache rows
+    t_in = _tmpl(extra, 1, start=10, L=40)
+    t_out = _tmpl(extra, 1, start=90, L=30)
+    fresh = FeatureDatabase(live, norm=None, **kw)
+    got = db.query_punch(t_in, t_out, min_punch=60, max_punch=100, k=2)
+    want = fresh.query_punch(t_in, t_out, min_punch=60, max_punch=100, k=2)
+    gm, wm = got.matches(512, 3), want.matches(512, 3)
+    assert [(m.file, m.punch.start, round(m.sim, 6)) for m in gm] == \
+        [(m.file, m.punch.start, round(m.sim, 6)) for m in wm]
+
+
+def test_save_compacts_tombstones(tmp_path):
+    ents = _entries(13, 4)
+    db = FeatureDatabase(ents, norm=None)
+    db.remove_files([ents[1][0]])
+    extra = _entries(14, 1, T=160)
+    db.add_files(extra)                            # fills the tombstone
+    p = tmp_path / "db.npz"
+    db.save(p)
+    db2 = FeatureDatabase.load(p)
+    assert sorted(db2.files) == sorted(
+        [e[0] for i, e in enumerate(ents) if i != 1] + [extra[0][0]])
+    live = [e for i, e in enumerate(ents) if i != 1] + extra
+    _assert_equiv(db2, live, _tmpl(extra, 0))
