@@ -74,7 +74,16 @@ def main() -> None:
     print(f"compact mode: sim={r16.matches(60, step, 1)[0].sim:.6f}, punch "
           f"sim={p16.matches(step, 1)[0].sim:.6f} (exact after re-rank)")
 
-    # 5. durable serving artifact: save/load skips per-file parsing
+    # 5. incremental updates: removal tombstones rows in O(1); adds fill
+    #    the free slots — only the new files cross the link
+    db.remove_files(["take03.aif", "take12.aif"])
+    fresh = np.abs(0.5 + 0.1 * rng.standard_normal((14, 1500)))
+    db.add_files([("fresh.aif", fresh.astype(np.float32))])
+    r_new = db.query(InputTemplate(fresh[:, 50:110].astype(np.float32)), k=1)
+    print(f"incremental:  {db.num_files} live files; new file found: "
+          f"{r_new.matches(60, step, 1)[0].file}")
+
+    # 6. durable serving artifact: save/load skips per-file parsing
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "db.npz")
         db.save(p)
@@ -83,7 +92,7 @@ def main() -> None:
         print(f"save/load:    best frame {int(r2.frames.max(initial=0))} "
               f"(same database, re-staged in one pass)")
 
-    # 6. multi-chip: pass mesh=make_files_mesh() to shard the files axis
+    # 7. multi-chip: pass mesh=make_files_mesh() to shard the files axis
     #    (see tests/test_database.py::test_sharded_query_punch_matches_single
     #    and tests/test_multihost.py for the multi-process path)
 
