@@ -665,9 +665,13 @@ class FeatureDatabase:
         names = [n for n, _ in entries]
         feats = [np.asarray(f, np.float32) for _, f in entries]
         live = {n for n in self.files if n is not None}
+        seen = set()
         for n in names:
             if n in live:
                 raise ValueError(f"{n!r} is already in the database")
+            if n in seen:
+                raise ValueError(f"{n!r} appears twice in this add batch")
+            seen.add(n)
         C, t_cap = self._raw.shape[1], self._raw.shape[2]
         if any(f.shape[0] != C for f in feats):
             raise ValueError(f"channel count mismatch (database has {C})")
