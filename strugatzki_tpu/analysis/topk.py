@@ -24,6 +24,8 @@ import math
 import struct
 from typing import Generic, Iterable, List, Sequence, TypeVar
 
+import numpy as np
+
 T = TypeVar("T")
 
 __all__ = ["SimSortedSet", "java_float_key", "replay_selection"]
@@ -178,7 +180,10 @@ def replay_selection(per_file_candidates: Iterable[Sequence],
             # visited at all when its in-sim alone beats low² (:342) —
             # applies regardless of queue space
             in_sim = getattr(m, "in_sim", None)
-            if in_sim is not None and not (in_sim > low * low):
+            # low² is a Java Float multiply (f32-rounded product, :342) —
+            # gating on the unrounded f64 product could visit a different
+            # offset set at rounding boundaries
+            if in_sim is not None and not (in_sim > float(np.float32(low * low))):
                 continue
             if not (has_space or sim > low):
                 continue

@@ -592,11 +592,13 @@ class FeatureDatabase:
                 self._spectra = _spectra_kernel(self._xs, pack_dtype=pack)
             else:
                 # chunk-wise into preallocated donated buffers: one chunk's
-                # f32 forward-FFT transient in flight at a time
-                probe = _spectra_kernel(self._xs[:1], pack_dtype=pack)
+                # f32 forward-FFT transient in flight at a time (shapes via
+                # eval_shape — a compiled batch-of-1 probe would cost a
+                # whole extra relay compile)
+                probe = jax.eval_shape(
+                    partial(_spectra_kernel, pack_dtype=pack), self._xs[:1])
                 bufs = [jnp.zeros((b,) + p.shape[1:], p.dtype)
                         for p in probe]
-                del probe
                 for o in range(0, b, _QUERY_CHUNK):
                     part = _spectra_kernel(self._xs[o:o + _QUERY_CHUNK],
                                            pack_dtype=pack)
@@ -654,7 +656,6 @@ class FeatureDatabase:
         each distinct add-batch shape is its own jit key.
         """
         from ..kernels.pallas_prep import prepare_database
-        from .sweep import pad_stack
 
         if self._mesh is not None:
             raise NotImplementedError(
@@ -695,7 +696,8 @@ class FeatureDatabase:
         sp_p = _spectra_kernel(xs_p, pack_dtype=self._spectra_pack) \
             if self._spectra is not None else None
 
-        for j, slot in enumerate(free[:len(entries)]):
+        used = free[:len(entries)]
+        for j, slot in enumerate(used):
             if slot < len(self.files):
                 self.files[slot] = names[j]      # tombstone reuse
             else:
@@ -703,12 +705,14 @@ class FeatureDatabase:
                 self.files.append(names[j])
             self._lens[slot] = lens_new[j]
             self._raw[slot] = raw_new[j]
-            self._xs = _write_slab(self._xs, xs_p[j:j + 1], jnp.int32(slot))
-            self._shifts = self._shifts.at[slot].set(sh_p[j])
-            if sp_p is not None:
-                self._spectra = tuple(
-                    _write_slab(buf, p[j:j + 1], jnp.int32(slot))
-                    for buf, p in zip(self._spectra, sp_p))
+        # one scatter per device array (a per-row Python loop would cost a
+        # dispatch round-trip and a fresh tiny jit key per slot)
+        slots_dev = jnp.asarray(np.asarray(used, np.int32))
+        self._xs = self._xs.at[slots_dev].set(xs_p)
+        self._shifts = self._shifts.at[slots_dev].set(sh_p)
+        if sp_p is not None:
+            self._spectra = tuple(buf.at[slots_dev].set(p)
+                                  for buf, p in zip(self._spectra, sp_p))
         self._lens_dev = jnp.asarray(self._lens)
         jax.block_until_ready(self._xs)
 
@@ -918,7 +922,10 @@ class FeatureDatabase:
             t_out = t_in + res.min_punch + res.punch_lens[fi, fj]
             out_sims, b_out = self._exact_window_scores(
                 fi, t_out, punch_out, tw_out, max_boost)
-            prod = in_sims.astype(np.float64) * out_sims
+            # the reference's inSim * outSim is a Java Float multiply —
+            # round the product to f32 BEFORE the sqrt (an f64 product can
+            # land 1 ulp away and flip downstream selection gates)
+            prod = (in_sims * out_sims).astype(np.float32)
             sims = np.where((in_sims > 0) & (prod > 0),
                             np.sqrt(np.maximum(prod, 0)),
                             -np.inf).astype(np.float32)

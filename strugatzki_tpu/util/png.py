@@ -122,6 +122,15 @@ def write_png_rows(path, height: int, width: int, rows_iter,
         threads = min(8, os.cpu_count() or 1)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     comp = _ParallelDeflate(level, threads)
+    try:
+        _write_png_rows(path, height, width, rows_iter, ihdr, comp)
+    finally:
+        # rows_iter may raise mid-stream (e.g. a processor abort inside a
+        # stripe generator) — never strand the worker threads
+        comp.pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _write_png_rows(path, height, width, rows_iter, ihdr, comp) -> None:
     rows_done = 0
     with open(path, "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr))
