@@ -627,12 +627,8 @@ class FeatureDatabase:
         the same masking the staging padding uses) and the name slot set to
         None.  :meth:`add_files` reuses tombstoned rows; :meth:`save`
         compacts them away.  O(bytes of one lens vector) — no feature data
-        moves.
+        moves; under a mesh only the sharded lens vector re-ships.
         """
-        if self._mesh is not None:
-            raise NotImplementedError(
-                "incremental updates need a files-axis reshard under a "
-                "mesh; rebuild the sharded database instead")
         pos = {n: i for i, n in enumerate(self.files) if n is not None}
         idxs = []
         for n in names:
@@ -643,7 +639,7 @@ class FeatureDatabase:
             self.files[i] = None
             self._lens[i] = 0
             self._raw[i] = 0.0
-        self._lens_dev = jnp.asarray(self._lens)
+        self._lens_dev = self._put_lens()
 
     def add_files(self, entries: Sequence[Tuple[str, np.ndarray]]) -> None:
         """Stage additional files into the resident database.
@@ -657,22 +653,15 @@ class FeatureDatabase:
         """
         from ..kernels.pallas_prep import prepare_database
 
-        if self._mesh is not None:
-            raise NotImplementedError(
-                "incremental updates need a files-axis reshard under a "
-                "mesh; rebuild the sharded database instead")
         if not entries:
             return
+        if self._mesh is not None:
+            # a sharded files axis cannot take an in-place row write without
+            # resharding anyway — restage with the mesh preserved
+            return self._restage(self._dedup_new(entries))
+        entries = self._dedup_new(entries)
         names = [n for n, _ in entries]
         feats = [np.asarray(f, np.float32) for _, f in entries]
-        live = {n for n in self.files if n is not None}
-        seen = set()
-        for n in names:
-            if n in live:
-                raise ValueError(f"{n!r} is already in the database")
-            if n in seen:
-                raise ValueError(f"{n!r} appears twice in this add batch")
-            seen.add(n)
         C, t_cap = self._raw.shape[1], self._raw.shape[2]
         if any(f.shape[0] != C for f in feats):
             raise ValueError(f"channel count mismatch (database has {C})")
@@ -713,16 +702,38 @@ class FeatureDatabase:
         if sp_p is not None:
             self._spectra = tuple(buf.at[slots_dev].set(p)
                                   for buf, p in zip(self._spectra, sp_p))
-        self._lens_dev = jnp.asarray(self._lens)
+        self._lens_dev = self._put_lens()
         jax.block_until_ready(self._xs)
+
+    def _dedup_new(self, entries):
+        """Validate an add batch: no name may collide with a live entry or
+        repeat within the batch."""
+        live = {n for n in self.files if n is not None}
+        seen = set()
+        for n, _ in entries:
+            if n in live:
+                raise ValueError(f"{n!r} is already in the database")
+            if n in seen:
+                raise ValueError(f"{n!r} appears twice in this add batch")
+            seen.add(n)
+        return list(entries)
+
+    def _put_lens(self):
+        """Host lens vector → device, re-sharded under a mesh."""
+        lens = jnp.asarray(self._lens)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(lens, NamedSharding(self._mesh, P("files")))
+        return lens
 
     def _restage(self, new_entries: Sequence[Tuple[str, np.ndarray]]) -> None:
         """Full rebuild with the surviving entries plus ``new_entries`` —
-        the fallback when an add outgrows the time or files capacity."""
+        the fallback when an add outgrows the time or files capacity (and
+        the add path for mesh-sharded databases)."""
         old = [(n, self._raw[i][:, :int(self._lens[i])])
                for i, n in enumerate(self.files) if n is not None]
         self.__init__(old + list(new_entries), self.norm,
-                      step_size=self.step_size, mesh=None,
+                      step_size=self.step_size, mesh=self._mesh,
                       pad_multiple=self._pad_multiple,
                       storage_dtype=self._storage_dtype,
                       cache_spectra=self._cache_spectra_mode)

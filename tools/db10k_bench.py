@@ -55,6 +55,7 @@ print(f"compile {time.perf_counter()-t0:.0f}s", flush=True)
 ts = []
 for _ in range(5):
     t0 = time.perf_counter(); res = db.query(tmpl); ts.append(time.perf_counter()-t0)
+    print(f"  query: {ts[-1]*1e3:.0f} ms", flush=True)   # survive timeouts
 print(f"10k query (async chunk fetch): {sorted(round(x*1e3) for x in ts)} ms", flush=True)
 print(f"hit: {res.frames[77,0]} sim={res.sims[77,0]:.4f}", flush=True)
 
