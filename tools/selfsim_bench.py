@@ -23,6 +23,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def giant() -> None:
+    """--giant: stream an extent-20001 image (400M cells — the regime of
+    the reference's 46340 ceiling, where its per-cell disk loop is O(days))
+    straight to PNG: device colorization, bounded host memory, parallel
+    deflate."""
+    from strugatzki_tpu.analysis.self_similarity import self_similarity_to_png
+    from strugatzki_tpu.kernels import corr as K
+
+    import jax
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    n, half_win = 20001, 4
+    rng = np.random.default_rng(0)
+    x = np.abs(0.5 + 0.1 * rng.standard_normal(
+        (2, n + 2 * half_win - 1))).astype(np.float32)
+    x, _, _ = K.shift_per_group(x)
+    out = "/tmp/selfsim_giant.png"
+    t0 = time.perf_counter()
+    got = self_similarity_to_png(x, x, half_win, 1, 0.5, out,
+                                 colors="psycho", png_level=1)
+    el = time.perf_counter() - t0
+    print(f"extent {got}: {el:.0f}s end-to-end "
+          f"({os.path.getsize(out) / 1e6:.0f} MB PNG)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "giant streaming self-similarity (extent 20001)",
+        "value": round(el, 1), "unit": "s",
+        "png_mb": round(os.path.getsize(out) / 1e6, 1)}))
+
+
 def main() -> None:
     from strugatzki_tpu.analysis.self_similarity import (
         render_image, self_similarity_image, self_similarity_matrix)
@@ -96,4 +124,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    giant() if "--giant" in sys.argv else main()
