@@ -815,17 +815,25 @@ class FeatureDatabase:
         candidates the lossy device sims pushed just outside the top-k."""
         return max(k, min(4 * k, self._xs.shape[2] - tmpl_frames + 1))
 
+    #: exact-re-rank budget: only the globally best (by device sim)
+    #: candidates are re-scored on host.  Every candidate `.matches()` can
+    #: surface for any sane ``k_total·num_per_file`` lies far inside this;
+    #: without the cap a reduced-precision 10k-file query would copy
+    #: 160k × [C, L] windows (~8 GB) to host per query.
+    RERANK_LIMIT = 4096
+
     def _rerank_exact(self, res: QueryResult, template: InputTemplate,
                       temp_weight: float, max_boost: float) -> None:
         """Replace each returned candidate's (sim, boost) with the exact
-        host-side value and re-sort every file's k hits."""
+        host-side value and re-sort every file's k hits.  Candidates beyond
+        the ``RERANK_LIMIT`` globally best keep their device-precision sims
+        (they cannot reach the match lists those limits are sized for)."""
         # device_get hands back read-only views; re-ranking mutates
         res.sims = np.array(res.sims)
         res.frames = np.array(res.frames)
         if res.boosts is not None:
             res.boosts = np.array(res.boosts)
-        finite = np.isfinite(res.sims)
-        cand = np.argwhere(finite)
+        cand = self._rerank_candidates(res.sims)
         if cand.size:
             sims, boosts = self._exact_window_scores(
                 cand[:, 0], res.frames[cand[:, 0], cand[:, 1]],
@@ -838,6 +846,17 @@ class FeatureDatabase:
         res.frames = np.take_along_axis(res.frames, order, axis=1)
         if res.boosts is not None:
             res.boosts = np.take_along_axis(res.boosts, order, axis=1)
+
+    def _rerank_candidates(self, sims: np.ndarray) -> np.ndarray:
+        """(i, j) indices to re-score exactly: all finite candidates, or —
+        past ``RERANK_LIMIT`` of them — the globally best by device sim."""
+        finite = np.isfinite(sims)
+        n_finite = int(finite.sum())
+        if n_finite <= self.RERANK_LIMIT:
+            return np.argwhere(finite)
+        flat = np.where(finite.ravel(), sims.ravel(), -np.inf)
+        top = np.argpartition(-flat, self.RERANK_LIMIT - 1)[:self.RERANK_LIMIT]
+        return np.stack(np.unravel_index(top, sims.shape), axis=1)
 
     def _exact_window_scores(self, file_idx: np.ndarray,
                              frames: np.ndarray, template: InputTemplate,
@@ -924,7 +943,7 @@ class FeatureDatabase:
         res.boosts_out = np.array(res.boosts_out)
         if res.in_sims is not None:
             res.in_sims = np.array(res.in_sims)
-        cand = np.argwhere(np.isfinite(res.sims))
+        cand = self._rerank_candidates(res.sims)
         if cand.size:
             fi, fj = cand[:, 0], cand[:, 1]
             t_in = res.frames[fi, fj]

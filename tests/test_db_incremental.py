@@ -129,3 +129,26 @@ def test_save_compacts_tombstones(tmp_path):
         [e[0] for i, e in enumerate(ents) if i != 1] + [extra[0][0]])
     live = [e for i, e in enumerate(ents) if i != 1] + extra
     _assert_equiv(db2, live, _tmpl(extra, 0))
+
+
+def test_rerank_limit_preserves_top_matches(monkeypatch):
+    """With more finite candidates than RERANK_LIMIT, the capped exact
+    re-rank must return the same top matches as an unlimited one."""
+    rng = np.random.default_rng(99)
+    ents = [(f"r{i}.aif",
+             np.abs(0.5 + 0.2 * rng.standard_normal((4, 60))).astype(
+                 np.float32)) for i in range(600)]
+    tmpl = InputTemplate(ents[123][1][:, 10:40].copy())
+    kw = dict(norm=None, storage_dtype=jnp.bfloat16)
+
+    db = FeatureDatabase(ents, **kw)
+    monkeypatch.setattr(FeatureDatabase, "RERANK_LIMIT", 100)
+    capped = db.query(tmpl, k=2)
+    assert np.isfinite(capped.sims).sum() > 100      # the cap actually bit
+    monkeypatch.setattr(FeatureDatabase, "RERANK_LIMIT", 10**9)
+    full = db.query(tmpl, k=2)
+    want = [(m.file, m.punch.start, round(m.sim, 6))
+            for m in full.matches(30, 512, 10)]
+    got = [(m.file, m.punch.start, round(m.sim, 6))
+           for m in capped.matches(30, 512, 10)]
+    assert got == want
