@@ -152,3 +152,30 @@ def test_rerank_limit_preserves_top_matches(monkeypatch):
     got = [(m.file, m.punch.start, round(m.sim, 6))
            for m in capped.matches(30, 512, 10)]
     assert got == want
+
+
+def test_concurrent_queries_thread_safe():
+    """Serving reads are side-effect-free: many threads querying one
+    resident database concurrently get identical results."""
+    import threading
+
+    ents = _entries(30, 6)
+    db = FeatureDatabase(ents, norm=None)
+    tmpl = _tmpl(ents, 2)
+    want = _match_tuples(db.query(tmpl, k=3))
+    results, errors = [None] * 8, []
+
+    def worker(j):
+        try:
+            results[j] = _match_tuples(db.query(tmpl, k=3))
+        except Exception as e:  # noqa: BLE001 - surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(j,)) for j in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    assert not errors
+    assert all(r == want for r in results)
