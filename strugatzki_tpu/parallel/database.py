@@ -757,7 +757,9 @@ class FeatureDatabase:
               with_traces: bool = False,
               exact_rerank: Optional[bool] = None):
         """One-dispatch punch query → :class:`QueryResult` (and optionally
-        the dense (sims, boosts) traces for exact host-side replay).
+        the dense (sims, boosts) traces for exact host-side replay; rows of
+        tombstoned files — see :meth:`remove_files` — carry no valid
+        windows and surface as −inf there like the staging padding).
 
         ``exact_rerank`` recomputes the returned top-k candidates' sims and
         boosts exactly on host (float64 mirror over the raw features) and
