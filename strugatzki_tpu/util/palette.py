@@ -118,5 +118,7 @@ def apply_palette(values: np.ndarray) -> np.ndarray:
 def lookup(indices: np.ndarray) -> np.ndarray:
     """Table gather for precomputed palette indices (the device
     colorization path ships uint16 indices over the link instead of float32
-    sims; the RGB expansion happens here)."""
-    return _TABLE[np.asarray(indices)]
+    sims; the RGB expansion happens here).  Clamped so a `load_palette`
+    swap racing an in-flight render cannot index past a smaller table."""
+    idx = np.minimum(np.asarray(indices), len(_TABLE) - 1)
+    return _TABLE[idx]
