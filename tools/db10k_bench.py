@@ -70,6 +70,7 @@ if "--punch" in sys.argv:
         pres = db.query_punch(tmpl, t_out, min_punch=2000, max_punch=3500,
                               k=2)
         ts.append(time.perf_counter() - t0)
+        print(f"  punch query: {ts[-1]*1e3:.0f} ms", flush=True)
     m = pres.matches(step_size=512, k_total=1)[0]
     print(f"10k punch-in x punch-out: {sorted(round(x*1e3) for x in ts)} ms; "
           f"hit {m.file} {m.punch.start//512}..{m.punch.stop//512} "
