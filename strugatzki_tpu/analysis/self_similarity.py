@@ -112,10 +112,10 @@ def _device_pix(colors: str, color_warp: float, color_ceil: float,
             bool(color_inv))
 
 
-def _fetch_group(blocks1, blocks2, pairs, tw, pix=None):
-    """Stack a group of (block-i, block-j) pairs, dispatch, fetch.  With
-    ``pix`` the fetch is the colorized uint8/uint16 raster; else float32
-    sims."""
+def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None):
+    """Stack a group of (block-i, block-j) pairs and dispatch (async) —
+    returns the device array.  With ``pix`` the result is the colorized
+    uint8/uint16 raster; else float32 sims."""
     wi_s = jnp.stack([blocks1[a][0] for a, _ in pairs])
     wj_s = jnp.stack([blocks2[b][0] for _, b in pairs])
     sti = tuple(jnp.stack([blocks1[a][1][t] for a, _ in pairs])
@@ -123,11 +123,14 @@ def _fetch_group(blocks1, blocks2, pairs, tw, pix=None):
     stj = tuple(jnp.stack([blocks2[b][1][t] for _, b in pairs])
                 for t in range(4))
     if pix is None:
-        return np.asarray(_gram_pair_group(wi_s, wj_s, sti, stj, tw))
+        return _gram_pair_group(wi_s, wj_s, sti, stj, tw)
     inv_ceil, ncm1, gray, inv = pix
-    return np.asarray(_gram_pair_group_pix(wi_s, wj_s, sti, stj, tw,
-                                           inv_ceil, ncm1, gray=gray,
-                                           inv=inv))
+    return _gram_pair_group_pix(wi_s, wj_s, sti, stj, tw, inv_ceil, ncm1,
+                                gray=gray, inv=inv)
+
+
+def _fetch_group(blocks1, blocks2, pairs, tw, pix=None):
+    return np.asarray(_dispatch_group(blocks1, blocks2, pairs, tw, pix))
 
 
 def _pix_to_rgb(pix_vals: np.ndarray, gray: bool) -> np.ndarray:
@@ -310,31 +313,48 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
     dtype = np.float32 if pix is None else (
         np.uint8 if pix[2] else np.uint16)
 
+    def dispatch_stripe(bj):
+        """Launch every group of column-stripe ``bj`` asynchronously.
+        Row-blocks go in groups of _PAIR_GROUP; for bi > bj the cell is
+        the mirrored upper-triangle value → compute (bj, bi), transpose."""
+        out = []
+        for g0 in range(0, num_blocks, _PAIR_GROUP):
+            group = list(range(g0, min(g0 + _PAIR_GROUP, num_blocks)))
+            padded = group + [group[-1]] * (_PAIR_GROUP - len(group))
+            lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
+            out.append((group, _dispatch_group(blocks1, blocks2, lo_hi,
+                                               tw, pix)))
+        return out
+
+    def collect_stripe(bj, dispatched):
+        c0 = bj * _BLOCK
+        c1 = min(c0 + _BLOCK, n)
+        stripe = np.empty((n, c1 - c0), dtype)
+        for group, dev in dispatched:
+            sims_g = np.asarray(dev)
+            for bi, sims in zip(group, sims_g):
+                r0 = bi * _BLOCK
+                r1 = min(r0 + _BLOCK, n)
+                if bi == bj:
+                    s = sims[:r1 - r0, :c1 - c0]
+                    stripe[r0:r1] = np.triu(s) + np.triu(s, 1).T
+                elif bi < bj:
+                    stripe[r0:r1] = sims[:r1 - r0, :c1 - c0]
+                else:  # mirrored: computed as (bj, bi) → transpose
+                    stripe[r0:r1] = sims[:c1 - c0, :r1 - r0].T
+        return stripe
+
     def stripes():
+        # stripe-ahead double buffering: stripe bj−1's device work (and its
+        # result transfers) overlap stripe bj's host colorize/PNG time
         done = 0
+        pending = dispatch_stripe(num_blocks - 1)
         for bj in range(num_blocks - 1, -1, -1):
             check_aborted()
-            c0 = bj * _BLOCK
-            c1 = min(c0 + _BLOCK, n)
-            stripe = np.empty((n, c1 - c0), dtype)
-            # row-blocks in groups of _PAIR_GROUP; for bi > bj the cell is
-            # the mirrored upper-triangle value → compute (bj, bi), transpose
-            for g0 in range(0, num_blocks, _PAIR_GROUP):
-                group = list(range(g0, min(g0 + _PAIR_GROUP, num_blocks)))
-                padded = group + [group[-1]] * (_PAIR_GROUP - len(group))
-                lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
-                sims_g = _fetch_group(blocks1, blocks2, lo_hi, tw, pix)
-                for bi, sims in zip(group, sims_g):
-                    r0 = bi * _BLOCK
-                    r1 = min(r0 + _BLOCK, n)
-                    if bi == bj:
-                        s = sims[:r1 - r0, :c1 - c0]
-                        stripe[r0:r1] = np.triu(s) + np.triu(s, 1).T
-                    elif bi < bj:
-                        stripe[r0:r1] = sims[:r1 - r0, :c1 - c0]
-                    else:  # mirrored: computed as (bj, bi) → transpose
-                        stripe[r0:r1] = sims[:c1 - c0, :r1 - r0].T
-            # stripe columns j = c0..c1−1 → PNG rows y = n−1−j (descending j)
+            current, pending = pending, (
+                dispatch_stripe(bj - 1) if bj > 0 else None)
+            stripe = collect_stripe(bj, current)
+            # stripe columns j = c0..c1−1 → PNG rows y = n−1−j (descending)
             flipped = stripe.T[::-1]
             rgb = _pix_to_rgb(flipped, pix[2]) if pix is not None else \
                 _colorize(flipped, colors, color_warp, color_ceil, color_inv)
