@@ -289,3 +289,25 @@ def test_ex5_punch_out_longer_durations(demo):
         hi = ((int(0.75 * 44100) + 256) // 512 + 1) * 512
         assert lo <= b["stop"] - b["start"] <= hi, b
     assert max(per_file.values()) <= 4, per_file
+
+
+def test_extraction_accepts_wav_input(tmp_path):
+    """`-f` takes any supported container (the reference reads via
+    libsndfile): identical audio as WAV and AIFF must yield identical
+    feature files."""
+    import numpy as np
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.io.formats import AIFF, WAVE
+    from strugatzki_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(3)
+    snd = (0.3 * rng.standard_normal((2, 44100))).astype(np.float32)
+    db = tmp_path / "db"
+    db.mkdir()
+    for name, cont in (("a.aif", AIFF), ("b.wav", WAVE)):
+        af.write(tmp_path / name, snd,
+                 af.AudioFileSpec(cont, af.SampleFormat.INT16, 2, 44100.0))
+        assert cli_main(["-f", "-d", str(db), str(tmp_path / name)]) == 0
+    fa, _ = af.read(db / "a_feat.aif")
+    fb, _ = af.read(db / "b_feat.aif")
+    np.testing.assert_array_equal(fa, fb)
