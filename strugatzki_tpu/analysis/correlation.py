@@ -116,7 +116,10 @@ def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
     num_windows = scan_len - L + 1 if scan_len >= L else 1
 
     pad_to = _bucket(num_windows - 1 + L)
-    xs = xs_shifted[:, :num_windows - 1 + L]
+    # never read past scan_len: in the scan_len < L single-window case the
+    # reference correlates scan_len real frames + a zero tail
+    # (FeatureCorrelationImpl.scala:183-195) even when the file is longer
+    xs = xs_shifted[:, :min(scan_len, num_windows - 1 + L)]
     if xs.shape[1] < pad_to:
         # padding represents literal zeros of the reference's freshly
         # allocated buffer (normalized space), i.e. −shift in shifted space;
@@ -252,7 +255,12 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
             jnp_.float32(temp_weight), jnp_.float32(cfg.max_boost))
         return sims, boosts
 
-    def load_chunk(chunk_entries):
+    def dispatch_chunk(chunk_entries):
+        """Host prep + async device dispatch of one chunk's traces; the
+        fetch happens in :func:`collect_chunk`, so the NEXT chunk's device
+        work can run while the host replays the current one."""
+        if not chunk_entries:
+            return None
         feats_list = [load() for _, load in chunk_entries]
         lens = [f.shape[1] for f in feats_list]
         # pad the batch to a fixed chunk size and bucketed width so the
@@ -265,15 +273,18 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
         if raw.shape[2] < t_pad:
             raw = np.pad(raw, ((0, 0), (0, 0), (0, t_pad - raw.shape[2])))
         xs_dev, shifts_dev = prepare_database(raw, norm, lens_arr)
-        sims_in_b, boosts_in_b = _trace_batch(xs_dev, shifts_dev, matrix_in,
-                                              in_temp_weight)
+        in_b = _trace_batch(xs_dev, shifts_dev, matrix_in, in_temp_weight)
         out_b = None
         if matrix_out is not None:
             out_b = _trace_batch(xs_dev, shifts_dev, matrix_out,
                                  cfg.punch_out.temporal_weight)
+        return (chunk_entries, feats_list, lens, in_b, out_b)
+
+    def collect_chunk(pending_chunk):
+        chunk_entries, feats_list, lens, in_b, out_b = pending_chunk
         # fetch once per chunk; slice per-file valid prefixes
-        sims_in_b = np.asarray(sims_in_b)
-        boosts_in_b = np.asarray(boosts_in_b)
+        sims_in_b = np.asarray(in_b[0])
+        boosts_in_b = np.asarray(in_b[1])
         if out_b is not None:
             sims_out_b = np.asarray(out_b[0])
             boosts_out_b = np.asarray(out_b[1])
@@ -305,12 +316,16 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
     entries_list = list(db_entries)
     chunk_iter = (entries_list[o:o + chunk_size]
                   for o in range(0, len(entries_list), chunk_size))
+    pending = dispatch_chunk(next(chunk_iter, None))
 
     def refill():
-        if not queue:
-            nxt = next(chunk_iter, None)
-            if nxt:
-                queue.extend(load_chunk(nxt))
+        # dispatch chunk k+1 BEFORE fetching chunk k: the device computes
+        # the next chunk while the host fetches and replays this one
+        nonlocal pending
+        if not queue and pending is not None:
+            cur = pending
+            pending = dispatch_chunk(next(chunk_iter, None))
+            queue.extend(collect_chunk(cur))
 
     refill()
     idx = -1
@@ -405,9 +420,12 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                         hs = entry_has_space()
                         # skip piOffs failing the inSim > low² gate with a
                         # vector scan — no state changes at skipped
-                        # positions, so the replay is exact (:342)
-                        rel = int(np.argmax(tin_sims[i:] > low * low))
-                        if not tin_sims[i + rel] > low * low:
+                        # positions, so the replay is exact (:342).  low² is
+                        # a Java Float multiply: round to f32 (the f64
+                        # product can sit 1 ulp away and flip the gate)
+                        low2 = np.float32(low * low)
+                        rel = int(np.argmax(tin_sims[i:] > low2))
+                        if not tin_sims[i + rel] > low2:
                             break
                         i += rel
                         in_sim = float(tin_sims[i])

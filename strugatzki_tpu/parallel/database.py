@@ -40,7 +40,7 @@ from ..analysis.common import feat_to_full
 from ..analysis.correlation import InputTemplate
 from ..config import ExtractionConfig, Match
 from ..kernels import corr as K
-from ..span import Span, spacing
+from ..span import Span
 from ..util.transfer import staged_put
 from .sweep import pad_stack
 
@@ -216,15 +216,23 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
         return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
 
     sims, boosts = jax.vmap(one_file)(xs_b, shifts_t)   # [B, Q, W]
-    L = tmpl_t.shape[2]                                  # tmpl_t: [Q, 1, L]
-    w_valid = lens - (L - 1)
-    t_idx = jnp.arange(sims.shape[2])[None, None, :]
-    masked = jnp.where(t_idx < w_valid[:, None, None], sims, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked, k)                # [B, Q, k]
-    boosts_k = jnp.take_along_axis(boosts, idx, axis=2)
+    vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
+                                         tmpl_t.shape[2], k)  # [B, Q, k]
     # results are [Q, B, k] for callers
     return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
             jnp.swapaxes(boosts_k, 0, 1))
+
+
+def _topk_epilogue(sims, boosts, lens, L: int, k: int):
+    """Shared kernel tail: mask windows beyond ``lens − L + 1`` (which also
+    silences zero-length tombstoned/padding rows) to −inf, take the
+    per-file top-k, gather each hit's boost.  ``sims``/``boosts``:
+    ``[B, ..., W]``; ``lens``: ``[B]``."""
+    w_valid = (lens - (L - 1)).reshape(lens.shape + (1,) * (sims.ndim - 1))
+    t_idx = jnp.arange(sims.shape[-1])
+    masked = jnp.where(t_idx < w_valid, sims, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked, k)
+    return vals, idx, jnp.take_along_axis(boosts, idx, axis=-1)
 
 
 def _unpack_if_reduced(X_b, Xsq_b):
@@ -252,12 +260,8 @@ def _multi_query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
         return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
 
     sims, boosts = jax.vmap(one_file)(X_b, Xsq_b, shifts_t)  # [B, Q, W]
-    L = tmpl_t.shape[2]
-    w_valid = lens - (L - 1)
-    t_idx = jnp.arange(sims.shape[2])[None, None, :]
-    masked = jnp.where(t_idx < w_valid[:, None, None], sims, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked, k)
-    boosts_k = jnp.take_along_axis(boosts, idx, axis=2)
+    vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
+                                         tmpl_t.shape[2], k)
     return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
             jnp.swapaxes(boosts_k, 0, 1))
 
@@ -291,12 +295,8 @@ def _query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
             shift_t, temp_weight, max_boost, num_temporal=num_temporal)
 
     sims, boosts = jax.vmap(one)(X_b, Xsq_b, shifts_t)
-    L = tmpl_t.shape[1]
-    w_valid = lens - (L - 1)
-    t_idx = jnp.arange(sims.shape[1])[None, :]
-    masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked, k)
-    boosts_k = jnp.take_along_axis(boosts, idx, axis=1)
+    vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
+                                         tmpl_t.shape[1], k)
     return vals, idx, boosts_k, sims, boosts
 
 
@@ -310,12 +310,8 @@ def _query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg,
             temp_weight, max_boost, num_temporal=num_temporal)
 
     sims, boosts = jax.vmap(one)(xs_b, shifts_t)
-    L = tmpl_t.shape[1]
-    w_valid = lens - (L - 1)
-    t_idx = jnp.arange(sims.shape[1])[None, :]
-    masked = jnp.where(t_idx < w_valid[:, None], sims, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked, k)
-    boosts_k = jnp.take_along_axis(boosts, idx, axis=1)
+    vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
+                                         tmpl_t.shape[1], k)
     return vals, idx, boosts_k, sims, boosts
 
 
@@ -507,15 +503,19 @@ class FeatureDatabase:
                 [np.asarray(f, np.float32) for _, f in entries],
                 multiple=pad_multiple)
         self.step_size = step_size
-        # pad the files axis to a _QUERY_CHUNK multiple when chunked
-        # dispatch will be needed (zero rows, lens 0 — masked everywhere)
+        # pad the files axis (zero rows, lens 0 — masked everywhere): to a
+        # _QUERY_CHUNK multiple when chunked dispatch will be needed, or to
+        # a mesh-size multiple so the sharded files axis divides evenly
+        pad_rows = 0
         if mesh is None and raw.shape[0] > _QUERY_CHUNK:
             pad_rows = -raw.shape[0] % _QUERY_CHUNK
-            if pad_rows:
-                raw = np.concatenate(
-                    [raw, np.zeros((pad_rows,) + raw.shape[1:], raw.dtype)])
-                lens = np.concatenate(
-                    [lens, np.zeros(pad_rows, lens.dtype)])
+        elif mesh is not None:
+            pad_rows = -raw.shape[0] % mesh.devices.size
+        if pad_rows:
+            raw = np.concatenate(
+                [raw, np.zeros((pad_rows,) + raw.shape[1:], raw.dtype)])
+            lens = np.concatenate(
+                [lens, np.zeros(pad_rows, lens.dtype)])
         self._raw = raw
         self._lens = lens
         self.norm = norm
@@ -529,8 +529,11 @@ class FeatureDatabase:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P("files"))
-            raw_dev = jax.device_put(jnp.asarray(raw), shard)
-            self._lens_dev = jax.device_put(jnp.asarray(lens), shard)
+            # device_put straight from host memory: shards ship to their
+            # own devices (a jnp.asarray first would commit the whole stack
+            # to device 0 — the capacity the mesh exists to exceed)
+            raw_dev = jax.device_put(raw, shard)
+            self._lens_dev = jax.device_put(lens, shard)
         else:
             self._lens_dev = jnp.asarray(lens)
         if mesh is None and raw.shape[0] > _QUERY_CHUNK:
@@ -588,7 +591,10 @@ class FeatureDatabase:
             self._spectra_pack = pack
             self._spectra_reduced = bool(pack)
             b = self._xs.shape[0]
-            if b <= _QUERY_CHUNK:
+            if mesh is not None or b <= _QUERY_CHUNK:
+                # under a mesh the kernel runs SPMD on the sharded xs and
+                # its outputs inherit the files sharding — the chunked
+                # host-buffer path below would gather onto one device
                 self._spectra = _spectra_kernel(self._xs, pack_dtype=pack)
             else:
                 # chunk-wise into preallocated donated buffers: one chunk's

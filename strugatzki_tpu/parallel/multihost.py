@@ -33,9 +33,22 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     import jax
 
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None
+                or "JAX_COORDINATOR_ADDRESS" in os.environ
+                or "JAX_NUM_PROCESSES" in os.environ)
+    # pod auto-detect: the runtime sets these itself — the user sets
+    # nothing, so "no args, no env" must still initialize there (passing
+    # every argument as None lets jax.distributed discover the topology)
+    pod_auto = any(v in os.environ for v in (
+        "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not explicit and not pod_auto:
+        return                      # plain single-process run
     if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if num_processes <= 1 and coordinator_address is None:
+        env_np = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env_np) if env_np else None
+    if num_processes == 1 and coordinator_address is None:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -74,20 +74,23 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
     """Dense traces for a whole padded batch, optionally sharded over
     ``mesh`` axis ``files``.  ``template`` is an
     ``analysis.correlation.InputTemplate``."""
-    args = (jnp.asarray(xs_b),
-            jnp.asarray(template.temporal_centered),
-            jnp.asarray(template.spectral_centered),
+    # device_temporal/device_spectral are the per-template upload caches
+    # (each fresh host→device constant costs a ~40 ms relay round-trip)
+    args = (template.device_temporal(), template.device_spectral(),
             jnp.float32(template.temporal_std),
             jnp.float32(template.spectral_std),
             jnp.float32(template.ln_avg_loudness),
             jnp.asarray(shifts_t, dtype=jnp.float32),
             jnp.float32(temp_weight), jnp.float32(max_boost))
     if mesh is None:
-        sims, boosts = _batched_traces(*args)
+        sims, boosts = _batched_traces(jnp.asarray(xs_b), *args)
     else:
         fn = _sharded_traces_fn(mesh)
-        xs_s = jax.device_put(args[0], NamedSharding(mesh, P("files")))
-        sims, boosts = fn(xs_s, *args[1:])
+        # shard straight from host memory — an eager jnp.asarray would
+        # commit the whole stack to device 0 first
+        xs_s = jax.device_put(np.asarray(xs_b),
+                              NamedSharding(mesh, P("files")))
+        sims, boosts = fn(xs_s, *args)
     return np.asarray(sims), np.asarray(boosts)
 
 
@@ -146,12 +149,11 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
     shard = NamedSharding(mesh, P("files"))
     shifts = np.full(n_dev, np.float32(shift_t))
     sims, boosts = _batched_traces(
-        jax.device_put(jnp.asarray(slabs), shard),
-        jnp.asarray(template.temporal_centered),
-        jnp.asarray(template.spectral_centered),
+        jax.device_put(slabs, shard),       # host → per-shard devices
+        template.device_temporal(), template.device_spectral(),
         jnp.float32(template.temporal_std), jnp.float32(template.spectral_std),
         jnp.float32(template.ln_avg_loudness),
-        jax.device_put(jnp.asarray(shifts), shard),
+        jax.device_put(shifts, shard),
         jnp.float32(temp_weight), jnp.float32(max_boost))
     sims = np.asarray(sims).reshape(-1)[:n_dev * per]
     boosts = np.asarray(boosts).reshape(-1)[:n_dev * per]
