@@ -161,12 +161,13 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
             traceback.print_exception(type(e), e, e.__traceback__)
             report(pending[0][0], False)
             return False
+        feats_host = np.asarray(feats_dev)   # ONE d2h round trip per group
         for i, (idx, head, cfg, mono, _) in enumerate(pending):
             if i > 0:
                 print(f"Starting extraction... {os.path.basename(head)}")
             try:
                 total = num_output_frames(len(mono), cfg.step_size)
-                feats = fix_nans(finalize_features(feats_dev[i], total))
+                feats = fix_nans(finalize_features(feats_host[i], total))
                 af_.write(cfg.feature_output, feats,
                           af_.feature_spec(cfg.num_features,
                                            sr / cfg.step_size))
