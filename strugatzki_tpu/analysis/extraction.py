@@ -32,6 +32,10 @@ __all__ = ["FeatureExtraction", "fix_nans"]
 
 #: files longer than this many samples stream through bounded-memory chunks
 STREAMING_THRESHOLD = 1 << 24  # ~6.3 min mono at 44.1k
+#: grouped CLI extraction: flush a group at this many files or this many
+#: upload bytes, whichever first (one fused dispatch + one fetch per group)
+_GROUP_MAX_FILES = 64
+_GROUP_MAX_BYTES = 32 << 20
 
 
 def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
@@ -113,7 +117,7 @@ def _stream_body(proc: Processor, cfg: ExtractionConfig, spec) -> None:
 def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
     """Batch extraction for the CLI ``-f`` sweep.
 
-    Small files are grouped (same sample rate, up to 16) into single
+    Small files are grouped (same sample rate, to a file-count/byte budget) into single
     vmapped device dispatches — per-file dispatch overhead dominates small
     files on remote chips — while large files take the streaming path.
     The transcript interleaves per file exactly like the reference's
@@ -154,8 +158,13 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
         # transcript below overlaps the device compute
         print(f"Starting extraction... {os.path.basename(pending[0][1])}")
         try:
-            feats_dev, _ = extract_features_batch(
-                [m for _, _, _, m, _ in pending], sr, as_device=True)
+            audios = [m for _, _, _, m, _ in pending]
+            # pad the batch to a power-of-two size: B is a jit-key
+            # dimension and remote compiles cost minutes — dummies are
+            # 1-sample silence, sliced away below
+            b_pad = 1 << max(0, (len(audios) - 1).bit_length())
+            audios += [np.zeros(1, audios[0].dtype)] * (b_pad - len(audios))
+            feats_dev, _ = extract_features_batch(audios, sr, as_device=True)
         except Exception as e:  # noqa: BLE001 - first file carries the failure
             print("  Failed: ")
             traceback.print_exception(type(e), e, e.__traceback__)
@@ -211,7 +220,10 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
                     ok = False
                     break
             group.append((idx, head, cfg, mono, spec.sample_rate))
-            if len(group) >= 16:
+            # flush on a file-count or upload-byte budget: bigger groups
+            # amortize the relay's per-dispatch latency over more files
+            if (len(group) >= _GROUP_MAX_FILES
+                    or sum(t[3].nbytes for t in group) >= _GROUP_MAX_BYTES):
                 if not flush_group():
                     ok = False
                     break
