@@ -175,11 +175,18 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
                     thresh_db: jnp.ndarray,
                     smask: jnp.ndarray, tmask: jnp.ndarray,
                     num_frames: int, fft_size: int, step: int,
-                    use_fft: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    use_fft: bool = True,
+                    valid_frames=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One block: audio slice → ``[num_coeffs+1, num_frames]`` features.
 
     ``carry``: the previous frame's spectrally-masked band excitation (dB,
     [ERB_BANDS]) — temporal masking's only state; returns the updated carry.
+
+    ``valid_frames`` (traced scalar, optional): real frames in this block.
+    When given, the returned carry is the excitation at the last VALID
+    frame (padded-silence frames pass the state through), so carries stay
+    exact under any padded shape plan; valid frames' features are
+    unaffected either way (the recursion is forward-only).
     """
     _hi = jax.lax.Precision.HIGHEST
     frames = _frame_block(audio, num_frames, fft_size, step) * hann[None, :]
@@ -235,15 +242,25 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
     # form m_t = max(e_t, e_{t-1}·tmask): state is exactly one frame deep.
     # The "feedback" candidate feeds the masked output back
     # (m_t = max(e_t, m_{t-1}·tmask) — a sequential scan over frames).
+    def _carry_at_valid(rows, full_last):
+        if valid_frames is None:
+            return full_last
+        last = jnp.clip(valid_frames - 1, 0, rows.shape[0] - 1)
+        return jnp.where(valid_frames > 0,
+                         jax.lax.dynamic_index_in_dim(rows, last, axis=0,
+                                                      keepdims=False),
+                         carry)
+
     if C.TMASK_FORM == "prev_frame":
         prev_exc = jnp.concatenate([carry[None, :], exc[:-1]], axis=0)
         masked = jnp.maximum(exc, prev_exc * tmask)
-        new_carry = exc[-1]
+        new_carry = _carry_at_valid(exc, exc[-1])
     else:  # feedback
         def tstep(m_prev, e_t):
             m_t = jnp.maximum(e_t, m_prev * tmask)
             return m_t, m_t
-        new_carry, masked = jax.lax.scan(tstep, carry, exc)
+        carry_full, masked = jax.lax.scan(tstep, carry, exc)
+        new_carry = _carry_at_valid(masked, carry_full)
 
     # dB → phon via the band's equal-loudness contour (linear interpolation
     # across the 11 tabulated levels, extrapolated above 100 phon); bands
@@ -276,11 +293,16 @@ def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
                   hann, mel_fb, dct, erb_fb, power_cal_db, contours_ext,
                   phons_ext, thresh_db, smask, tmask,
                   num_blocks: int, block: int, fft_size: int, step: int,
-                  use_fft: bool = True) -> jnp.ndarray:
+                  use_fft: bool = True, total_frames=None) -> jnp.ndarray:
     """Whole file (or chunk) in ONE dispatch: ``lax.scan`` over fixed-size
     blocks with the temporal-masking carry threaded through.
     ``padded_audio`` length is ``num_blocks·block·step + fft_size − step``.
-    Returns ``([num_blocks, C, block]`` features (trim on host), carry)."""
+    Returns ``([num_blocks, C, block]`` features (trim on host), carry).
+
+    ``total_frames`` (traced, optional): the real frame count — makes the
+    returned carry the excitation at frame ``total_frames − 1`` regardless
+    of the plan's padding (callers that discard the carry can omit it and
+    keep their jit keys)."""
     span = (block - 1) * step + fft_size
 
     # int16 inputs are shipped raw (half the host→device bytes for PCM16
@@ -290,11 +312,13 @@ def _extract_scan(padded_audio: jnp.ndarray, carry0: jnp.ndarray,
 
     def body(carry, i):
         sl = jax.lax.dynamic_slice(padded_audio, (i * (block * step),), (span,))
+        vf = None if total_frames is None else \
+            jnp.clip(total_frames - i * block, 0, block)
         feats, carry = _block_pipeline(
             sl, carry, hann, mel_fb, dct, erb_fb, power_cal_db,
             contours_ext, phons_ext, thresh_db, smask, tmask,
             num_frames=block, fft_size=fft_size, step=step,
-            use_fft=use_fft)
+            use_fft=use_fft, valid_frames=vf)
         return carry, feats
 
     carry, feats = jax.lax.scan(body, carry0, jnp.arange(num_blocks))
@@ -465,7 +489,10 @@ def extract_features(audio: np.ndarray, sample_rate: float,
 
     feats, carry_out = _extract_scan(
         _staged_put(padded), carry, *consts,
-        num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
+        num_blocks=num_blocks, block=block, fft_size=fft_size, step=step,
+        # with a padded plan the raw last-block carry would be the PADDED
+        # silence's excitation; the valid-frame capture keeps it exact
+        total_frames=jnp.int32(total) if return_carry else None)
     if as_device:
         # async handle: [num_blocks, C, block] device array + true length;
         # lets batch pipelines overlap the next file's upload with this
@@ -564,9 +591,8 @@ def extract_features_streaming(read_samples, num_samples: int,
         fresh = _read_exact(need_to - consumed)
         if tail is None:
             tail = np.zeros(overlap, fresh.dtype)
-        elif tail.dtype != fresh.dtype and fresh.size:
-            tail = tail.astype(np.float32) / (
-                32768.0 if tail.dtype == np.int16 else 1.0)
+        # (no dtype reconciliation needed here: _read_exact already moves
+        # the carried tail to float32 on a mid-stream int16→float switch)
 
         block, num_blocks = _plan_shapes(nc, chunk_frames)
         padded_len = num_blocks * block * step + fft_size - step
@@ -576,7 +602,8 @@ def extract_features_streaming(read_samples, num_samples: int,
 
         feats, carry = _extract_scan(
             _staged_put(padded), carry, *consts,
-            num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
+            num_blocks=num_blocks, block=block, fft_size=fft_size, step=step,
+            total_frames=jnp.int32(nc))   # exact carry for the next chunk
         emit(finalize_features(feats, nc))
 
         # next chunk's first window needs the last `overlap` samples before

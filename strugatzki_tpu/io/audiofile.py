@@ -97,6 +97,13 @@ _PCM_FORMATS = {
 }
 
 
+#: header bit depths of the writable formats (single source for every
+#: container writer)
+_BITS = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
+         SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
+         SampleFormat.DOUBLE: 64}
+
+
 def _bytes_per_sample(fmt: str) -> int:
     return _PCM_FORMATS[fmt]
 
@@ -183,6 +190,7 @@ def _parse_aiff(f) -> _Layout:
     sample_rate = 44100.0
     fmt = None
     data_offset = None
+    big_endian = True
     while True:
         chunk_hdr = f.read(8)
         if len(chunk_hdr) < 8:
@@ -204,6 +212,9 @@ def _parse_aiff(f) -> _Layout:
                 elif comp in (b"NONE", b"sowt", b"twos", b"in16", b"in24", b"in32"):
                     fmt = {8: "int8", 16: SampleFormat.INT16, 24: SampleFormat.INT24,
                            32: SampleFormat.INT32}[bits]
+                    # 'sowt' is byte-swapped (little-endian) PCM — the
+                    # CoreAudio default for AIFF-C int16
+                    big_endian = comp != b"sowt"
                 else:
                     raise IOError(f"unsupported AIFC compression {comp!r}")
             else:
@@ -216,7 +227,7 @@ def _parse_aiff(f) -> _Layout:
     if num_channels is None or data_offset is None or fmt is None:
         raise IOError("incomplete AIFF file")
     spec = AudioFileSpec(AIFF, fmt, num_channels, sample_rate, num_frames)
-    return _Layout(spec, data_offset, big_endian=True)
+    return _Layout(spec, data_offset, big_endian=big_endian)
 
 
 def _parse_wav(f) -> _Layout:
@@ -507,9 +518,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
     if t == AIFF:
         payload = _encode(True)
         is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
-        bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
-                SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
-                SampleFormat.DOUBLE: 64}[fmt]
+        bits = _BITS[fmt]
         if is_float:
             comp = b"fl32" if fmt == SampleFormat.FLOAT else b"fl64"
             comp_name = b"\x0c32-bit float\x00" if fmt == SampleFormat.FLOAT \
@@ -537,9 +546,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
     elif t == WAVE:
         payload = _encode(False)
         is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
-        bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
-                SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
-                SampleFormat.DOUBLE: 64}[fmt]
+        bits = _BITS[fmt]
         wformat = 3 if is_float else 1
         block_align = num_channels * bits // 8
         byte_rate = int(spec.sample_rate) * block_align
@@ -583,9 +590,7 @@ def write(path, data: np.ndarray, spec: AudioFileSpec) -> AudioFileSpec:
         # Wave64: GUID-chunked RIFF variant; 16-byte GUIDs + 8-byte sizes
         payload = _encode(False)
         is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
-        bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
-                SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
-                SampleFormat.DOUBLE: 64}[fmt]
+        bits = _BITS[fmt]
         wformat = 3 if is_float else 1
         block_align = num_channels * bits // 8
 
@@ -634,9 +639,7 @@ class AudioFileWriter:
     def _write_header(self, num_frames: int) -> None:
         fmt = self.spec.sample_format
         ch = self.spec.num_channels
-        bits = {SampleFormat.INT16: 16, SampleFormat.INT24: 24,
-                SampleFormat.INT32: 32, SampleFormat.FLOAT: 32,
-                SampleFormat.DOUBLE: 64}[fmt]
+        bits = _BITS[fmt]
         payload_len = num_frames * ch * (bits // 8)
         f = self._f
         f.seek(0)
@@ -660,7 +663,11 @@ class AudioFileWriter:
             if len(comm) & 1:
                 body += b"\x00"
             body += struct.pack(">4sI", b"SSND", 8 + payload_len) + struct.pack(">II", 0, 0)
-            f.write(struct.pack(">4sI4s", b"FORM", 4 + len(body) + payload_len,
+            # FORM size counts the alignment pad byte close() appends for
+            # odd payloads (chunk sizes do not)
+            f.write(struct.pack(">4sI4s",
+                                b"FORM",
+                                4 + len(body) + payload_len + (payload_len & 1),
                                 form_type) + body)
         else:  # WAV
             is_float = fmt in (SampleFormat.FLOAT, SampleFormat.DOUBLE)
@@ -674,7 +681,9 @@ class AudioFileWriter:
             if is_float:
                 body += struct.pack("<4sI", b"fact", 4) + struct.pack("<I", num_frames)
             body += struct.pack("<4sI", b"data", payload_len)
-            f.write(struct.pack("<4sI4s", b"RIFF", 4 + len(body) + payload_len,
+            f.write(struct.pack("<4sI4s",
+                                b"RIFF",
+                                4 + len(body) + payload_len + (payload_len & 1),
                                 b"WAVE") + body)
         self._data_start = f.tell()
 
@@ -693,6 +702,12 @@ class AudioFileWriter:
     def close(self) -> None:
         if self._f.closed:
             return
+        # odd payloads (e.g. int24 mono) take the containers' alignment
+        # pad byte, like the one-shot write() path
+        self._f.seek(0, 2)
+        payload = self._f.tell() - self._data_start
+        if payload & 1:
+            self._f.write(b"\x00")
         # patch the final frame count into the (same-length) header
         self._write_header(self._frames_written)
         self._f.close()
@@ -722,6 +737,14 @@ def identify(path) -> Optional[AudioFileType]:
         return AIFF
     if magic == b"RIFF":
         return WAVE
+    if magic == _W64_RIFF_GUID[:4]:
+        # Wave64 shares the ASCII 'riff' prefix of its 16-byte GUID
+        try:
+            with open(os.fspath(path), "rb") as f:
+                if f.read(16) == _W64_RIFF_GUID:
+                    return WAVE64
+        except OSError:
+            return None
     if magic == b".snd":
         return NEXT
     if magic in _IRCAM_MAGICS:

@@ -58,8 +58,10 @@ def _prep_kernel(lens_ref, shift_t_ref, shift_s_ref, feats_ref, norm_ref,
     # slices; masked full-array ops lower cleanly)
     nt = num_temporal
     c_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, dimension=0)
-    is_t = (c_idx < nt).astype(jnp.float32)
-    shift_rows = is_t * shift_t_ref[b] + (1.0 - is_t) * shift_s_ref[b]
+    # select, not an arithmetic blend: a NaN/inf shift in one group (e.g. a
+    # degenerate norm range in the loudness channel) must not poison the
+    # other group via 0·inf — the XLA fallback keeps them separate too
+    shift_rows = jnp.where(c_idx < nt, shift_t_ref[b], shift_s_ref[b])
 
     # padded tail must not hold inf/NaN (it would poison FFT traces): the
     # valid windows never read it, so write the shift-consistent constant
@@ -73,24 +75,31 @@ def _supports_pallas() -> bool:
         return False
 
 
+def _one_normalized_shifts(x, n, norm, nt: int):
+    """Shared per-file math of both device paths: normalized features,
+    valid-frame mask, and the two masked group-mean shifts — one
+    definition so the Pallas and XLA paths cannot drift."""
+    mins = norm[:, 0:1]
+    rng = norm[:, 1:2] - mins
+    y = (x - mins) / rng
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    valid = t_idx < n
+    yt = jnp.where(valid[:nt], y[:nt], 0.0)
+    ys = jnp.where(valid[nt:], y[nt:], 0.0)
+    shift_t = yt.sum() / jnp.maximum(n * nt, 1).astype(jnp.float32)
+    shift_s = ys.sum() / jnp.maximum(
+        n * (y.shape[0] - nt), 1).astype(jnp.float32)
+    return y, valid, shift_t, shift_s
+
+
 @partial(jax.jit, static_argnames=("num_temporal",))
 def _group_shifts(feats: jnp.ndarray, norm: jnp.ndarray, lens: jnp.ndarray,
                   num_temporal: int = 1):
     """Per-file masked group means of the normalized features
     (``(shift_t [B], shift_s [B])``) — one cheap XLA reduction pass."""
-    nt = num_temporal
-
     def one(x, n):
-        mins = norm[:, 0:1]
-        rng = norm[:, 1:2] - mins
-        y = (x - mins) / rng
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        valid = t_idx < n
-        yt = jnp.where(valid[:nt], y[:nt], 0.0)
-        ys = jnp.where(valid[nt:], y[nt:], 0.0)
-        shift_t = yt.sum() / jnp.maximum(n * nt, 1).astype(jnp.float32)
-        shift_s = ys.sum() / jnp.maximum(
-            n * (y.shape[0] - nt), 1).astype(jnp.float32)
+        _, _, shift_t, shift_s = _one_normalized_shifts(
+            x, n, norm, num_temporal)
         return shift_t, shift_s
 
     return jax.vmap(one)(feats, lens)
@@ -103,15 +112,7 @@ def prepare_database_xla(feats: jnp.ndarray, norm: jnp.ndarray,
     nt = num_temporal
 
     def one(x, n):
-        mins = norm[:, 0:1]
-        rng = norm[:, 1:2] - mins
-        y = (x - mins) / rng
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        valid = t_idx < n
-        yt = jnp.where(valid[:nt], y[:nt], 0.0)
-        ys = jnp.where(valid[nt:], y[nt:], 0.0)
-        shift_t = yt.sum() / jnp.maximum(n * nt, 1).astype(jnp.float32)
-        shift_s = ys.sum() / jnp.maximum(n * (y.shape[0] - nt), 1).astype(jnp.float32)
+        y, valid, shift_t, shift_s = _one_normalized_shifts(x, n, norm, nt)
         out = jnp.concatenate([y[:nt] - shift_t, y[nt:] - shift_s], axis=0)
         out = jnp.where(valid, out, jnp.concatenate(
             [jnp.full_like(y[:nt], -shift_t),

@@ -123,12 +123,27 @@ class Processor(Generic[T]):
             self._done.set()
 
     def on_complete(self, hook: Callable[[Result], None]) -> None:
-        """Run ``hook`` at termination (success or failure)."""
+        """Run ``hook`` at termination (success or failure).  Registered on
+        an already-completed processor, the hook fires immediately (like a
+        callback on a completed Future — the reference's onComplete
+        semantics); without this a fast-failing body would race
+        registration and silently drop cleanup."""
         self._on_complete.append(hook)
+        if self._done.is_set():
+            try:
+                hook(self._result)
+            except Exception:  # noqa: BLE001 - hooks must not mask results
+                pass
 
     def on_failure(self, hook: Callable[[Result], None]) -> None:
-        """Run ``hook`` only on failure/abort."""
+        """Run ``hook`` only on failure/abort (immediately when already
+        completed with a failure — see :meth:`on_complete`)."""
         self._on_failure.append(hook)
+        if self._done.is_set() and self._result.failure is not None:
+            try:
+                hook(self._result)
+            except Exception:  # noqa: BLE001
+                pass
 
     def _dispatch(self, event: Any) -> None:
         if self._observer is not None:

@@ -112,7 +112,9 @@ def apply_palette(values: np.ndarray) -> np.ndarray:
     v = np.nan_to_num(np.asarray(values, dtype=np.float32), nan=0.0)
     idx = (np.clip(v, np.float32(0.0), np.float32(1.0))
            * np.float32(NUM_COLORS - 1) + np.float32(0.5)).astype(np.int32)
-    return _TABLE[idx]
+    # same table-swap race clamp as lookup(): NUM_COLORS was read before
+    # a concurrent load_palette could have installed a shorter table
+    return _TABLE[np.minimum(idx, len(_TABLE) - 1)]
 
 
 def lookup(indices: np.ndarray) -> np.ndarray:

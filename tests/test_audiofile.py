@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from strugatzki_tpu.io import audiofile as af
-from strugatzki_tpu.io.formats import AIFF, IRCAM, NEXT, WAVE, SampleFormat
+from strugatzki_tpu.io.formats import (AIFF, IRCAM, NEXT, WAVE, WAVE64,
+                                        SampleFormat)
 
 
 def _sig(channels=3, frames=1000, seed=0):
@@ -253,3 +254,64 @@ def test_read_zero_frame_header(tmp_path):
     back, spec = af.read(p)
     assert back.shape == (2, 150)
     np.testing.assert_array_equal(back, data)
+
+
+def test_aifc_sowt_little_endian_pcm(tmp_path):
+    """CoreAudio's default AIFF-C int16 compression 'sowt' is byte-swapped
+    (little-endian) PCM — must decode with swapped bytes."""
+    import struct
+    data = np.array([[0.125, -0.5, 0.25, 0.0078125]], np.float32)
+    p = tmp_path / "sowt.aif"
+    af.write(p, data, af.AudioFileSpec(AIFF, SampleFormat.INT16, 1, 44100.0))
+    raw = bytearray(p.read_bytes())
+    comm = raw.find(b"COMM")
+    assert comm > 0
+    # rewrite as AIFC with a sowt COMM and byte-swapped samples
+    body = raw[comm + 8:comm + 8 + 18] + b"sowt" + b"\x05sowt\x00"
+    new_comm = b"COMM" + struct.pack(">I", len(body)) + body
+    ssnd = raw.find(b"SSND")
+    (ssnd_size,) = struct.unpack(">I", raw[ssnd + 4:ssnd + 8])
+    samples = bytes(raw[ssnd + 16:ssnd + 8 + ssnd_size])
+    swapped = np.frombuffer(samples, ">i2").astype("<i2").tobytes()
+    out = (raw[:8] + b"AIFC" + new_comm
+           + b"SSND" + struct.pack(">I", 8 + len(swapped)) + b"\x00" * 8
+           + swapped)
+    out = bytearray(out)
+    out[4:8] = struct.pack(">I", len(out) - 8)
+    p2 = tmp_path / "sowt2.aif"
+    p2.write_bytes(bytes(out))
+    got, spec = af.read(p2)
+    assert spec.sample_format == SampleFormat.INT16
+    np.testing.assert_allclose(got, data, atol=1 / 32768)
+
+
+def test_incremental_writer_pads_odd_payload(tmp_path):
+    """int24 mono with an odd frame count: the incremental writer must pad
+    the data chunk to even alignment like the one-shot write()."""
+    data = np.array([[0.1, -0.2, 0.3]], np.float32)   # 9 payload bytes
+    for ft in (AIFF, WAVE):
+        p = tmp_path / f"odd_{ft.id}.x"
+        with af.open_write(p, af.AudioFileSpec(ft, SampleFormat.INT24,
+                                               1, 44100.0)) as w:
+            w.write_frames(data)
+        raw = p.read_bytes()
+        assert len(raw) % 2 == 0
+        # container size fields must cover the pad byte
+        import struct
+        if ft is AIFF:
+            (form,) = struct.unpack(">I", raw[4:8])
+            assert form == len(raw) - 8
+        else:
+            (riff,) = struct.unpack("<I", raw[4:8])
+            assert riff == len(raw) - 8
+        got, spec = af.read(p)
+        assert spec.num_frames == 3
+        np.testing.assert_allclose(got, data, atol=1 / 8388608)
+
+
+def test_identify_wave64(tmp_path):
+    data = np.zeros((1, 64), np.float32)
+    p = tmp_path / "x.w64"
+    af.write(p, data, af.AudioFileSpec(WAVE64, SampleFormat.INT16,
+                                       1, 44100.0))
+    assert af.identify(p) is WAVE64

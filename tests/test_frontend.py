@@ -301,3 +301,29 @@ def test_erb_band_edges_generalized_sane(sr, fft):
         first_empty = int(np.argmax(widths == 0))
         assert (widths[first_empty:] == 0).all(), (sr, fft)
         assert edges[first_empty] == nbins
+
+
+def test_return_carry_plan_invariant_and_exact():
+    """The temporal-mask carry must be the excitation at the last REAL
+    frame under any shape plan.  total=2048 frames: block_frames=8192
+    yields an exact 2048-frame plan (ground truth); block_frames=640
+    pads — the old code returned the padded silence's excitation there."""
+    rng = np.random.default_rng(17)
+    n = 2049 * 512                      # exactly 2048 output frames
+    x = (0.4 * rng.standard_normal(n)).astype(np.float32)
+    _, c_exact = extract_features(x, 44100.0, return_carry=True,
+                                  block_frames=8192)
+    _, c_padded = extract_features(x, 44100.0, return_carry=True,
+                                   block_frames=640)
+    c_exact, c_padded = np.asarray(c_exact), np.asarray(c_padded)
+    assert c_exact.max() > 1.0          # a real (loud) excitation vector
+    np.testing.assert_allclose(c_padded, c_exact, atol=2e-4)
+
+
+def test_features_unchanged_by_carry_capture():
+    """Threading valid_frames must not alter any valid frame's features."""
+    rng = np.random.default_rng(18)
+    x = (0.3 * rng.standard_normal(44100)).astype(np.float32)
+    f_plain = extract_features(x, 44100.0)
+    f_carry, _ = extract_features(x, 44100.0, return_carry=True)
+    np.testing.assert_array_equal(f_plain, f_carry)
