@@ -45,7 +45,11 @@ def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
     mins32 = data.min(axis=1)                                # f32
     maxs32 = data.max(axis=1)                                # f32
     d32 = (maxs32 - mins32).astype(np.float32)               # f32 subtract
-    means = data.astype(np.float64).sum(axis=1) / n          # f64 accumulate
+    # sequential left-to-right f64 accumulation (cumsum, not np.sum's
+    # pairwise reassociation) — the reference adds each Float into a
+    # Double strictly in frame order (:79) and a ULP-different mean can
+    # flip a histogram bin at a pow boundary
+    means = data.astype(np.float64).cumsum(axis=1)[:, -1] / n
     mins = mins32.astype(np.float64)
     d = d32.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -47,16 +47,21 @@ def segment_features(features: np.ndarray, norm, step_size: int,
     num_windows = af_len - win_len + 1 if af_len >= win_len else 1
 
     # normalized span data, zero-padded like the reference's freshly-allocated
-    # buffer when afLen < winLen, then group-shifted (shift-invariant)
+    # buffer when afLen < winLen, then group-shifted (shift-invariant).
+    # The device width is bucketed so sweeps over many lengths reuse a
+    # handful of jit keys (remote compiles cost minutes, CLAUDE.md); the
+    # appended zeros only produce extra windows past num_windows, sliced off
+    from .correlation import _bucket
     xs = normalized(features[:, af_start:af_stop], norm)
-    pad_to = (num_windows - 1) + win_len
+    pad_to = _bucket((num_windows - 1) + win_len)
     if xs.shape[1] < pad_to:
         xs = np.pad(xs, ((0, 0), (0, pad_to - xs.shape[1])))
     xs, _, _ = K.shift_per_group(xs)
 
     check_aborted()
     sims = np.asarray(K.novelty_trace(jnp.asarray(xs), half_win,
-                                      jnp.float32(cfg.temporal_weight)))
+                                      jnp.float32(cfg.temporal_weight))
+                      )[:num_windows]
     check_aborted()
 
     # host replay of the selection loop (:55-83, :121-124)

@@ -39,15 +39,23 @@ NAME = "Strugatzki"
 # ---------------------------------------------------------------------------
 
 def to_percent_str(d: float) -> str:
+    # Java DecimalFormat: NaN takes neither prefix nor suffix; infinities
+    # render as the ∞ symbol with the suffix applied
     if math.isnan(d):
-        return "nan%"
+        return "NaN"
+    if math.isinf(d):
+        return "-∞%" if d < 0 else "∞%"
     return f"{d * 100:.1f}%"
 
 
 def to_db_str(amp: float) -> str:
+    # mirror Java ampToDB + DecimalFormat: log10 of a negative (or NaN)
+    # amp is NaN (bare, no suffix); 0 → -∞ dB; +∞ keeps its sign
+    if math.isnan(amp) or amp < 0:
+        return "NaN"
     db = 20 * math.log10(amp) if amp > 0 else float("-inf")
     if math.isinf(db):
-        return "-inf dB"
+        return "-∞ dB" if db < 0 else "∞ dB"
     return f"{db:.1f} dB"
 
 
@@ -97,7 +105,12 @@ def _secs_to_frames(s: float, sample_rate: float) -> int:
 
 def _mk_span(start, stop, sr) -> Span:
     if start is not None and stop is not None:
-        return Span(_secs_to_frames(start, sr), _secs_to_frames(stop, sr))
+        s0, s1 = _secs_to_frames(start, sr), _secs_to_frames(stop, sr)
+        if s1 < s0:
+            # de.sciss.span.Span construction requires start <= stop
+            raise SystemExit("requirement failed: invalid span "
+                             f"({s0} > {s1})")
+        return Span(s0, s1)
     if start is not None:
         return Span.from_(_secs_to_frames(start, sr))
     if stop is not None:
@@ -134,7 +147,11 @@ def feature_pre(args) -> int:
     FeatureExtraction.verbose = ns.verbose
 
     in_files = []
-    for f in ns.inputs:
+    # the reference's scopt action is `inputs +:= f` (prepend), so it
+    # processes the bare input arguments in REVERSE command-line order
+    # (Strugatzki.scala:458, :475); directory entries keep a stable sorted
+    # order (the reference's File.children order is filesystem-defined)
+    for f in reversed(ns.inputs):
         if os.path.isfile(f):
             in_files.append(f)
         elif os.path.isdir(f):
@@ -246,6 +263,9 @@ def feature_segm(args) -> int:
     sr = af.read_spec(meta_in.audio_input).sample_rate
 
     span = _mk_span(ns.span_start, ns.span_stop, sr)
+    if not span.non_empty:
+        # reference: require(span.nonEmpty, "Span is empty")
+        raise SystemExit("requirement failed: Span is empty")
     corr_frames = _secs_to_frames(ns.length, sr)
     if corr_frames <= 0:
         raise SystemExit("Correlation duration is zero")
@@ -303,6 +323,9 @@ def feature_self(args) -> int:
     meta_in = ExtractionConfig.from_xml_file(ns.input)
     sr = af.read_spec(meta_in.audio_input).sample_rate
     span = _mk_span(ns.span_start, ns.span_stop, sr)
+    if not span.non_empty:
+        # reference: require(span.nonEmpty, "Span is empty")
+        raise SystemExit("requirement failed: Span is empty")
     corr_frames = _secs_to_frames(ns.length, sr)
     if corr_frames <= 0:
         raise SystemExit("Correlation duration is zero")

@@ -170,7 +170,9 @@ def test_batch_transcript_sequential_order(tmp_path):
     assert r.returncode == 0, r.stderr
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
     expect = []
-    for i, name in enumerate(("a", "b", "c")):
+    # scopt's `inputs +:= f` prepends: bare arguments process in REVERSE
+    # command-line order (Strugatzki.scala:458)
+    for i, name in enumerate(("c", "b", "a")):
         expect.append(f"Starting extraction... {name}.aif")
         expect.append("#" * 25 + "  Success.")
         expect.append(f"success = true - tail? {'true' if i < 2 else 'false'}")
@@ -195,10 +197,12 @@ def _match_blocks(stdout: str, punch_out: bool):
         if lines[i].startswith("File      "):
             blk = {"file": lines[i][len("File      "):]}
             assert lines[i + 1].startswith("Similarity: "), lines[i + 1]
-            assert lines[i + 1].rstrip().endswith("%")
+            # Java DecimalFormat renders NaN bare (no % / dB suffix) — NaN
+            # sims are reachable and deliberately rank best (PARITY.md)
+            assert lines[i + 1].rstrip().endswith(("%", "NaN"))
             assert lines[i + 2].startswith("Span start: ")
             assert lines[i + 3].startswith("Boost in  : ")
-            assert lines[i + 3].rstrip().endswith(" dB")
+            assert lines[i + 3].rstrip().endswith((" dB", "NaN"))
             blk["sim"] = lines[i + 1].split(": ")[1]
             blk["start"] = int(lines[i + 2].split(": ")[1])
             i += 4
@@ -311,3 +315,28 @@ def test_extraction_accepts_wav_input(tmp_path):
     fa, _ = af.read(db / "a_feat.aif")
     fb, _ = af.read(db / "b_feat.aif")
     np.testing.assert_array_equal(fa, fb)
+
+
+def test_span_requires_match_reference(demo):
+    """-s / -x replicate the reference's require(span.nonEmpty) and the
+    Span construction requirement (start <= stop)."""
+    _, _, db, _ = demo
+    meta = db / "mixed_feat.xml"
+    r = run_cli("-s", "-d", str(db), "--span-start", "1.0",
+                "--span-stop", "1.0", str(meta))
+    assert r.returncode != 0 and "Span is empty" in (r.stderr + r.stdout)
+    r = run_cli("-s", "-d", str(db), "--span-start", "2.0",
+                "--span-stop", "1.0", str(meta))
+    assert r.returncode != 0 and "requirement failed" in (r.stderr + r.stdout)
+
+
+def test_java_float_formatting():
+    from strugatzki_tpu.cli import to_db_str, to_percent_str
+    assert to_percent_str(float("nan")) == "NaN"       # bare, no suffix
+    assert to_percent_str(float("inf")) == "∞%"
+    assert to_percent_str(0.5) == "50.0%"
+    assert to_db_str(float("nan")) == "NaN"
+    assert to_db_str(-1.0) == "NaN"                    # log10 of negative
+    assert to_db_str(0.0) == "-∞ dB"
+    assert to_db_str(float("inf")) == "∞ dB"
+    assert to_db_str(2.0) == "6.0 dB"
