@@ -47,7 +47,7 @@ from . import ml_tables as T
 
 __all__ = ["FrontendBasis", "extract_features", "extract_features_batch",
            "extract_features_streaming", "finalize_features",
-           "num_output_frames", "BLOCK_FRAMES"]
+           "num_output_frames", "stage_resident_batch", "BLOCK_FRAMES"]
 
 #: Frames per device block (≈ 24s of audio at the default resolution).
 BLOCK_FRAMES = 2048
@@ -344,6 +344,41 @@ def _extract_scan_batch(padded_b: jnp.ndarray, carry_b: jnp.ndarray,
     return jax.vmap(one)(padded_b, carry_b)
 
 
+def stage_resident_batch(audios, sample_rate: float, num_coeffs: int = 13,
+                         fft_size: int = 1024, fft_overlap: int = 2,
+                         smask: float = C.SPECTRAL_MASK_DEFAULT,
+                         tmask: float = C.TEMPORAL_MASK_DEFAULT,
+                         block_frames: int = BLOCK_FRAMES):
+    """Stage a batch for :func:`_extract_scan_batch` on the PRODUCTION
+    layout: padded rows uploaded (staged chunked puts), zero carries, device
+    constants, and the shape plan — ``(x_dev, carry0, consts, block,
+    num_blocks)``.  :func:`extract_features_batch` runs through this, and
+    the resident-compute benches (bench.py, tools/linkbench.py) stage with
+    it so they always time the exact layout production compiles."""
+    step = fft_size // fft_overlap
+    audios = [np.asarray(a) for a in audios]
+    total_max = max(num_output_frames(len(a), step) for a in audios)
+    consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
+                            float(smask), float(tmask))
+    block, num_blocks = _plan_shapes(total_max, block_frames)
+    left_pad = fft_size - step
+    padded_len = num_blocks * block * step + fft_size - step
+    dtype = np.int16 if all(a.dtype == np.int16 for a in audios) else np.float32
+    # np.empty + explicit pad-region zeroing: the rows are mostly payload,
+    # so zeroing the whole buffer first would double host memory traffic
+    # (tens of ms per 100 MB batch on the bench path)
+    padded = np.empty((len(audios), padded_len), dtype)
+    padded[:, :left_pad] = 0
+    for i, a in enumerate(audios):
+        if dtype == np.float32 and a.dtype == np.int16:
+            a = a.astype(np.float32) / 32768.0  # dequantize mixed batches
+        n = min(len(a), padded_len - left_pad)
+        padded[i, left_pad:left_pad + n] = a[:n]
+        padded[i, left_pad + n:] = 0
+    carry0 = jnp.zeros((len(audios), T.ERB_BANDS), dtype=jnp.float32)
+    return _staged_put(padded), carry0, consts, block, num_blocks
+
+
 def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
                            fft_size: int = 1024, fft_overlap: int = 2,
                            smask: float = C.SPECTRAL_MASK_DEFAULT,
@@ -372,26 +407,12 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
             return np.zeros((len(audios), 1, num_coeffs + 1, 0),
                             np.float32), totals
         return np.zeros((len(audios), num_coeffs + 1, 0), np.float32)
-    consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
-                            float(smask), float(tmask))
-    block, num_blocks = _plan_shapes(total_max, block_frames)
-    left_pad = fft_size - step
-    padded_len = num_blocks * block * step + fft_size - step
-    dtype = np.int16 if all(a.dtype == np.int16 for a in audios) else np.float32
-    # np.empty + explicit pad-region zeroing: the rows are mostly payload,
-    # so zeroing the whole buffer first would double host memory traffic
-    # (tens of ms per 100 MB batch on the bench path)
-    padded = np.empty((len(audios), padded_len), dtype)
-    padded[:, :left_pad] = 0
-    for i, a in enumerate(audios):
-        if dtype == np.float32 and a.dtype == np.int16:
-            a = a.astype(np.float32) / 32768.0  # dequantize mixed batches
-        n = min(len(a), padded_len - left_pad)
-        padded[i, left_pad:left_pad + n] = a[:n]
-        padded[i, left_pad + n:] = 0
-    carry0 = jnp.zeros((len(audios), T.ERB_BANDS), dtype=jnp.float32)
+    x_dev, carry0, consts, block, num_blocks = stage_resident_batch(
+        audios, sample_rate, num_coeffs=num_coeffs, fft_size=fft_size,
+        fft_overlap=fft_overlap, smask=smask, tmask=tmask,
+        block_frames=block_frames)
     feats, _ = _extract_scan_batch(
-        _staged_put(padded), carry0, *consts,
+        x_dev, carry0, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
     if as_device:
         return feats, totals

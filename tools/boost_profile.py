@@ -33,19 +33,15 @@ SCSYNTH = {200: 20, 300: 10, 400: 2.4, 1000: 0, 2000: 10, 3000: 30,
 
 
 def main() -> None:
-    from strugatzki_tpu.dsp.frontend import extract_features
+    # the one measurement definition lives in fit_contours.measure — the
+    # fitter and this profiler must measure the same experiment
+    from fit_contours import measure
 
-    sr = 44100.0
-    t = np.arange(int(sr)) / sr
-    diff = 0.5
+    freqs = list(SCSYNTH)
+    errs = measure(freqs)
     print(f"{'freq':>6} {'ours err%':>10} {'scsynth |err|%':>15}")
-    for f, ref_err in SCSYNTH.items():
-        x1 = np.sin(2 * np.pi * f * t).astype(np.float32)
-        l1 = extract_features(x1, sr)[0, 20:-20].mean()
-        l2 = extract_features((diff * x1).astype(np.float32), sr)[0, 20:-20].mean()
-        loss = np.exp((np.log(l2) - np.log(l1)) / 0.6)
-        err = (loss - diff) * 100 / diff
-        print(f"{f:>6} {err:>10.1f} {ref_err:>15}")
+    for f, err in zip(freqs, errs):
+        print(f"{f:>6} {err:>10.1f} {SCSYNTH[f]:>15}")
 
 
 if __name__ == "__main__":

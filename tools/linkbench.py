@@ -3,10 +3,14 @@
 Measures, with forced round-trips (``block_until_ready`` acks before the
 relay actually moves bytes — a dependent scalar fetch does not):
 
-1. h2d bandwidth vs transfer size (the relay's large-transfer cliff),
-2. serial-chunked vs concurrent puts,
-3. content dependence (the relay compresses: constant vs random payloads),
-4. resident extraction compute (forced tail probe) vs end-to-end.
+1. h2d bandwidth vs transfer size (the relay's large-transfer cliff —
+   the experiment behind the ≤24 MB staged-put policy),
+2. content dependence (the relay compresses: constant vs random payloads),
+3. resident extraction compute (forced tail probe) vs end-to-end.
+
+(The one-off chunked-vs-concurrent-puts comparison lives in
+docs/BENCH_LINK.md §3: concurrency never beat serial chunked puts on the
+single-stream relay, so it is not part of the recurring tool.)
 
 Run on the real chip: ``python tools/linkbench.py``.  Expect minutes; the
 tunnel stalls randomly, so every row reports best-of-3.
@@ -64,15 +68,10 @@ def main() -> None:
     audio = np.clip(np.round(0.25 * rng.standard_normal(n) * 32768),
                     -32768, 32767).astype(np.int16)
     step, fft = 512, 1024
-    total = FE.num_output_frames(n, step)
-    block, nb = FE._plan_shapes(total, 8192)
-    consts = FE._device_consts(sr, fft, 13, 0.25, 1.0)
-    padded = np.zeros((reps, nb * block * step + fft - step), np.int16)
-    padded[:, fft - step:fft - step + n] = audio
-    x_dev = FE._staged_put(padded)
+    # production staging layout from the shared helper (frontend)
+    x_dev, carry0, consts, block, nb = FE.stage_resident_batch(
+        [audio] * reps, sr, block_frames=8192)
     int(probe(x_dev))
-    from strugatzki_tpu.dsp.ml_tables import ERB_BANDS
-    carry0 = jnp.zeros((reps, ERB_BANDS), jnp.float32)
 
     def run_resident():
         t0 = time.perf_counter()

@@ -1,6 +1,6 @@
 """Self-similarity benchmark — BASELINE.md config 4.
 
-3-minute piece, corrLen 44100 (half-window 86), decimation 4 → a 3877×3877
+3-minute piece, corrLen 44100 (half-window 86), decimation 4 → a 3833×3833
 matrix (15 M cells).  Measures, on the active backend:
 
   1. float32 matrix fetch + host colorize (the round-2 pipeline: 60 MB of
@@ -114,7 +114,7 @@ def main() -> None:
           f"({os.path.getsize(out) / 1e6:.1f} MB file)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "self-similarity 3-min (extent 3877) image",
+        "metric": "self-similarity 3-min (extent 3833) image",
         "value": round(t_pix, 2),
         "unit": "s",
         "f32_path_s": round(t_f32, 2),
