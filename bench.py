@@ -152,6 +152,16 @@ def main() -> None:
     except Exception as e:  # diagnostics only
         print(f"resident-compute diagnostic skipped: {e}", file=sys.stderr)
 
+    # ---- the contract line FIRST: the optional correlation diagnostic
+    # below can compile for minutes through the relay, and a driver
+    # timeout must never cost the metric
+    print(json.dumps({
+        "metric": "feature-extraction realtime multiple per chip",
+        "value": round(rt, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(rt / 1000.0, 3),
+    }), flush=True)
+
     # ---- correlation sweep diagnostic (north star: 10s punch vs 10k-file
     # DB < 1s). Off by default: axon remote compiles don't hit the
     # persistent cache, and each extra program risks minutes of compile.
@@ -196,15 +206,8 @@ def main() -> None:
                   f"base (uncached 10k MEASURED 0.82-0.85s, "
                   f"tools/db10k_bench.py; north star < 1s); "
                   f"best @ {res.frames[0, 0]}", file=sys.stderr)
-        except Exception as e:  # never break the metric line
+        except Exception as e:  # diagnostics only; metric already printed
             print(f"correlation bench skipped: {e}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "feature-extraction realtime multiple per chip",
-        "value": round(rt, 1),
-        "unit": "x realtime",
-        "vs_baseline": round(rt / 1000.0, 3),
-    }))
 
 
 if __name__ == "__main__":
