@@ -2,14 +2,17 @@
 synthesize 10,000 two-minute feature files (5.8 GB), stage them resident
 (slab-wise; ~1.5-3 min through the relay), and answer a 10 s punch query.
 
-Measured 2026-08-16 (one v5e through the relay): staging 85-180 s,
+Measured 2026-08-16/17 (one v5e through the relay): staging 58-180 s,
 query 816-852 ms — north star < 1 s (BASELINE.json); with --punch, the
 full punch-in × punch-out combined search measures 1.23-1.28 s.
 
 ``--compact`` stages bf16 features + a bf16-packed spectra cache
-(~8.1 GB total vs 5.8 GB features-only f32): queries then skip every
-forward FFT, and the automatic exact re-rank (+4x k-inflation) keeps the
-returned results exact.
+(7.87 GiB resident vs 5.8 GiB features-only f32): queries then skip every
+forward FFT, and the automatic exact re-rank (+4x k-inflation, capped at
+the 4096 globally best candidates) keeps the returned results exact.
+Measured compact: query 1.31-1.52 s, punch 5.5-5.8 s; the query program's
+remote compile is the expensive part through this relay (344-1766 s
+observed — the punch program then compiles in ~19 s).
 
     python tools/db10k_bench.py [--punch] [--compact]
 """
