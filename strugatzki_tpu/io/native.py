@@ -38,39 +38,53 @@ def lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _tried:
             return _lib
-        _tried = True
-        if os.environ.get("STRUGATZKI_NO_NATIVE"):
-            return None
-        so = os.path.join(_native_dir(), "libstrugatzki_codec.so")
-        src = os.path.join(_native_dir(), "codec.cpp")
-        stale = (not os.path.exists(so)
-                 or (os.path.exists(src)
-                     and os.path.getmtime(src) > os.path.getmtime(so)))
-        if stale:
-            try:
-                subprocess.run(["make", "-C", _native_dir()],
-                               check=True, capture_output=True, timeout=120)
-            except Exception:
-                if not os.path.exists(so):
-                    return None
         try:
-            l = ctypes.CDLL(so)
-        except OSError:
-            return None
-        l.strug_decode.restype = ctypes.c_int
-        l.strug_decode.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
-        l.strug_encode.restype = ctypes.c_int
-        l.strug_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
-        l.strug_fix_nans.restype = ctypes.c_int
-        l.strug_fix_nans.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int64]
-        _lib = l
+            _lib = _load()
+        finally:
+            # only now: concurrent callers short-circuit to None while the
+            # build is in flight otherwise, silently taking the numpy path
+            # for the whole (up to 120 s) make window
+            _tried = True
         return _lib
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    if os.environ.get("STRUGATZKI_NO_NATIVE"):
+        return None
+    so = os.path.join(_native_dir(), "libstrugatzki_codec.so")
+    src = os.path.join(_native_dir(), "codec.cpp")
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
+        try:
+            subprocess.run(["make", "-C", _native_dir()],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            # a stale .so must NOT be used when its required rebuild
+            # failed — the numpy fallback is the correct path then
+            return None
+    try:
+        l = ctypes.CDLL(so)
+    except OSError:
+        return None
+    return _bind(l)
+
+
+def _bind(l: ctypes.CDLL) -> ctypes.CDLL:
+    l.strug_decode.restype = ctypes.c_int
+    l.strug_decode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    l.strug_encode.restype = ctypes.c_int
+    l.strug_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    l.strug_fix_nans.restype = ctypes.c_int
+    l.strug_fix_nans.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64]
+    return l
 
 
 def decode(raw: bytes, frames: int, channels: int, fmt: str,
@@ -79,6 +93,10 @@ def decode(raw: bytes, frames: int, channels: int, fmt: str,
     None if the native library is unavailable."""
     l = lib()
     if l is None or fmt not in FMT_CODES:
+        return None
+    bps = {"int16": 2, "int24": 3, "int32": 4, "float": 4, "double": 8}[fmt]
+    if len(raw) < frames * channels * bps:
+        # never hand native code a frame count the buffer can't back
         return None
     out = np.empty((channels, frames), dtype=np.float32)
     rc = l.strug_decode(

@@ -30,8 +30,13 @@ def configure() -> None:
     if plat:
         try:
             jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+        except Exception as e:
+            # never silently lose the documented escape hatch — a backend
+            # initialized before this import cannot be switched anymore
+            import warnings
+            warnings.warn(f"STRUGATZKI_PLATFORM={plat!r} could not be "
+                          f"applied ({e!r}); the already-initialized JAX "
+                          f"backend stays active", RuntimeWarning)
 
     cache_dir = os.environ.get(
         "STRUGATZKI_COMPILE_CACHE",

@@ -89,6 +89,11 @@ class Processor(Generic[T]):
         self._progress = 0.0
         self._on_complete: list = []
         self._on_failure: list = []
+        # guards the registration-vs-snapshot race: once _run has taken its
+        # hook snapshot (under this lock), late registrations fire
+        # immediately instead of landing in a list nobody reads again
+        self._hook_lock = threading.Lock()
+        self._hooks_taken = False
         # weighted sub-progress support (reference ProcessorImpl.await(child, weight))
         self._progress_base = 0.0
         self._progress_weight = 1.0
@@ -109,9 +114,11 @@ class Processor(Generic[T]):
         finally:
             # cleanup hooks, mirroring the reference's onFailure/onComplete
             # temp-file lifecycle (NonRealtimeProcessor.scala:50-55)
-            hooks = list(self._on_complete)
-            if self._result.failure is not None:
-                hooks += list(self._on_failure)
+            with self._hook_lock:
+                hooks = list(self._on_complete)
+                if self._result.failure is not None:
+                    hooks += list(self._on_failure)
+                self._hooks_taken = True
             for h in hooks:
                 try:
                     h(self._result)
@@ -128,18 +135,23 @@ class Processor(Generic[T]):
         callback on a completed Future — the reference's onComplete
         semantics); without this a fast-failing body would race
         registration and silently drop cleanup."""
-        self._on_complete.append(hook)
-        if self._done.is_set():
-            try:
-                hook(self._result)
-            except Exception:  # noqa: BLE001 - hooks must not mask results
-                pass
+        with self._hook_lock:
+            if not self._hooks_taken:
+                self._on_complete.append(hook)
+                return
+        try:
+            hook(self._result)
+        except Exception:  # noqa: BLE001 - hooks must not mask results
+            pass
 
     def on_failure(self, hook: Callable[[Result], None]) -> None:
         """Run ``hook`` only on failure/abort (immediately when already
         completed with a failure — see :meth:`on_complete`)."""
-        self._on_failure.append(hook)
-        if self._done.is_set() and self._result.failure is not None:
+        with self._hook_lock:
+            if not self._hooks_taken:
+                self._on_failure.append(hook)
+                return
+        if self._result.failure is not None:
             try:
                 hook(self._result)
             except Exception:  # noqa: BLE001

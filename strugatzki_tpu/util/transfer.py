@@ -10,6 +10,10 @@ device-side copy buys immunity to the cliff.
 
 from __future__ import annotations
 
+from ..runtime.platform import configure as _configure_platform
+
+_configure_platform()   # this module touches the device (staged puts)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
