@@ -5,8 +5,7 @@ indexing, float64 math), in both no-punch-out and punch-out modes."""
 import numpy as np
 import pytest
 
-from strugatzki_tpu.analysis.correlation import (InputTemplate,
-                                                 correlate_database)
+from strugatzki_tpu.analysis.correlation import correlate_database
 from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig, Match,
                                    Punch)
 from strugatzki_tpu.kernels import mathref as M
@@ -172,7 +171,12 @@ def _scala_reference_correlation(meta_in_feats, db, norm, cfg):
                         b_in = float(boosts_in[t_in_off + i])
                         low = low_sim()
                         hs = has_space()
-                        if in_sim > low * low:
+                        # low² and inSim·outSim are Java FLOAT multiplies:
+                        # round the products to f32 (the unrounded f64
+                        # value flips the rounded result on ~13% of random
+                        # pairs — the implementation and Scala agree on
+                        # f32, so the oracle must too)
+                        if in_sim > float(np.float32(low * low)):
                             n2 = min(t_out_size - i, max_p - min_p + 1, w_out - i)
                             po_off = t_in_off + i + min_p
                             for k in range(max(n2, 0)):
@@ -180,8 +184,8 @@ def _scala_reference_correlation(meta_in_feats, db, norm, cfg):
                                 with np.errstate(invalid="ignore"):
                                     # NaN for negative products is the
                                     # reference's own behavior (:370)
-                                    s = float(np.float32(np.sqrt(
-                                        np.float64(in_sim) * out_sim)))
+                                    s = float(np.float32(np.sqrt(np.float64(
+                                        np.float32(in_sim * out_sim)))))
                                 if hs or s > low:
                                     add(Match(s, name,
                                               Span(t2f(t_in_off + i), t2f(po_off + k)),
@@ -372,9 +376,12 @@ def test_fuzz_parity_with_transcription(seed):
 
 
 def test_punch_out_tiny_file_zero_tail():
-    """A file shorter than punchInLen + minPunch: the reference's single
-    punch-in window is zero-tailed at numFrames − minPunch even though the
-    file has more frames (it never reads them)."""
+    """A file shorter than punchInLen + minPunch: the single punch-in
+    window is zero-tailed at numFrames − minPunch even though the file has
+    more frames (it never reads them).  NOTE the reference only guarantees
+    zeros for the FIRST database file — afterwards its shared window
+    buffer holds the previous file's stale frames (docs/PARITY.md
+    divergence 9); we pin the reproducible zeros behavior."""
     rng = np.random.default_rng(77)
     C = 14
     inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, 200))).astype(np.float32)

@@ -211,10 +211,7 @@ def test_correlation_trace_multi_temporal_boost_uses_channel0():
     """With num_temporal > 1 the boost must still come from channel 0's
     window mean only (reference calcBoost averages b(0),
     FeatureCorrelationImpl.scala:73-78), not the whole temporal group."""
-    import jax.numpy as jnp
     from strugatzki_tpu.analysis.correlation import InputTemplate
-    from strugatzki_tpu.kernels import corr as K
-    from strugatzki_tpu.kernels import mathref as M
 
     rng = np.random.default_rng(5)
     nt = 2

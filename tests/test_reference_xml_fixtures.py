@@ -4,9 +4,13 @@ Java number formatting included), hand-transcribed from the toXML
 definitions at FeatureCorrelation.scala:55-63 (Match), :94-99 (Punch),
 :231-244 (Config), FeatureSegmentation.scala:48-52 (Break), :179-189
 (Config), SelfSimilarity.scala:217-238, CrossSimilarity.scala:207-219,
-impl/SpanUtil.scala:32-36.  Our parsers must read these verbatim, and our
-serializer's output must round-trip through a whitespace-insensitive
-``(xml \\ "tag").text``-style read like the Scala readers use."""
+impl/SpanUtil.scala:32-36.  One known byte-level delta: where an optional
+element is absent, scala-xml leaves the literal's two adjacent ``"\\n  "``
+text nodes — a blank line holding two trailing spaces — which these
+fixtures write as a bare newline.  Our parsers must read these verbatim,
+and our serializer's output must round-trip through a
+whitespace-insensitive ``(xml \\ "tag").text``-style read like the Scala
+readers use."""
 
 import math
 import xml.etree.ElementTree as ET

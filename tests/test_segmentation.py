@@ -3,6 +3,7 @@ reference loop (ring buffer + correlateHalf + sorted-set), and end-to-end
 break detection."""
 
 import numpy as np
+import pytest
 
 from strugatzki_tpu.analysis.segmentation import segment_features
 from strugatzki_tpu.config import Break, SegmentationConfig
@@ -30,22 +31,33 @@ def _scala_reference_segmentation(features, norm, step, cfg):
     num_coeffs = features.shape[0] - 1
     buf = np.zeros((features.shape[0], win_len), np.float32)
 
-    prio = []  # list of Break, kept sorted by sim ascending; sims unique
+    # BreakMaxOrd is java.lang.Float.compare on the sim — a TOTAL order
+    # (NaN == NaN sorts above +Inf, -0.0 < 0.0); raw Python float
+    # equality would never dedup NaNs and misorders the edge values
+    def _jkey(sim):
+        import struct as _s
+        u = _s.unpack(">I", _s.pack(">f", sim))[0]
+        if (u & 0x7F800000) == 0x7F800000 and (u & 0x007FFFFF):
+            u = 0x7FC00000          # canonical NaN (Float.floatToIntBits)
+        return u + 0x80000000 if u < 0x80000000 else 0xFFFFFFFF - u
+
+    prio = []  # list of Break, sorted by Float.compare ascending; unique
     last_break = None
 
     def add_break(b):
         nonlocal last_break, prio
         if last_break is not None and (b.pos - last_break.pos) < cfg.min_spacing:
             if last_break.sim > b.sim:
-                prio = [x for x in prio if x.sim != last_break.sim]
-                if all(x.sim != b.sim for x in prio):
+                prio = [x for x in prio
+                        if _jkey(x.sim) != _jkey(last_break.sim)]
+                if all(_jkey(x.sim) != _jkey(b.sim) for x in prio):
                     prio.append(b)
-                    prio.sort(key=lambda x: x.sim)
+                    prio.sort(key=lambda x: _jkey(x.sim))
                 last_break = b
         else:
-            if all(x.sim != b.sim for x in prio):
+            if all(_jkey(x.sim) != _jkey(b.sim) for x in prio):
                 prio.append(b)
-                prio.sort(key=lambda x: x.sim)
+                prio.sort(key=lambda x: _jkey(x.sim))
                 if len(prio) > cfg.num_breaks:
                     prio.pop()  # drop highest sim
             last_break = b
@@ -140,9 +152,6 @@ def test_short_span_single_window():
     assert len(ours) == len(ref) == 1
     assert ours[0].pos == ref[0].pos
     assert abs(ours[0].sim - ref[0].sim) < 2e-5
-
-
-import pytest
 
 
 @pytest.mark.parametrize("seed", range(16))
