@@ -24,16 +24,19 @@ import numpy as np
 
 
 def giant() -> None:
-    """--giant: stream an extent-20001 image (400M cells — the regime of
-    the reference's 46340 ceiling, where its per-cell disk loop is O(days))
-    straight to PNG: device colorization, bounded host memory, parallel
-    deflate."""
+    """--giant [extent]: stream a giant image (default extent 20001;
+    ``--giant 46340`` is the reference's hard ceiling, 2.1B cells, where
+    its per-cell disk loop is O(weeks)) straight to PNG: device
+    colorization, bounded host memory, parallel deflate."""
     from strugatzki_tpu.analysis.self_similarity import self_similarity_to_png
     from strugatzki_tpu.kernels import corr as K
 
     import jax
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    n, half_win = 20001, 4
+    idx = sys.argv.index("--giant")
+    n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 \
+        and sys.argv[idx + 1].isdigit() else 20001
+    half_win = 4
     rng = np.random.default_rng(0)
     x = np.abs(0.5 + 0.1 * rng.standard_normal(
         (2, n + 2 * half_win - 1))).astype(np.float32)
@@ -46,7 +49,7 @@ def giant() -> None:
     print(f"extent {got}: {el:.0f}s end-to-end "
           f"({os.path.getsize(out) / 1e6:.0f} MB PNG)", file=sys.stderr)
     print(json.dumps({
-        "metric": "giant streaming self-similarity (extent 20001)",
+        "metric": f"giant streaming self-similarity (extent {n})",
         "value": round(el, 1), "unit": "s",
         "png_mb": round(os.path.getsize(out) / 1e6, 1)}))
 
