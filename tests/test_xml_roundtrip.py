@@ -8,6 +8,9 @@ suite does not cover) and cross-implementation fixture strings.
 """
 
 import os
+
+import numpy as np
+import pytest
 import xml.etree.ElementTree as ET
 
 from strugatzki_tpu import (Break, ChannelsBehavior, ColorScheme,
@@ -207,3 +210,44 @@ def test_match_nan_and_inf_serialization():
     assert math.isnan(back.sim)
     assert back.boost_in == float("inf")
     assert back.boost_out == -float("inf")
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_serde_idempotence(seed):
+    """Property: serialize -> parse -> serialize is byte-stable for every
+    config type under randomized primitive fields (float32 quantization,
+    int encodings, booleans, enum ids)."""
+    import dataclasses
+
+    rng = np.random.default_rng(4000 + seed)
+
+    def fuzz(cfg, int_hi=10**6):
+        for f in dataclasses.fields(cfg):
+            v = getattr(cfg, f.name)
+            if f.name == "channels_behavior":
+                setattr(cfg, f.name, int(rng.integers(0, 3)))
+            elif f.name == "colors":
+                setattr(cfg, f.name, str(rng.choice(["gray", "psycho"])))
+            elif isinstance(v, bool):
+                setattr(cfg, f.name, bool(rng.integers(2)))
+            elif isinstance(v, int):
+                setattr(cfg, f.name, int(rng.integers(1, int_hi)))
+            elif isinstance(v, float):
+                setattr(cfg, f.name, float(rng.uniform(1e-4, 16.0)))
+        return cfg
+
+    cases = [
+        fuzz(ExtractionConfig(audio_input="a.aif", feature_output="f.aif")),
+        fuzz(CorrelationConfig(
+            punch_in=Punch(Span(int(rng.integers(0, 9999)) * 512,
+                                int(rng.integers(10000, 20000)) * 512),
+                           float(rng.uniform(0, 1))))),
+        fuzz(SegmentationConfig()),
+        fuzz(SelfSimilarityConfig(image_output="x.png")),
+        fuzz(CrossSimilarityConfig(audio_output="y.aif")),
+    ]
+    for cfg in cases:
+        x1 = ET.tostring(cfg.to_xml())
+        parsed = type(cfg).from_xml(ET.fromstring(x1))
+        x2 = ET.tostring(parsed.to_xml())
+        assert x1 == x2, (type(cfg).__name__, x1, x2)
