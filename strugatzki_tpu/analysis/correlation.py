@@ -62,6 +62,13 @@ class InputTemplate:
     def __init__(self, block: np.ndarray, num_temporal: int = 1) -> None:
         self.num_frames = block.shape[1]
         self.num_temporal = num_temporal
+        # the RAW normalized groups, for host-exact paths: reconstructing
+        # the block as centered + f32(mean) costs up to 1 ulp per cell and
+        # can flip exact-compare selection gates
+        self.temporal_block = np.asarray(block[:num_temporal],
+                                         np.float32).copy()
+        self.spectral_block = np.asarray(block[num_temporal:],
+                                         np.float32).copy()
         self.temporal_centered, self.temporal_mean, self.temporal_std = \
             K.prepare_template(block[:num_temporal])
         self.spectral_centered, self.spectral_mean, self.spectral_std = \
@@ -90,6 +97,11 @@ class InputTemplate:
         """Reference ``readInBuffer`` (:83-98): slice feature frames
         ``[start, stop)``, zero-padded at EOF like a partial read, normalize,
         compute stats."""
+        if start < 0:
+            # the reference's afIn.seek(negative) throws; a Python negative
+            # slice would silently grab tail frames instead
+            raise ValueError(f"punch span starts before the file "
+                             f"(feature frame {start})")
         frame_num = stop - start
         block = np.zeros((features.shape[0], frame_num), np.float32)
         avail = features[:, start:min(stop, features.shape[1])]
@@ -164,13 +176,13 @@ def _single_window_trace(avail: np.ndarray, norm, template: InputTemplate,
         if temp_weight > 0:
             bm, bs = M.stat(win, 0, L, 0, nt)
             sim_t = M.correlate(
-                template.temporal_centered + np.float32(template.temporal_mean),
+                template.temporal_block,
                 template.temporal_mean, template.temporal_std, L, nt,
                 win, bm, bs, 0, 0)
         if temp_weight < 1:
             bm, bs = M.stat(win, 0, L, nt, win.shape[0] - nt)
             sim_s = M.correlate(
-                template.spectral_centered + np.float32(template.spectral_mean),
+                template.spectral_block,
                 template.spectral_mean, template.spectral_std, L,
                 win.shape[0] - nt, win, bm, bs, 0, nt)
         sim = np.float32(sim_t * np.float32(temp_weight)
@@ -178,14 +190,6 @@ def _single_window_trace(avail: np.ndarray, norm, template: InputTemplate,
     else:
         sim = np.float32(0.0)
     return (np.array([sim], np.float32), np.array([boost], np.float32))
-
-
-def _prepare_file(features: np.ndarray, norm) -> Tuple[np.ndarray, float, float]:
-    """Normalize a file's features and group-shift them on host (used by
-    the cross-similarity path; the database search preps on device via
-    kernels/pallas_prep)."""
-    xn = normalized(features, norm)
-    return K.shift_per_group(xn)
 
 
 def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
@@ -244,15 +248,24 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
 
     chunk_size = 32
 
+    # per-search scalar constants staged on device ONCE: each eager
+    # jnp.float32 is a host→device upload (~40 ms relay RTT), and a 10k-file
+    # sweep dispatches hundreds of chunks
+    _scal_cache: dict = {}
+
     def _trace_batch(xs_dev, shifts_dev, template: InputTemplate,
                      temp_weight: float):
+        sc = _scal_cache.get(id(template))
+        if sc is None:
+            sc = (jnp_.float32(template.temporal_std),
+                  jnp_.float32(template.spectral_std),
+                  jnp_.float32(template.ln_avg_loudness),
+                  jnp_.float32(temp_weight), jnp_.float32(cfg.max_boost))
+            _scal_cache[id(template)] = sc
         sims, boosts = _batched_traces(
             xs_dev,
             template.device_temporal(), template.device_spectral(),
-            jnp_.float32(template.temporal_std),
-            jnp_.float32(template.spectral_std),
-            jnp_.float32(template.ln_avg_loudness), shifts_dev,
-            jnp_.float32(temp_weight), jnp_.float32(cfg.max_boost))
+            sc[0], sc[1], sc[2], shifts_dev, sc[3], sc[4])
         return sims, boosts
 
     def dispatch_chunk(chunk_entries):
@@ -269,9 +282,17 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
             feats_list.append(np.zeros((feats_list[0].shape[0], 1), np.float32))
             lens.append(0)
         raw, lens_arr = pad_stack(feats_list)
-        t_pad = _bucket(raw.shape[2])
+        # the device width must cover the TEMPLATE too: a chunk whose files
+        # are all shorter than the punch would otherwise feed the trace a
+        # Tp < L input (negative window count → garbage/empty traces for
+        # the single zero-tail window the reference computes)
+        t_pad = _bucket(max(raw.shape[2], punch_in_len, punch_out_len))
         if raw.shape[2] < t_pad:
             raw = np.pad(raw, ((0, 0), (0, 0), (0, t_pad - raw.shape[2])))
+        if verbose:
+            import sys as _sys
+            print(f"  chunk: {len(chunk_entries)} files dispatched "
+                  f"(device width {t_pad})", file=_sys.stderr)
         xs_dev, shifts_dev = prepare_database(raw, norm, lens_arr)
         in_b = _trace_batch(xs_dev, shifts_dev, matrix_in, in_temp_weight)
         out_b = None
@@ -376,8 +397,9 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
             while t < w_in:
                 if entry_has_space():
                     sim = float(sims_in[t])
+                elif sims_in[t] > (low := lowest_sim()):
+                    sim = float(sims_in[t])   # scalar fast path: no O(W) scan
                 else:
-                    low = lowest_sim()
                     rel = int(np.argmax(sims_in[t:] > low))
                     sim = float(sims_in[t + rel])
                     if not sim > low:
@@ -424,10 +446,12 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                         # a Java Float multiply: round to f32 (the f64
                         # product can sit 1 ulp away and flip the gate)
                         low2 = np.float32(low * low)
-                        rel = int(np.argmax(tin_sims[i:] > low2))
-                        if not tin_sims[i + rel] > low2:
-                            break
-                        i += rel
+                        if not tin_sims[i] > low2:   # scalar-first: the
+                            # suffix scan is O(n) and runs per candidate
+                            rel = int(np.argmax(tin_sims[i:] > low2))
+                            if not tin_sims[i + rel] > low2:
+                                break
+                            i += rel
                         in_sim = float(tin_sims[i])
                         boost_in = float(boosts_in[t_in_off + i])
                         seek = i
@@ -443,12 +467,12 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                             pi_off = t_in_off + i
                             k = 0
                             while k < n2:
-                                if not hs:
+                                if not hs and not sims_c[k] > low:
                                     # jump to the next candidate above `low`
-                                    cand = np.nonzero(sims_c[k:] > low)[0]
-                                    if cand.size == 0:
+                                    rel = int(np.argmax(sims_c[k:] > low))
+                                    if not sims_c[k + rel] > low:
                                         break
-                                    k += int(cand[0])
+                                    k += rel
                                 sim = float(sims_c[k])
                                 if skip_nan and math.isnan(sim):
                                     k += 1

@@ -903,26 +903,26 @@ class FeatureDatabase:
                  - np.log(avg32.astype(np.float64))) / 0.6
             ).astype(np.float32)
 
-            def group_sim(lo, hi, centered, a_mean, a_std):
+            def group_sim(lo, hi, block, a_mean, a_std):
                 g = w64[:, lo:hi, :]
                 size = (hi - lo) * L
                 bm = g.reshape(n, -1).sum(axis=1) / size
                 var = ((g - bm[:, None, None]) ** 2
                        ).reshape(n, -1).sum(axis=1) / size
                 bs = np.sqrt(var)
-                # f32 reconstruction THEN widening, exactly like
-                # _single_window_trace feeding M.correlate
-                a64 = (np.asarray(centered, np.float32)
-                       + np.float32(a_mean)).astype(np.float64)
+                # the RAW normalized template block (reconstructing it as
+                # centered + f32(mean) costs 1 ulp per cell and can flip
+                # exact-compare selection gates), widened like M.correlate
+                a64 = np.asarray(block, np.float32).astype(np.float64)
                 num = ((a64[None] - a_mean) * (g - bm[:, None, None])
                        ).reshape(n, -1).sum(axis=1)
                 return (num / (a_std * bs * size)).astype(np.float32)
 
-            sim_t = group_sim(0, nt, template.temporal_centered,
+            sim_t = group_sim(0, nt, template.temporal_block,
                               template.temporal_mean,
                               template.temporal_std) \
                 if temp_weight > 0 else np.zeros(n, np.float32)
-            sim_s = group_sim(nt, C, template.spectral_centered,
+            sim_s = group_sim(nt, C, template.spectral_block,
                               template.spectral_mean,
                               template.spectral_std) \
                 if temp_weight < 1 else np.zeros(n, np.float32)

@@ -429,3 +429,23 @@ def test_fuzz_varying_file_lengths_with_punch_out(seed):
         min_spacing=0).build()
     ours2, ref2 = _run_both(inp, files, cfg2)
     _assert_same(ours2, ref2)
+
+
+def test_template_longer_than_every_file():
+    """A chunk whose files are ALL shorter than the punch-in template: each
+    file contributes the reference's single zero-tailed window (the device
+    width must be padded up to the template, or the trace has a negative
+    window count)."""
+    rng = np.random.default_rng(123)
+    C = 14
+    files = [(f"s{i}.aif",
+              np.abs(0.5 + 0.1 * rng.standard_normal((C, 30 + 7 * i)))
+              .astype(np.float32)) for i in range(4)]
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, 200))).astype(np.float32)
+    cfg = CorrelationConfig(
+        punch_in=Punch(Span(10 * STEP, 130 * STEP), 0.5),   # L = 120 > all
+        min_punch=20 * STEP, max_punch=40 * STEP,
+        normalize=False, num_matches=4, num_per_file=1).build()
+    ours, ref = _run_both(inp, files, cfg, norm=None)
+    _assert_same(ours, ref)
+    assert len(ours) > 0          # every file offers its single window
