@@ -167,7 +167,7 @@ def main() -> None:
     # persistent cache, and each extra program risks minutes of compile.
     # Measured on this chip (2026-08-16): 64 files ~46 ms, 512 files
     # ~62 ms incl. the ~28 ms relay RTT -> ~68 us/file device time ->
-    # real 10k-file DB measured 0.82-0.85 s (tools/db10k_bench.py).
+    # real 10k-file DB measured 0.78-0.85 s (tools/db10k_bench.py).
     if not os.environ.get("BENCH_CORRELATION"):
         print("correlation bench skipped (set BENCH_CORRELATION=1)",
               file=sys.stderr)
@@ -203,7 +203,7 @@ def main() -> None:
                   f"latency {lat * 1000:.1f} ms, amortized {amort * 1000:.1f} ms "
                   f"/{n_files} files = {windows / amort / 1e6:.0f}M windows/s; "
                   f"10k-file est ≈ {est10k:.2f}s from this cached-spectra "
-                  f"base (uncached 10k MEASURED 0.82-0.85s, "
+                  f"base (uncached 10k MEASURED 0.78-0.85s, "
                   f"tools/db10k_bench.py; north star < 1s); "
                   f"best @ {res.frames[0, 0]}", file=sys.stderr)
         except Exception as e:  # diagnostics only; metric already printed

@@ -3,7 +3,7 @@ synthesize 10,000 two-minute feature files (5.8 GB), stage them resident
 (slab-wise; ~1.5-3 min through the relay), and answer a 10 s punch query.
 
 Measured 2026-08-16/17 (one v5e through the relay): staging 58-180 s,
-query 816-852 ms — north star < 1 s (BASELINE.json); with --punch, the
+query 779-852 ms — north star < 1 s (BASELINE.json); with --punch, the
 full punch-in × punch-out combined search measures 1.23-1.28 s.
 
 ``--compact`` stages bf16 features + a bf16-packed spectra cache
