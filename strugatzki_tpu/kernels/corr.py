@@ -236,21 +236,27 @@ def trace_spectra(xs: jnp.ndarray, num_temporal: int = 1):
     return X, Xsq
 
 
-def pack_spectra(z: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Complex spectra → real ``[..., 2]`` (re, im) in a reduced dtype.
+def pack_spectra(z: jnp.ndarray, dtype=jnp.bfloat16):
+    """Complex spectra → PLANAR ``(re, im)`` arrays in a reduced dtype.
 
     Halves the resident size of a spectra cache (parallel/database.py
     ``cache_spectra="bf16"``) — what makes cached-spectra queries fit a
-    10k-file database on one 16 GB chip.  Quantization adds ~1e-3-level
-    noise to device sims; the serving layer's exact re-rank (+ automatic
-    k-inflation) restores exact results for the returned candidates."""
-    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).astype(dtype)
+    10k-file database on one 16 GB chip.  Planar storage (two separate
+    real arrays) keeps the frequency axis as the minor/lane dimension; an
+    earlier ``[..., 2]`` trailing-stack layout made every consumer read
+    stride-2 through a 2-wide minor axis the TPU pads to a full lane tile
+    — measured pathological both at compile time (344–1766 s for the 10k
+    query program through the relay) and per query.  Quantization adds
+    ~1e-3-level noise to device sims; the serving layer's exact re-rank
+    (+ automatic k-inflation) restores exact results for the returned
+    candidates."""
+    return jnp.real(z).astype(dtype), jnp.imag(z).astype(dtype)
 
 
-def unpack_spectra(p: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`pack_spectra` (any real dtype → complex64)."""
-    f = p.astype(jnp.float32)
-    return jax.lax.complex(f[..., 0], f[..., 1])
+def unpack_spectra(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_spectra` (any real dtype pair → complex64);
+    the upcast fuses into the first consumer inside a jit."""
+    return jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
 
 
 def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,

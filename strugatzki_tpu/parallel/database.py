@@ -235,21 +235,26 @@ def _topk_epilogue(sims, boosts, lens, L: int, k: int):
     return vals, idx, jnp.take_along_axis(boosts, idx, axis=-1)
 
 
-def _unpack_if_reduced(X_b, Xsq_b):
-    """Reduced-precision caches store (re, im) pairs; rebuild complex64
-    inside the jit (the upcast fuses into the first consumer)."""
-    if not jnp.issubdtype(X_b.dtype, jnp.complexfloating):
-        return K.unpack_spectra(X_b), K.unpack_spectra(Xsq_b)
-    return X_b, Xsq_b
+def _unpack_if_reduced(spectra):
+    """Spectra cache tuple → ``(X, Xsq)`` complex64.  The cache is either
+    ``(X, Xsq)`` complex already, or four PLANAR reduced arrays
+    ``(X_re, X_im, Xsq_re, Xsq_im)`` — rebuilt inside the jit, where the
+    upcast fuses into the first consumer.  (Planar, not a trailing
+    ``[..., 2]`` stack: a 2-wide minor axis forces lane-padding relayouts
+    on TPU — see kernels.corr.pack_spectra.)"""
+    if len(spectra) == 2:
+        return spectra
+    x_re, x_im, q_re, q_im = spectra
+    return K.unpack_spectra(x_re, x_im), K.unpack_spectra(q_re, q_im)
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
-def _multi_query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
+def _multi_query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                                 a_std_t, a_std_s, ln_avg, shifts_t,
                                 temp_weight, max_boost,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_multi_query_kernel` continued from cached spectra."""
-    X_b, Xsq_b = _unpack_if_reduced(X_b, Xsq_b)
+    X_b, Xsq_b = _unpack_if_reduced(spectra)
 
     def one_file(X, Xsq, shift_t):
         def one_query(tt, ts, st_t, st_s, la):
@@ -277,17 +282,17 @@ def _spectra_kernel(xs_b, num_temporal: int = 1, pack_dtype: str = ""):
                               num_temporal=num_temporal))(xs_b)
     if pack_dtype:
         dt = jnp.dtype(pack_dtype)
-        return K.pack_spectra(X, dt), K.pack_spectra(Xsq, dt)
+        return K.pack_spectra(X, dt) + K.pack_spectra(Xsq, dt)
     return X, Xsq
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
-def _query_kernel_spectra(X_b, Xsq_b, t_padded, lens, tmpl_t, tmpl_s,
+def _query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                           a_std_t, a_std_s, ln_avg, shifts_t, temp_weight,
                           max_boost, num_temporal: int = 1, k: int = 4):
     """:func:`_query_kernel` continued from cached spectra: a query costs
     only the ~6 inverse FFTs per file."""
-    X_b, Xsq_b = _unpack_if_reduced(X_b, Xsq_b)
+    X_b, Xsq_b = _unpack_if_reduced(spectra)
 
     def one(X, Xsq, shift_t):
         return K.correlation_trace_from_spectra(
@@ -364,14 +369,14 @@ def _punch_query_kernel(xs_b, lens,
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
-def _punch_query_kernel_spectra(X_b, Xsq_b, t_padded, lens,
+def _punch_query_kernel_spectra(spectra, t_padded, lens,
                                 in_t, in_s, in_std_t, in_std_s, in_ln,
                                 out_t, out_s, out_std_t, out_std_s, out_ln,
                                 shifts_t, tw_in, tw_out, max_boost,
                                 min_punch, scan_span,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_punch_query_kernel` continued from cached spectra."""
-    X_b, Xsq_b = _unpack_if_reduced(X_b, Xsq_b)
+    X_b, Xsq_b = _unpack_if_reduced(spectra)
 
     def one(X, Xsq, shift_t, t_len):
         return _punch_one_from_spectra(
@@ -475,6 +480,68 @@ def _punch_one_from_spectra(X, Xsq, t_padded,
     return vals, t_idx, j_k, b_in, b_out, si
 
 
+def _rerank_bucket(m: int) -> int:
+    """Pad the re-rank candidate count to power-of-two buckets (min 64) so
+    repeated queries reuse one jit key per (bucket, template length)."""
+    b = 64
+    while b < m:
+        b <<= 1
+    return b
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def _rerank_window_kernel(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
+                          a_std_t, a_std_s, ln_avg, temp_weight, max_boost,
+                          num_temporal: int = 1):
+    """Exact re-scoring of candidate windows ON DEVICE.
+
+    Gathers the ``[M, C, L]`` windows at ``(file_idx[m], frames[m])`` from
+    the resident float32 features and scores each with the same
+    cancellation-free algebra as the trace kernels (pre-centered template
+    dot / shifted window stats — measured ≤3e-8 vs the f64 mirror on
+    hardware, docs/BENCHMARKS.md).  This replaces the host-side f64 numpy
+    pass (``_exact_window_scores``, kept as the bit-level test oracle)
+    that cost 2–4 s per 10k-scale reduced-precision query on a 1-vCPU
+    serving host.  The prepared features' padded tail holds the
+    shift-consistent constant (kernels/pallas_prep.py), so any defensive
+    zero-tail window reads reproduce the host semantics exactly.
+
+    Mirrors FeatureCorrelationImpl.scala:414-421 (the math being
+    re-scored) with the gates of :func:`~..kernels.corr.correlation_trace`.
+    Returns ``(sims[M], boosts[M])`` float32.
+    """
+    nt = num_temporal
+    L = tmpl_t.shape[1]
+    C = xs_b.shape[1]
+    pos = frames[:, None] + jnp.arange(L, dtype=frames.dtype)[None, :]
+    win = xs_b[file_idx[:, None, None],
+               jnp.arange(C)[None, :, None],
+               pos[:, None, :]].astype(jnp.float32)        # [M, C, L]
+
+    def group(rows, tmpl, a_std, n_cells):
+        s = rows.sum(axis=(1, 2))
+        q = (rows * rows).sum(axis=(1, 2))
+        mu = s / n_cells
+        var = jnp.maximum(q / n_cells - mu * mu, 0.0)
+        dot = jnp.einsum("mcl,cl->m", rows, tmpl,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return dot / (a_std * jnp.sqrt(var) * n_cells)
+
+    w = temp_weight
+    sim_t = jnp.where(w > 0.0,
+                      group(win[:, :nt], tmpl_t, a_std_t, nt * L), 0.0)
+    sim_s = jnp.where(w < 1.0,
+                      group(win[:, nt:], tmpl_s, a_std_s, (C - nt) * L), 0.0)
+    sim = sim_t * w + sim_s * (1.0 - w)
+    # boost averages channel 0 only (FeatureCorrelationImpl.scala:73-78);
+    # the per-file temporal shift restores the unshifted loudness mean
+    loud_mean = win[:, 0].sum(axis=1) / L + shifts_t[file_idx]
+    boost = jnp.exp((ln_avg - jnp.log(loud_mean)) / 0.6)
+    sim = jnp.where(boost <= max_boost, sim, 0.0)
+    return sim.astype(jnp.float32), boost.astype(jnp.float32)
+
+
 class FeatureDatabase:
     """Normalized, group-shifted feature matrices staged on device.
 
@@ -489,6 +556,7 @@ class FeatureDatabase:
                  norm: Optional[np.ndarray], step_size: int = 512,
                  mesh=None, pad_multiple: int = 512,
                  storage_dtype=None, cache_spectra: bool = False,
+                 rerank_device: Optional[bool] = None,
                  _prestacked=None) -> None:
         from ..kernels.pallas_prep import prepare_database
 
@@ -615,6 +683,21 @@ class FeatureDatabase:
                 self._spectra = tuple(bufs)
         else:
             self._spectra = None
+        # exact re-rank backend: candidate windows re-score on device
+        # (_rerank_window_kernel) whenever the resident features are f32 on
+        # a single device; otherwise the host f64 mirror runs.  Explicit
+        # ``rerank_device=True`` on an ineligible configuration is an error
+        # (a silent bf16 "exact" re-rank would not be exact).
+        eligible = mesh is None and self._xs.dtype == jnp.float32
+        if rerank_device is None:
+            self._rerank_device = eligible
+        else:
+            if rerank_device and not eligible:
+                raise ValueError(
+                    "rerank_device=True needs float32 features on a "
+                    "single device (got dtype "
+                    f"{self._xs.dtype}, mesh={'yes' if mesh else 'no'})")
+            self._rerank_device = bool(rerank_device)
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
 
@@ -742,7 +825,8 @@ class FeatureDatabase:
                       step_size=self.step_size, mesh=self._mesh,
                       pad_multiple=self._pad_multiple,
                       storage_dtype=self._storage_dtype,
-                      cache_spectra=self._cache_spectra_mode)
+                      cache_spectra=self._cache_spectra_mode,
+                      rerank_device=self._rerank_device)
 
     def _chunks(self):
         """Per-dispatch file ranges (one range when unchunked/sharded)."""
@@ -792,7 +876,7 @@ class FeatureDatabase:
             targs = tmpl_args + (self._shifts[sl],) + scal_args
             if self._spectra is not None:
                 out = _query_kernel_spectra(
-                    self._spectra[0][sl], self._spectra[1][sl],
+                    tuple(s[sl] for s in self._spectra),
                     self._xs.shape[2], self._lens_dev[sl], *targs, k=k_dev)
             else:
                 out = _query_kernel(self._xs[sl], self._lens_dev[sl],
@@ -843,7 +927,7 @@ class FeatureDatabase:
             res.boosts = np.array(res.boosts)
         cand = self._rerank_candidates(res.sims)
         if cand.size:
-            sims, boosts = self._exact_window_scores(
+            sims, boosts = self._window_scores(
                 cand[:, 0], res.frames[cand[:, 0], cand[:, 1]],
                 template, temp_weight, max_boost)
             res.sims[cand[:, 0], cand[:, 1]] = sims
@@ -865,6 +949,39 @@ class FeatureDatabase:
         flat = np.where(finite.ravel(), sims.ravel(), -np.inf)
         top = np.argpartition(-flat, self.RERANK_LIMIT - 1)[:self.RERANK_LIMIT]
         return np.stack(np.unravel_index(top, sims.shape), axis=1)
+
+    def _window_scores(self, file_idx: np.ndarray, frames: np.ndarray,
+                       template: InputTemplate, temp_weight: float,
+                       max_boost: float):
+        """Re-rank backend dispatch: device kernel when the resident
+        features are f32 (≤~1e-7 of the mirror, ~50 ms for 4096 windows),
+        host f64 mirror otherwise (bit-level, but seconds at 10k scale on
+        a small host)."""
+        if self._rerank_device:
+            return self._device_window_scores(file_idx, frames, template,
+                                              temp_weight, max_boost)
+        return self._exact_window_scores(file_idx, frames, template,
+                                         temp_weight, max_boost)
+
+    def _device_window_scores(self, file_idx: np.ndarray, frames: np.ndarray,
+                              template: InputTemplate, temp_weight: float,
+                              max_boost: float):
+        """:func:`_rerank_window_kernel` over bucket-padded candidates."""
+        m = len(file_idx)
+        mp = _rerank_bucket(m)
+        fi = np.zeros(mp, np.int32)
+        fi[:m] = file_idx
+        fr = np.zeros(mp, np.int32)
+        fr[:m] = frames
+        sims, boosts = _rerank_window_kernel(
+            self._xs, self._shifts, jnp.asarray(fi), jnp.asarray(fr),
+            template.device_temporal(), template.device_spectral(),
+            jnp.float32(template.temporal_std),
+            jnp.float32(template.spectral_std),
+            jnp.float32(template.ln_avg_loudness),
+            jnp.float32(temp_weight), jnp.float32(max_boost))
+        sims, boosts = jax.device_get((sims, boosts))
+        return sims[:m].copy(), boosts[:m].copy()
 
     def _exact_window_scores(self, file_idx: np.ndarray,
                              frames: np.ndarray, template: InputTemplate,
@@ -955,10 +1072,10 @@ class FeatureDatabase:
         if cand.size:
             fi, fj = cand[:, 0], cand[:, 1]
             t_in = res.frames[fi, fj]
-            in_sims, b_in = self._exact_window_scores(
+            in_sims, b_in = self._window_scores(
                 fi, t_in, punch_in, tw_in, max_boost)
             t_out = t_in + res.min_punch + res.punch_lens[fi, fj]
-            out_sims, b_out = self._exact_window_scores(
+            out_sims, b_out = self._window_scores(
                 fi, t_out, punch_out, tw_out, max_boost)
             # the reference's inSim * outSim is a Java Float multiply —
             # round the product to f32 BEFORE the sqrt (an f64 product can
@@ -1021,7 +1138,7 @@ class FeatureDatabase:
             ch_args = targs[:10] + (self._shifts[sl],) + targs[11:]
             if self._spectra is not None:
                 out = _punch_query_kernel_spectra(
-                    self._spectra[0][sl], self._spectra[1][sl],
+                    tuple(s[sl] for s in self._spectra),
                     self._xs.shape[2], self._lens_dev[sl], *ch_args, k=k_dev)
             else:
                 out = _punch_query_kernel(self._xs[sl], self._lens_dev[sl],
@@ -1079,7 +1196,7 @@ class FeatureDatabase:
                          jnp.float32(temp_weight), jnp.float32(max_boost))
                 if self._spectra is not None:
                     out = _multi_query_kernel_spectra(
-                        self._spectra[0][sl], self._spectra[1][sl],
+                        tuple(s[sl] for s in self._spectra),
                         self._xs.shape[2], self._lens_dev[sl], *qargs,
                         k=k_dev)
                 else:

@@ -286,8 +286,9 @@ def test_bf16_spectra_cache_matches_f32(db_entries, monkeypatch):
     db = D.FeatureDatabase(entries, norm=None, pad_multiple=64,
                            storage_dtype=jnp.bfloat16, cache_spectra="bf16")
     assert db._spectra_reduced
-    assert db._spectra[0].dtype == jnp.bfloat16
-    assert db._spectra[0].shape[-1] == 2          # packed (re, im)
+    assert len(db._spectra) == 4                  # planar (re, im) pairs
+    assert all(s.dtype == jnp.bfloat16 for s in db._spectra)
+    assert db._spectra[0].shape == db._spectra[1].shape
 
     r = db.query(tmpl, k=3)
     np.testing.assert_array_equal(r.frames, r_ref.frames)
@@ -329,3 +330,70 @@ def test_punch_rerank_for_bf16_storage(db_entries):
     np.testing.assert_array_equal(p16.frames, p32.frames)
     np.testing.assert_allclose(p16.sims, p32.sims, atol=2e-5)
     np.testing.assert_allclose(p16.in_sims, p32.in_sims, atol=2e-5)
+
+
+def test_device_rerank_matches_host_oracle(db_entries):
+    """The device re-rank kernel must reproduce the host f64 mirror's
+    window scores to ≤1e-5 (the parity budget) on every candidate — with
+    and without a normalization matrix — and the compact serving mode
+    (f32 features + planar bf16 spectra) must route re-ranks through it."""
+    allf = np.concatenate([f for _, f in db_entries], axis=1)
+    norm = np.stack([allf.min(axis=1) - 1e-3, allf.max(axis=1) + 1e-3],
+                    axis=1).astype(np.float32)
+    for nm in (None, norm):
+        entries = [(n, f.copy()) for n, f in db_entries]
+        tmpl_block = entries[5][1][:, 40:90].astype(np.float32).copy()
+        if nm is not None:
+            from strugatzki_tpu.kernels import mathref as M
+            M.normalize(nm, tmpl_block, 0, 50)
+        tmpl = InputTemplate(tmpl_block)
+        db = FeatureDatabase(entries, nm, pad_multiple=64,
+                             cache_spectra="bf16")  # the compact mode
+        assert db._rerank_device and db._spectra_reduced
+        assert db._xs.dtype == np.float32           # f32 features resident
+        res = db.query(tmpl, k=3)                   # auto re-rank (device)
+        assert res.frames[5, 0] == 40
+        assert abs(res.sims[5, 0] - 1.0) < 3e-5
+        finite = np.argwhere(np.isfinite(res.sims))
+        fi = finite[:, 0]
+        fr = res.frames[finite[:, 0], finite[:, 1]]
+        d_sims, d_boosts = db._device_window_scores(fi, fr, tmpl, 0.5, 8.0)
+        h_sims, h_boosts = db._exact_window_scores(fi, fr, tmpl, 0.5, 8.0)
+        np.testing.assert_allclose(d_sims, h_sims, atol=1e-5)
+        np.testing.assert_allclose(d_boosts, h_boosts, rtol=1e-5)
+
+
+def test_device_rerank_punch_matches_host(db_entries):
+    """query_punch through the device re-rank must match a host-rerank run
+    of the same compact database (both windows re-scored per candidate)."""
+    entries = [(n, f.copy()) for n, f in db_entries]
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    t_in = InputTemplate(entries[3][1][:, 10:40].copy())
+    t_out = InputTemplate(entries[3][1][:, 100:120].copy())
+    dbd = FeatureDatabase(entries, norm=None, pad_multiple=64,
+                          cache_spectra="bf16")
+    dbh = FeatureDatabase(entries, norm=None, pad_multiple=64,
+                          cache_spectra="bf16", rerank_device=False)
+    assert dbd._rerank_device and not dbh._rerank_device
+    pd = dbd.query_punch(t_in, t_out, min_punch=70, max_punch=85, k=2)
+    ph = dbh.query_punch(t_in, t_out, min_punch=70, max_punch=85, k=2)
+    np.testing.assert_array_equal(pd.frames[:, 0], ph.frames[:, 0])
+    np.testing.assert_allclose(pd.sims, ph.sims, atol=1e-5)
+    np.testing.assert_allclose(pd.boosts_in[:, 0], ph.boosts_in[:, 0],
+                               rtol=1e-5)
+    m = pd.matches(step_size=512, k_total=1)[0]
+    assert m.file == entries[5][0]
+
+
+def test_rerank_device_flag_validation(db_entries):
+    """Explicit rerank_device=True on an ineligible configuration (reduced
+    features, where a device re-rank would not be exact) must raise; the
+    auto default must fall back to the host mirror there."""
+    import jax.numpy as jnp
+    with pytest.raises(ValueError, match="float32 features"):
+        FeatureDatabase(db_entries[:2], norm=None, pad_multiple=64,
+                        storage_dtype=jnp.bfloat16, rerank_device=True)
+    db = FeatureDatabase(db_entries[:2], norm=None, pad_multiple=64,
+                         storage_dtype=jnp.bfloat16)
+    assert not db._rerank_device
