@@ -62,15 +62,24 @@ def main() -> None:
     print(f"query_batch:  {len(batch)} results; best files: "
           f"{[r.matches(1, step, 1)[0].file for r in batch]}")
 
-    # 4. compact capacity mode: bf16 features + bf16-packed spectra cache
-    #    (~1/4 the f32+cached HBM — what fits 10k files on one chip); the
-    #    automatic 4x k-inflation + exact host re-rank keeps returned
-    #    values exact on all three query kinds, punch included
-    import jax.numpy as jnp
-    db16 = FeatureDatabase(files, norm=None, storage_dtype=jnp.bfloat16,
-                           cache_spectra="bf16")
-    r16 = db16.query(tmpl, k=3)
-    p16 = db16.query_punch(tmpl, t_out, min_punch=200, max_punch=300, k=2)
+    # 3b. a stream of punch-pair searches: per bucket of template shapes,
+    #     the per-file forward spectra are computed once for ALL pairs
+    pbatch = db.query_punch_batch([(tmpl, t_out, 200, 300),
+                                   (tmpl, t_out, 220, 260)])
+    print(f"punch_batch:  {len(pbatch)} results; best: "
+          f"{pbatch[0].matches(step, 1)[0].file}")
+
+    # 4. compact serving mode: f32 features + PLANAR bf16 spectra cache
+    #    (~10.8 GiB at 10k files — fits one chip with every forward FFT
+    #    resident); the automatic 4x k-inflation + exact DEVICE re-rank
+    #    (over the resident f32 features) keeps returned values exact on
+    #    all three query kinds, punch included.  For raw capacity beyond
+    #    HBM, storage_dtype=jnp.bfloat16 halves the features instead
+    #    (re-rank then falls back to the host f64 mirror).
+    dbc = FeatureDatabase(files, norm=None, cache_spectra="bf16")
+    assert dbc._rerank_device
+    r16 = dbc.query(tmpl, k=3)
+    p16 = dbc.query_punch(tmpl, t_out, min_punch=200, max_punch=300, k=2)
     print(f"compact mode: sim={r16.matches(60, step, 1)[0].sim:.6f}, punch "
           f"sim={p16.matches(step, 1)[0].sim:.6f} (exact after re-rank)")
 

@@ -52,6 +52,10 @@ __all__ = ["FeatureDatabase", "QueryResult", "PunchQueryResult"]
 #: multiple at staging).  Mesh-sharded databases split across chips instead.
 _QUERY_CHUNK = 2048
 
+#: Files per spectra-cache *staging* dispatch (≤ _QUERY_CHUNK): bounds the
+#: complex64 forward-FFT transient while the packed cache fills.
+_SPECTRA_CHUNK = 1024
+
 
 @partial(jax.jit, donate_argnums=(0,))
 def _write_slab(buf, slab, offset):
@@ -480,6 +484,66 @@ def _punch_one_from_spectra(X, Xsq, t_padded,
     return vals, t_idx, j_k, b_in, b_out, si
 
 
+@partial(jax.jit, static_argnames=("num_temporal", "k"))
+def _multi_punch_kernel(xs_b, lens,
+                        in_t, in_s, in_std_t, in_std_s, in_ln,
+                        out_t, out_s, out_std_t, out_std_s, out_ln,
+                        shifts_t, tw_in, tw_out, max_boost,
+                        min_punch, scan_span,
+                        num_temporal: int = 1, k: int = 4):
+    """Q punch pairs × B files in one dispatch: the per-file forward
+    spectra — the expensive shared half of every punch search — are
+    computed ONCE and reused by every (punch-in, punch-out) pair via a
+    vmap over the pair axis of :func:`_punch_one_from_spectra`.
+    ``min_punch``/``scan_span`` are per-pair ``[Q]`` vectors (traced — no
+    jit key per punch band).  Returns the per-pair tuple of
+    :func:`_punch_query_kernel` outputs, each ``[Q, B, k]``.
+
+    Match: FeatureCorrelationImpl.scala:325-389 (one sequential search per
+    query there; a Q-query stream re-reads the whole database Q times).
+    """
+    def one_file(xs, shift_t, t_len):
+        X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
+
+        def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
+            return _punch_one_from_spectra(
+                X, Xsq, xs_b.shape[2], it, is_, ist, iss, iln,
+                ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
+                mp, ss, t_len, num_temporal=num_temporal, k=k)
+
+        return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
+                                  out_t, out_s, out_std_t, out_std_s,
+                                  out_ln, min_punch, scan_span)
+
+    outs = jax.vmap(one_file)(xs_b, shifts_t, lens)      # each [B, Q, k]
+    return tuple(jnp.swapaxes(o, 0, 1) for o in outs)    # [Q, B, k]
+
+
+@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
+def _multi_punch_kernel_spectra(spectra, t_padded, lens,
+                                in_t, in_s, in_std_t, in_std_s, in_ln,
+                                out_t, out_s, out_std_t, out_std_s, out_ln,
+                                shifts_t, tw_in, tw_out, max_boost,
+                                min_punch, scan_span,
+                                num_temporal: int = 1, k: int = 4):
+    """:func:`_multi_punch_kernel` continued from cached spectra."""
+    X_b, Xsq_b = _unpack_if_reduced(spectra)
+
+    def one_file(X, Xsq, shift_t, t_len):
+        def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
+            return _punch_one_from_spectra(
+                X, Xsq, t_padded, it, is_, ist, iss, iln,
+                ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
+                mp, ss, t_len, num_temporal=num_temporal, k=k)
+
+        return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
+                                  out_t, out_s, out_std_t, out_std_s,
+                                  out_ln, min_punch, scan_span)
+
+    outs = jax.vmap(one_file)(X_b, Xsq_b, shifts_t, lens)
+    return tuple(jnp.swapaxes(o, 0, 1) for o in outs)
+
+
 def _rerank_bucket(m: int) -> int:
     """Pad the re-rank candidate count to power-of-two buckets (min 64) so
     repeated queries reuse one jit key per (bucket, template length)."""
@@ -668,13 +732,18 @@ class FeatureDatabase:
                 # chunk-wise into preallocated donated buffers: one chunk's
                 # f32 forward-FFT transient in flight at a time (shapes via
                 # eval_shape — a compiled batch-of-1 probe would cost a
-                # whole extra relay compile)
+                # whole extra relay compile).  The compute chunk is capped
+                # below _QUERY_CHUNK: a 2048-file complex64 forward-FFT
+                # transient is ~2 GiB, which on top of an f32-features +
+                # spectra resident set (~10.8 GiB at 10k files) would
+                # squeeze a 16 GB chip during staging.
+                step = min(_QUERY_CHUNK, _SPECTRA_CHUNK)
                 probe = jax.eval_shape(
                     partial(_spectra_kernel, pack_dtype=pack), self._xs[:1])
                 bufs = [jnp.zeros((b,) + p.shape[1:], p.dtype)
                         for p in probe]
-                for o in range(0, b, _QUERY_CHUNK):
-                    part = _spectra_kernel(self._xs[o:o + _QUERY_CHUNK],
+                for o in range(0, b, step):
+                    part = _spectra_kernel(self._xs[o:o + step],
                                            pack_dtype=pack)
                     bufs = [_write_slab(buf, p, jnp.int32(o))
                             for buf, p in zip(bufs, part)]
@@ -1221,6 +1290,96 @@ class FeatureDatabase:
                     if res.boosts is not None:
                         res.boosts = res.boosts[:, :k]
                 results[qi] = res
+        return results
+
+    def query_punch_batch(self, pairs: Sequence[tuple],
+                          temp_weight_in: float = 0.5,
+                          temp_weight_out: float = 0.5,
+                          max_boost: float = 8.0, k: int = 4,
+                          exact_rerank: Optional[bool] = None
+                          ) -> List[PunchQueryResult]:
+        """Many punch-in × punch-out searches against the resident
+        database, batched by template shape.
+
+        ``pairs``: sequence of ``(punch_in, punch_out, min_punch,
+        max_punch)`` tuples (templates are :class:`InputTemplate`, the
+        band in feature frames).  Pairs are bucketed by
+        ``(len_in, len_out)`` — the only jit-key dimensions; the punch
+        band is traced — and each bucket answers in one dispatch per
+        database chunk, with the per-file forward spectra computed ONCE
+        per bucket instead of once per query (the Q× FFT saving; see
+        :func:`_multi_punch_kernel`).  Results come back in input order
+        and are each equal to the corresponding :meth:`query_punch`
+        (tests pin this), including the automatic exact re-rank +
+        k-inflation for reduced-precision storage/spectra."""
+        reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
+        if exact_rerank is None:
+            exact_rerank = reduced
+        for q, (p_in, p_out, mp, xp) in enumerate(pairs):
+            if mp > xp:
+                raise ValueError(
+                    f"pair {q}: min_punch {mp} > max_punch {xp}")
+        buckets: dict = {}
+        for q, (p_in, p_out, *_band) in enumerate(pairs):
+            buckets.setdefault((p_in.num_frames, p_out.num_frames),
+                               []).append(q)
+        results: List[Optional[PunchQueryResult]] = [None] * len(pairs)
+        scal = (jnp.float32(temp_weight_in), jnp.float32(temp_weight_out),
+                jnp.float32(max_boost))
+        for (_li, _lo), idxs in sorted(buckets.items()):
+            group = [pairs[q] for q in idxs]
+            ins = [p for p, _, _, _ in group]
+            outs = [p for _, p, _, _ in group]
+            k_dev = self._inflated_k(k, ins[0].num_frames) \
+                if (exact_rerank and reduced) else k
+
+            def stack(ts):
+                return (jnp.stack([t.device_temporal() for t in ts]),
+                        jnp.stack([t.device_spectral() for t in ts]),
+                        jnp.asarray([t.temporal_std for t in ts],
+                                    jnp.float32),
+                        jnp.asarray([t.spectral_std for t in ts],
+                                    jnp.float32),
+                        jnp.asarray([t.ln_avg_loudness for t in ts],
+                                    jnp.float32))
+
+            targs = stack(ins) + stack(outs)
+            mps = jnp.asarray([mp for _, _, mp, _ in group], jnp.int32)
+            spans = jnp.asarray([xp - mp + 1 for _, _, mp, xp in group],
+                                jnp.int32)
+            parts = []
+            for sl in self._chunks():
+                ch = targs + (self._shifts[sl],) + scal + (mps, spans)
+                if self._spectra is not None:
+                    out = _multi_punch_kernel_spectra(
+                        tuple(s[sl] for s in self._spectra),
+                        self._xs.shape[2], self._lens_dev[sl], *ch, k=k_dev)
+                else:
+                    out = _multi_punch_kernel(
+                        self._xs[sl], self._lens_dev[sl], *ch, k=k_dev)
+                parts.append(out)
+            parts = jax.device_get(parts)   # all chunks dispatched first
+            # per-chunk results are [Q, chunk, k]: concat the files axis
+            got = tuple(
+                self._trim(np.concatenate([p[i] for p in parts], axis=1),
+                           axis=1)
+                for i in range(6))
+            for g, q in enumerate(idxs):
+                p_in, p_out, mp, _xp = pairs[q]
+                res = PunchQueryResult(
+                    got[0][g], got[1][g], got[2][g], got[3][g], got[4][g],
+                    list(self.files), int(mp), got[5][g])
+                if exact_rerank:
+                    self._rerank_exact_punch(res, p_in, p_out,
+                                             temp_weight_in,
+                                             temp_weight_out, max_boost)
+                if k_dev != k:
+                    for name in ("sims", "frames", "punch_lens",
+                                 "boosts_in", "boosts_out", "in_sims"):
+                        arr = getattr(res, name)
+                        if arr is not None:
+                            setattr(res, name, arr[:, :k])
+                results[q] = res
         return results
 
     def save(self, path) -> None:

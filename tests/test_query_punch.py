@@ -322,3 +322,48 @@ def test_chunked_bf16_staging_matches(monkeypatch):
     r2 = db.query(tmpl, k=2)
     np.testing.assert_array_equal(r1.frames, r2.frames)
     np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)
+
+
+def test_query_punch_batch_matches_sequential():
+    """query_punch_batch must reproduce query_punch pair-for-pair across
+    mixed template-shape buckets and mixed punch bands (the band is traced,
+    so pairs with different bands share one bucket), on an f32 database and
+    on the compact mode (planar bf16 spectra + device re-rank)."""
+    inp, files = _make_db(3, num_files=6)
+    t_in30 = InputTemplate(inp[:, 20:50].copy())
+    t_out25 = InputTemplate(inp[:, 160:185].copy())
+    t_in40 = InputTemplate(files[1][1][:, 50:90].copy())
+    t_out25b = InputTemplate(files[4][1][:, 200:225].copy())
+    pairs = [
+        (t_in30, t_out25, 80, 100),       # bucket (30, 25), planted hit
+        (t_in40, t_out25b, 60, 90),       # bucket (40, 25)
+        (t_in30, t_out25b, 70, 120),      # bucket (30, 25), other band
+        (t_in30, t_out25, 85, 95),        # bucket (30, 25), narrow band
+    ]
+    for kw in (dict(), dict(cache_spectra="bf16")):
+        db = FeatureDatabase(files, norm=None, pad_multiple=64, **kw)
+        batch = db.query_punch_batch(pairs, k=3)
+        assert len(batch) == 4
+        for q, (p_in, p_out, mp, xp) in enumerate(pairs):
+            single = db.query_punch(p_in, p_out, min_punch=mp, max_punch=xp,
+                                    k=3)
+            np.testing.assert_allclose(batch[q].sims, single.sims,
+                                       atol=1e-6, err_msg=str((q, kw)))
+            np.testing.assert_array_equal(batch[q].frames, single.frames)
+            np.testing.assert_array_equal(batch[q].punch_lens,
+                                          single.punch_lens)
+            np.testing.assert_allclose(batch[q].boosts_in, single.boosts_in,
+                                       rtol=1e-6)
+            assert batch[q].min_punch == mp
+    # the planted pair must surface as the global best of pair 0
+    m = batch[0].matches(step_size=STEP, k_total=1)[0]
+    assert m.file == "db2.aif" and m.punch.start == 137 * STEP
+
+
+def test_query_punch_batch_validates_band():
+    inp, files = _make_db(4, num_files=3)
+    t_in = InputTemplate(inp[:, 20:50].copy())
+    t_out = InputTemplate(inp[:, 160:185].copy())
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    with pytest.raises(ValueError, match="min_punch"):
+        db.query_punch_batch([(t_in, t_out, 90, 80)])

@@ -6,15 +6,18 @@ Measured 2026-08-16/17 (one v5e through the relay): staging 58-180 s,
 query 779-852 ms — north star < 1 s (BASELINE.json); with --punch, the
 full punch-in × punch-out combined search measures 1.23-1.28 s.
 
-``--compact`` stages bf16 features + a bf16-packed spectra cache
-(7.87 GiB resident vs 5.8 GiB features-only f32): queries then skip every
-forward FFT, and the automatic exact re-rank (+4x k-inflation, capped at
-the 4096 globally best candidates) keeps the returned results exact.
-Measured compact: query 1.31-1.52 s, punch 5.5-5.8 s; the query program's
-remote compile is the expensive part through this relay (344-1766 s
-observed — the punch program then compiles in ~19 s).
+``--compact`` stages f32 features + a PLANAR bf16 spectra cache
+(~10.8 GiB resident vs 5.8 GiB features-only f32): queries then skip
+every forward FFT, and the automatic exact re-rank — now a DEVICE kernel
+over the resident f32 features (+4x k-inflation, capped at the 4096
+globally best candidates) — keeps the returned results exact.  Round 3's
+compact (bf16 features + [..., 2]-stacked bf16 spectra, 7.87 GiB)
+measured 1.31-1.52 s/query with a 344-1766 s remote compile; the stacked
+minor axis forced lane-padding relayouts and the re-rank ran as host
+numpy.  ``--bf16`` keeps that capacity combo (bf16 features, host
+re-rank) for comparison.
 
-    python tools/db10k_bench.py [--punch] [--compact]
+    python tools/db10k_bench.py [--punch] [--compact | --bf16]
 """
 
 import os
@@ -36,6 +39,8 @@ entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
 tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
 t0 = time.perf_counter()
 if "--compact" in sys.argv:
+    db = FeatureDatabase(entries, norm=None, cache_spectra="bf16")
+elif "--bf16" in sys.argv:
     import jax.numpy as jnp
     db = FeatureDatabase(entries, norm=None, storage_dtype=jnp.bfloat16,
                          cache_spectra="bf16")
