@@ -112,16 +112,36 @@ def _device_pix(colors: str, color_warp: float, color_ceil: float,
             bool(color_inv))
 
 
-def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None):
+def _group_size(mesh) -> int:
+    """Pairs per dispatch: ``_PAIR_GROUP`` per device.  Each (row-block ×
+    col-block) pair is independent, so the stacked group axis shards
+    cleanly over a ``files`` mesh axis — the gram stripes are the
+    framework's most compute-heavy path (a 46340-extent render is 17.7 min
+    on one chip) and scale embarrassingly."""
+    return _PAIR_GROUP * (mesh.devices.size if mesh is not None else 1)
+
+
+def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
     """Stack a group of (block-i, block-j) pairs and dispatch (async) —
     returns the device array.  With ``pix`` the result is the colorized
-    uint8/uint16 raster; else float32 sims."""
+    uint8/uint16 raster; else float32 sims.  With ``mesh`` the stacked
+    pair axis is sharded over the ``files`` axis and the SAME jitted
+    kernels run SPMD (per-pair math is element-independent under the
+    vmap, so pixels stay bit-identical to the single-device path — tests
+    pin exact equality)."""
     wi_s = jnp.stack([blocks1[a][0] for a, _ in pairs])
     wj_s = jnp.stack([blocks2[b][0] for _, b in pairs])
     sti = tuple(jnp.stack([blocks1[a][1][t] for a, _ in pairs])
                 for t in range(4))
     stj = tuple(jnp.stack([blocks2[b][1][t] for _, b in pairs])
                 for t in range(4))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P("files"))
+        wi_s = jax.device_put(wi_s, shard)
+        wj_s = jax.device_put(wj_s, shard)
+        sti = tuple(jax.device_put(s, shard) for s in sti)
+        stj = tuple(jax.device_put(s, shard) for s in stj)
     if pix is None:
         return _gram_pair_group(wi_s, wj_s, sti, stj, tw)
     inv_ceil, ncm1, gray, inv = pix
@@ -129,8 +149,9 @@ def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None):
                                 gray=gray, inv=inv)
 
 
-def _fetch_group(blocks1, blocks2, pairs, tw, pix=None):
-    return np.asarray(_dispatch_group(blocks1, blocks2, pairs, tw, pix))
+def _fetch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
+    return np.asarray(_dispatch_group(blocks1, blocks2, pairs, tw, pix,
+                                      mesh=mesh))
 
 
 def _pix_to_rgb(pix_vals: np.ndarray, gray: bool) -> np.ndarray:
@@ -174,7 +195,7 @@ def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
 def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
                   decim: int, temp_weight: float,
                   check_aborted=lambda: None,
-                  progress=lambda f: None, pix=None) -> np.ndarray:
+                  progress=lambda f: None, pix=None, mesh=None) -> np.ndarray:
     """Shared matrix builder: float32 sims (``pix=None``) or the
     device-colorized uint8/uint16 raster over the same block schedule."""
     n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
@@ -189,12 +210,14 @@ def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
              for bj in range(bi, num_blocks)]
     out = np.empty((n, n), dtype)
     done = 0
-    for g0 in range(0, len(pairs), _PAIR_GROUP):
+    gsize = _group_size(mesh)
+    for g0 in range(0, len(pairs), gsize):
         check_aborted()
-        group = pairs[g0:g0 + _PAIR_GROUP]
+        group = pairs[g0:g0 + gsize]
         # pad the final group to keep one jit key
-        padded_group = group + [group[-1]] * (_PAIR_GROUP - len(group))
-        sims_g = _fetch_group(blocks1, blocks2, padded_group, tw, pix)
+        padded_group = group + [group[-1]] * (gsize - len(group))
+        sims_g = _fetch_group(blocks1, blocks2, padded_group, tw, pix,
+                              mesh=mesh)
         for (bi, bj), sims in zip(group, sims_g):
             r0 = bi * _BLOCK
             c0 = bj * _BLOCK
@@ -218,11 +241,14 @@ def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
 def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
                            decim: int, temp_weight: float,
                            check_aborted=lambda: None,
-                           progress=lambda f: None) -> np.ndarray:
+                           progress=lambda f: None, mesh=None) -> np.ndarray:
     """Similarity matrix ``[n, n]`` over decimated window starts of two
-    prepared (normalized, *jointly* shifted) feature matrices."""
+    prepared (normalized, *jointly* shifted) feature matrices.  With a
+    ``mesh`` the stacked pair groups shard over the ``files`` axis
+    (bit-identical results — see :func:`_dispatch_group`)."""
     return _pixel_matrix(x1, x2, half_win, decim, temp_weight,
-                         check_aborted=check_aborted, progress=progress)
+                         check_aborted=check_aborted, progress=progress,
+                         mesh=mesh)
 
 
 def self_similarity_image(x1: np.ndarray, x2: np.ndarray, half_win: int,
@@ -231,7 +257,7 @@ def self_similarity_image(x1: np.ndarray, x2: np.ndarray, half_win: int,
                           color_warp: float = 1.0, color_ceil: float = 1.0,
                           color_inv: bool = False,
                           check_aborted=lambda: None,
-                          progress=lambda f: None) -> np.ndarray:
+                          progress=lambda f: None, mesh=None) -> np.ndarray:
     """RGB image (reference pixel layout) for the similarity matrix.
 
     Uses the fused device colorization when ``colorWarp == 1`` (fetching
@@ -242,11 +268,12 @@ def self_similarity_image(x1: np.ndarray, x2: np.ndarray, half_win: int,
     pix = _device_pix(colors, color_warp, color_ceil, color_inv)
     if pix is None:
         sims = _pixel_matrix(x1, x2, half_win, decim, temp_weight,
-                             check_aborted=check_aborted, progress=progress)
+                             check_aborted=check_aborted, progress=progress,
+                             mesh=mesh)
         return render_image(sims, colors, color_warp, color_ceil, color_inv)
     vals = _pixel_matrix(x1, x2, half_win, decim, temp_weight,
                          check_aborted=check_aborted, progress=progress,
-                         pix=pix)
+                         pix=pix, mesh=mesh)
     rgb = _pix_to_rgb(vals, pix[2])
     # same layout rule as render_image: x = i, y = flipped j
     return rgb.transpose(1, 0, 2)[::-1]
@@ -287,7 +314,7 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
                            color_inv: bool = False,
                            check_aborted=lambda: None,
                            progress=lambda f: None,
-                           png_level: int = 6) -> int:
+                           png_level: int = 6, mesh=None) -> int:
     """Stream the similarity image straight to a PNG without ever holding
     the ``[n, n]`` matrix (8.6 GB at the reference's 46340 extent ceiling)
     or its RGB raster: one ``[n, _BLOCK]`` column stripe at a time is
@@ -313,17 +340,20 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
     dtype = np.float32 if pix is None else (
         np.uint8 if pix[2] else np.uint16)
 
+    gsize = _group_size(mesh)
+
     def dispatch_stripe(bj):
         """Launch every group of column-stripe ``bj`` asynchronously.
-        Row-blocks go in groups of _PAIR_GROUP; for bi > bj the cell is
-        the mirrored upper-triangle value → compute (bj, bi), transpose."""
+        Row-blocks go in groups of ``gsize`` (``_PAIR_GROUP`` per mesh
+        device); for bi > bj the cell is the mirrored upper-triangle
+        value → compute (bj, bi), transpose."""
         out = []
-        for g0 in range(0, num_blocks, _PAIR_GROUP):
-            group = list(range(g0, min(g0 + _PAIR_GROUP, num_blocks)))
-            padded = group + [group[-1]] * (_PAIR_GROUP - len(group))
+        for g0 in range(0, num_blocks, gsize):
+            group = list(range(g0, min(g0 + gsize, num_blocks)))
+            padded = group + [group[-1]] * (gsize - len(group))
             lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
             out.append((group, _dispatch_group(blocks1, blocks2, lo_hi,
-                                               tw, pix)))
+                                               tw, pix, mesh=mesh)))
         return out
 
     def collect_stripe(bj, dispatched):

@@ -544,6 +544,78 @@ def _multi_punch_kernel_spectra(spectra, t_padded, lens,
     return tuple(jnp.swapaxes(o, 0, 1) for o in outs)
 
 
+def _drop_memmap_pages(raw) -> None:
+    """Best-effort MADV_DONTNEED on a memmap raw store: staging reads walk
+    the whole mapping once, and without this the touched file-backed pages
+    stay resident (ru_maxrss ≈ the full stack — exactly what the memmap
+    store exists to avoid).  No-op for in-memory stores; reads after the
+    drop simply fault pages back in."""
+    if isinstance(raw, np.memmap):
+        try:
+            import mmap as _mmap
+            raw._mmap.madvise(_mmap.MADV_DONTNEED)
+        except (AttributeError, OSError, ValueError):
+            pass
+
+
+def _stack_memmap(entries, pad_multiple: int, time_capacity,
+                  pad_rows_of, check_aborted=lambda: None):
+    """Stream ``(name, [C, T])`` entries into an UNLINKED temp-file memmap
+    ``[B, C, t_cap]`` — host RSS stays O(one row) instead of holding a
+    second full copy of the database for the life of the process (~5.8 GB
+    at the 10k scale; VERDICT r3 item 6).  ``entries`` may be a one-shot
+    iterator when ``time_capacity`` (max frames, rounded up to
+    ``pad_multiple``) is given; a sequence needs no capacity.  Returns
+    ``(memmap, lens, names)`` with the files-axis padding rows
+    (``pad_rows_of(count)``) already appended as zeros."""
+    import os
+    import tempfile
+
+    if time_capacity is None:
+        entries = list(entries)
+        if not entries:
+            raise ValueError("empty database")
+        time_capacity = max(np.asarray(f).shape[1] for _, f in entries)
+    t_cap = -(-int(time_capacity) // pad_multiple) * pad_multiple
+    fd, tmp_path = tempfile.mkstemp(suffix=".strugdb")
+    names, lens = [], []
+    C = None
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            row = None
+            for name, feat in entries:
+                check_aborted()
+                a = np.asarray(feat, np.float32)
+                if C is None:
+                    C = a.shape[0]
+                    row = np.zeros((C, t_cap), np.float32)
+                if a.shape[0] != C:
+                    raise ValueError(
+                        f"channel count mismatch ({a.shape[0]} vs {C})")
+                if a.shape[1] > t_cap:
+                    raise ValueError(
+                        f"{name!r} has {a.shape[1]} frames > capacity "
+                        f"{t_cap}")
+                row[:] = 0.0
+                row[:, :a.shape[1]] = a
+                row.tofile(fh)
+                names.append(name)
+                lens.append(a.shape[1])
+            if C is None:
+                raise ValueError("empty database")
+            pad = pad_rows_of(len(names))
+            row[:] = 0.0
+            for _ in range(pad):
+                row.tofile(fh)
+        raw = np.memmap(tmp_path, dtype=np.float32, mode="r+",
+                        shape=(len(names) + pad, C, t_cap))
+    finally:
+        # unlink immediately: the mapping keeps the inode alive (POSIX),
+        # and the backing file vanishes with the last reference
+        os.unlink(tmp_path)
+    return raw, np.asarray(lens + [0] * pad, np.int32), names
+
+
 def _rerank_bucket(m: int) -> int:
     """Pad the re-rank candidate count to power-of-two buckets (min 64) so
     repeated queries reuse one jit key per (bucket, template length)."""
@@ -621,12 +693,46 @@ class FeatureDatabase:
                  mesh=None, pad_multiple: int = 512,
                  storage_dtype=None, cache_spectra: bool = False,
                  rerank_device: Optional[bool] = None,
+                 progress=None, check_aborted=None,
+                 raw_store: str = "memory", time_capacity=None,
                  _prestacked=None) -> None:
         from ..kernels.pallas_prep import prepare_database
 
+        # observer protocol for minutes-long stagings (SURVEY §5; the
+        # reference's checkAborted/progress pattern,
+        # FeatureCorrelationImpl.scala:164,402): ``progress`` receives
+        # fractions in [0, 1]; ``check_aborted`` may raise to cancel —
+        # construction then fails cleanly (nothing half-staged escapes;
+        # _restage adopts a fresh instance only on success, so an aborted
+        # re-stage leaves the old database untouched).  Use
+        # :meth:`stage` for the full Processor/observer surface.
+        progress = progress if progress is not None else (lambda f: None)
+        check_aborted = check_aborted if check_aborted is not None \
+            else (lambda: None)
+        check_aborted()
+
+        # files-axis padding (zero rows, lens 0 — masked everywhere): to a
+        # _QUERY_CHUNK multiple when chunked dispatch will be needed, or to
+        # a mesh-size multiple so the sharded files axis divides evenly
+        def pad_rows_of(count: int) -> int:
+            if mesh is None and count > _QUERY_CHUNK:
+                return -count % _QUERY_CHUNK
+            if mesh is not None:
+                return -count % mesh.devices.size
+            return 0
+
+        if raw_store not in ("memory", "memmap"):
+            raise ValueError(f"raw_store {raw_store!r}")
         if _prestacked is not None:
             raw, lens = _prestacked
             self.files = list(entries)
+        elif raw_store == "memmap":
+            # streamed, disk-backed raw store: host RSS stays O(one file)
+            # through staging and for the life of the process (entries may
+            # be a generator when time_capacity is given)
+            raw, lens, self.files = _stack_memmap(
+                entries, pad_multiple, time_capacity, pad_rows_of,
+                check_aborted=check_aborted)
         else:
             self.files = [name for name, _ in entries]
             # stack RAW features; normalization + group shift run on device
@@ -635,14 +741,8 @@ class FeatureDatabase:
                 [np.asarray(f, np.float32) for _, f in entries],
                 multiple=pad_multiple)
         self.step_size = step_size
-        # pad the files axis (zero rows, lens 0 — masked everywhere): to a
-        # _QUERY_CHUNK multiple when chunked dispatch will be needed, or to
-        # a mesh-size multiple so the sharded files axis divides evenly
-        pad_rows = 0
-        if mesh is None and raw.shape[0] > _QUERY_CHUNK:
-            pad_rows = -raw.shape[0] % _QUERY_CHUNK
-        elif mesh is not None:
-            pad_rows = -raw.shape[0] % mesh.devices.size
+        pad_rows = pad_rows_of(raw.shape[0]) if raw_store != "memmap" \
+            or _prestacked is not None else 0
         if pad_rows:
             raw = np.concatenate(
                 [raw, np.zeros((pad_rows,) + raw.shape[1:], raw.dtype)])
@@ -650,6 +750,8 @@ class FeatureDatabase:
                 [lens, np.zeros(pad_rows, lens.dtype)])
         self._raw = raw
         self._lens = lens
+        self._raw_store = raw_store
+        self._time_capacity = time_capacity
         self.norm = norm
         self._mesh = mesh
         # retained for incremental add_files/remove_files and restaging
@@ -681,9 +783,11 @@ class FeatureDatabase:
             # capacity ceiling was half of HBM.)
             store_dtype = (jnp.float32 if storage_dtype is None
                            else storage_dtype)
+            w_feat = 0.7 if cache_spectra else 1.0
             buf = jnp.zeros(raw.shape, store_dtype)
             shift_parts = []
             for o in range(0, raw.shape[0], _QUERY_CHUNK):
+                check_aborted()
                 dev = staged_put(raw[o:o + _QUERY_CHUNK])
                 xs_p, sh_p = prepare_database(
                     dev, norm, self._lens_dev[o:o + _QUERY_CHUNK])
@@ -692,6 +796,9 @@ class FeatureDatabase:
                 buf.block_until_ready()   # one slab in flight at a time
                 del dev, xs_p
                 shift_parts.append(sh_p)
+                _drop_memmap_pages(raw)   # keep a memmap store's RSS flat
+                progress(w_feat * min(1.0, (o + _QUERY_CHUNK)
+                                      / raw.shape[0]))
             self._xs = buf
             self._shifts = jnp.concatenate(shift_parts)
         else:
@@ -701,6 +808,7 @@ class FeatureDatabase:
                 raw_dev = staged_put(raw)
             self._xs, self._shifts = prepare_database(raw_dev, norm,
                                                       self._lens_dev)
+            progress(0.7 if cache_spectra else 1.0)
             if storage_dtype is not None:
                 # e.g. jnp.bfloat16: doubles resident capacity; queries
                 # upcast on the fly (device sims good to ~1e-2; the exact
@@ -743,12 +851,14 @@ class FeatureDatabase:
                 bufs = [jnp.zeros((b,) + p.shape[1:], p.dtype)
                         for p in probe]
                 for o in range(0, b, step):
+                    check_aborted()
                     part = _spectra_kernel(self._xs[o:o + step],
                                            pack_dtype=pack)
                     bufs = [_write_slab(buf, p, jnp.int32(o))
                             for buf, p in zip(bufs, part)]
                     jax.block_until_ready(bufs)
                     del part
+                    progress(0.7 + 0.3 * min(1.0, (o + step) / b))
                 self._spectra = tuple(bufs)
         else:
             self._spectra = None
@@ -769,6 +879,7 @@ class FeatureDatabase:
             self._rerank_device = bool(rerank_device)
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
+        progress(1.0)
 
     @property
     def num_files(self) -> int:
@@ -799,7 +910,8 @@ class FeatureDatabase:
             self._raw[i] = 0.0
         self._lens_dev = self._put_lens()
 
-    def add_files(self, entries: Sequence[Tuple[str, np.ndarray]]) -> None:
+    def add_files(self, entries: Sequence[Tuple[str, np.ndarray]],
+                  progress=None, check_aborted=None) -> None:
         """Stage additional files into the resident database.
 
         New rows fill tombstoned slots (see :meth:`remove_files`) and the
@@ -808,15 +920,26 @@ class FeatureDatabase:
         free slots run out, or a file exceeds the current time capacity,
         the whole database restages — batch adds where possible, since
         each distinct add-batch shape is its own jit key.
+
+        ``progress``/``check_aborted`` follow the staging observer
+        protocol.  Abort points sit BEFORE the incremental path mutates
+        anything (and the restage path adopts atomically), so an aborted
+        add always leaves the previous state fully usable.
         """
         from ..kernels.pallas_prep import prepare_database
 
+        progress = progress if progress is not None else (lambda f: None)
+        check_aborted = check_aborted if check_aborted is not None \
+            else (lambda: None)
         if not entries:
             return
+        check_aborted()
         if self._mesh is not None:
             # a sharded files axis cannot take an in-place row write without
             # resharding anyway — restage with the mesh preserved
-            return self._restage(self._dedup_new(entries))
+            return self._restage(self._dedup_new(entries),
+                                 progress=progress,
+                                 check_aborted=check_aborted)
         entries = self._dedup_new(entries)
         names = [n for n, _ in entries]
         feats = [np.asarray(f, np.float32) for _, f in entries]
@@ -824,13 +947,15 @@ class FeatureDatabase:
         if any(f.shape[0] != C for f in feats):
             raise ValueError(f"channel count mismatch (database has {C})")
         if max(f.shape[1] for f in feats) > t_cap:
-            return self._restage(entries)
+            return self._restage(entries, progress=progress,
+                                 check_aborted=check_aborted)
 
         slots = [i for i, n in enumerate(self.files) if n is None]
         tail = list(range(len(self.files), self._raw.shape[0]))
         free = slots + tail
         if len(free) < len(entries):
-            return self._restage(entries)   # files-axis growth
+            return self._restage(entries, progress=progress,
+                                 check_aborted=check_aborted)
 
         raw_new, lens_new = pad_stack(feats, multiple=1)
         if raw_new.shape[2] < t_cap:
@@ -842,6 +967,9 @@ class FeatureDatabase:
             xs_p = xs_p.astype(self._storage_dtype)
         sp_p = _spectra_kernel(xs_p, pack_dtype=self._spectra_pack) \
             if self._spectra is not None else None
+        progress(0.8)
+        # last abort point: past here the scatter commits atomically
+        check_aborted()
 
         used = free[:len(entries)]
         for j, slot in enumerate(used):
@@ -862,6 +990,7 @@ class FeatureDatabase:
                                   for buf, p in zip(self._spectra, sp_p))
         self._lens_dev = self._put_lens()
         jax.block_until_ready(self._xs)
+        progress(1.0)
 
     def _dedup_new(self, entries):
         """Validate an add batch: no name may collide with a live entry or
@@ -884,18 +1013,30 @@ class FeatureDatabase:
             return jax.device_put(lens, NamedSharding(self._mesh, P("files")))
         return lens
 
-    def _restage(self, new_entries: Sequence[Tuple[str, np.ndarray]]) -> None:
+    def _restage(self, new_entries: Sequence[Tuple[str, np.ndarray]],
+                 progress=None, check_aborted=None) -> None:
         """Full rebuild with the surviving entries plus ``new_entries`` —
         the fallback when an add outgrows the time or files capacity (and
-        the add path for mesh-sharded databases)."""
+        the add path for mesh-sharded databases).  A FRESH instance is
+        built first and adopted only on success: an abort (or any staging
+        failure) mid-restage leaves the old resident database fully
+        usable."""
         old = [(n, self._raw[i][:, :int(self._lens[i])])
                for i, n in enumerate(self.files) if n is not None]
-        self.__init__(old + list(new_entries), self.norm,
-                      step_size=self.step_size, mesh=self._mesh,
-                      pad_multiple=self._pad_multiple,
-                      storage_dtype=self._storage_dtype,
-                      cache_spectra=self._cache_spectra_mode,
-                      rerank_device=self._rerank_device)
+        # time_capacity is NOT forwarded (the restage may exist precisely
+        # because it was outgrown — recomputed from the materialized list);
+        # a memmap store streams the old rows lazily (views), so a
+        # memmap→memmap restage stays RSS-bounded
+        fresh = FeatureDatabase(
+            old + list(new_entries), self.norm,
+            step_size=self.step_size, mesh=self._mesh,
+            pad_multiple=self._pad_multiple,
+            storage_dtype=self._storage_dtype,
+            cache_spectra=self._cache_spectra_mode,
+            rerank_device=self._rerank_device,
+            raw_store=self._raw_store,
+            progress=progress, check_aborted=check_aborted)
+        self.__dict__.update(fresh.__dict__)
 
     def _chunks(self):
         """Per-dispatch file ranges (one range when unchunked/sharded)."""
@@ -1382,11 +1523,17 @@ class FeatureDatabase:
                 results[q] = res
         return results
 
-    def save(self, path) -> None:
+    def save(self, path, progress=None, check_aborted=None) -> None:
         """Persist the stacked database (raw features + lengths + norm +
         file names) so serving restarts skip the per-file AIFF parsing —
         reload with :meth:`load` and the device staging re-runs in one
-        fused pass."""
+        fused pass.  Abort is honored before the write begins (a partial
+        archive is never attributed success; interrupting the OS write
+        itself leaves a torn file like any interrupted save would)."""
+        if check_aborted is not None:
+            check_aborted()
+        if progress is not None:
+            progress(0.0)
         keep = [i for i, n in enumerate(self.files) if n is not None]
         np.savez_compressed(
             path, raw=self._raw[keep], lens=self._lens[keep],
@@ -1394,18 +1541,41 @@ class FeatureDatabase:
                   else np.zeros((0, 2), np.float32)),
             files=np.array([self.files[i] for i in keep]),
             step_size=self.step_size)
+        if progress is not None:
+            progress(1.0)
 
     @staticmethod
     def load(path, mesh=None, **stage_kwargs) -> "FeatureDatabase":
         """Re-stage a :meth:`save`d database.  ``stage_kwargs`` pass
-        through to the constructor (e.g. ``storage_dtype=jnp.bfloat16,
-        cache_spectra="bf16"`` for the compact serving mode)."""
+        through to the constructor (e.g. ``cache_spectra="bf16"`` for the
+        compact serving mode, or ``progress=``/``check_aborted=`` for the
+        staging observer protocol)."""
         z = np.load(path, allow_pickle=False)
         norm = z["norm"] if z["norm"].size else None
         return FeatureDatabase(
             [str(f) for f in z["files"]], norm,
             step_size=int(z["step_size"]), mesh=mesh,
             _prestacked=(z["raw"], z["lens"]), **stage_kwargs)
+
+    @staticmethod
+    def stage(entries, norm, observer=None, name: str = "database staging",
+              **kwargs):
+        """Stage a database under the full observer protocol, like the
+        six analysis factories: returns a started
+        :class:`~strugatzki_tpu.runtime.processor.Processor` whose result
+        is the :class:`FeatureDatabase`; the observer receives
+        :class:`Progress` events during the minutes-long 10k-scale
+        staging and ``abort()`` cancels cooperatively (the reference's
+        processor pattern, SURVEY §5)."""
+        from ..runtime.processor import Processor
+
+        def body(proc):
+            return FeatureDatabase(entries, norm,
+                                   progress=proc.set_progress,
+                                   check_aborted=proc.check_aborted,
+                                   **kwargs)
+
+        return Processor(body, name=name, observer=observer).start()
 
     @staticmethod
     def from_folder(folder: str, num_coeffs: int = 13, step_size: int = 512,

@@ -29,7 +29,7 @@ from ..kernels import corr as K
 
 __all__ = ["make_files_mesh", "batched_correlation_traces",
            "sharded_sweep_step", "pad_stack", "sharded_long_file_trace",
-           "sharded_extract_long"]
+           "sharded_extract_long", "batched_novelty_traces"]
 
 
 def make_files_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -223,6 +223,40 @@ def sharded_extract_long(audio: np.ndarray, sample_rate: float,
     out = out.transpose(0, 2, 1, 3).reshape(n_dev, C, -1)
     out = out[:, :, 1:per + 1]               # drop each shard's halo frame
     return np.concatenate(list(out), axis=1)[:, :total].copy()
+
+
+@partial(jax.jit, static_argnames=("half_win", "num_temporal"))
+def _batched_novelty(xs_b, half_win: int, temp_weight,
+                     num_temporal: int = 1):
+    """vmap of kernels.corr.novelty_trace over a files/spans axis."""
+    return jax.vmap(lambda xs: K.novelty_trace(
+        xs, half_win, temp_weight, num_temporal=num_temporal))(xs_b)
+
+
+def batched_novelty_traces(xs_b: np.ndarray, half_win: int,
+                           temp_weight: float,
+                           mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Novelty curves for a padded batch of prepared feature matrices
+    ``[B, C, Tp]`` — the segmentation hot loop
+    (FeatureSegmentationImpl.scala:107-133) batched over files/spans and
+    optionally sharded over a ``files`` mesh axis.  Each curve is
+    independent (no cross-file state); sharding a mesh-divisible batch is
+    bit-identical to the unsharded batch (tests pin it).  When the batch
+    must be zero-padded to a mesh multiple, the changed FFT batch size
+    can shift curve values by f32 rounding (~2e-8 observed; the ≤2e-5
+    plan-invariance budget applies).  Returns ``sims [B, W]``,
+    ``W = Tp − 2·half_win + 1``."""
+    tw = jnp.float32(temp_weight)
+    xs_b = np.asarray(xs_b)
+    if mesh is None:
+        return np.asarray(_batched_novelty(jnp.asarray(xs_b), half_win, tw))
+    b = xs_b.shape[0]
+    pad_rows = -b % mesh.devices.size
+    if pad_rows:
+        xs_b = np.concatenate(
+            [xs_b, np.zeros((pad_rows,) + xs_b.shape[1:], xs_b.dtype)])
+    xs_s = jax.device_put(xs_b, NamedSharding(mesh, P("files")))
+    return np.asarray(_batched_novelty(xs_s, half_win, tw))[:b]
 
 
 def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):

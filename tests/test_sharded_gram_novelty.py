@@ -1,0 +1,130 @@
+"""Mesh-sharded self-similarity gram + batched/sharded segmentation
+novelty: the last two reference compute paths to gain a multi-chip story
+(VERDICT r3 item 3).  Sharding the stacked pair/files axis must not change
+a single pixel/curve value vs the single-device path — per-element math is
+identical under the vmap, so equality is pinned EXACTLY."""
+
+import numpy as np
+
+from strugatzki_tpu.analysis.segmentation import (segment_features,
+                                                  segment_features_batch)
+from strugatzki_tpu.analysis.self_similarity import (
+    self_similarity_image, self_similarity_matrix, self_similarity_to_png)
+from strugatzki_tpu.config import ColorScheme, SegmentationConfig
+from strugatzki_tpu.kernels import corr as K
+from strugatzki_tpu.parallel.sweep import (batched_novelty_traces,
+                                           make_files_mesh)
+from strugatzki_tpu.span import Span
+
+
+def _prepared(seed, C=14, T=900):
+    rng = np.random.default_rng(seed)
+    x = np.abs(0.5 + 0.1 * rng.standard_normal((C, T))).astype(np.float32)
+    xs, _, _ = K.shift_per_group(x)
+    return xs
+
+
+def test_sharded_gram_matrix_bitexact():
+    xs = _prepared(0)
+    mesh = make_files_mesh()
+    m1 = self_similarity_matrix(xs, xs, half_win=40, decim=1,
+                                temp_weight=0.5)
+    m2 = self_similarity_matrix(xs, xs, half_win=40, decim=1,
+                                temp_weight=0.5, mesh=mesh)
+    assert m1.shape == m2.shape and m1.shape[0] > 512  # multi-block
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_sharded_gram_image_pixels_bitexact():
+    """Fused device colorization (uint16 palette indices) sharded over the
+    mesh must produce the identical RGB image."""
+    xs = _prepared(1)
+    mesh = make_files_mesh()
+    img1 = self_similarity_image(xs, xs, half_win=30, decim=1,
+                                 temp_weight=0.5, color_ceil=0.9)
+    img2 = self_similarity_image(xs, xs, half_win=30, decim=1,
+                                 temp_weight=0.5, color_ceil=0.9, mesh=mesh)
+    np.testing.assert_array_equal(img1, img2)
+    g1 = self_similarity_image(xs, xs, half_win=30, decim=1,
+                               temp_weight=0.5,
+                               colors=ColorScheme.GRAY_SCALE)
+    g2 = self_similarity_image(xs, xs, half_win=30, decim=1,
+                               temp_weight=0.5,
+                               colors=ColorScheme.GRAY_SCALE, mesh=mesh)
+    np.testing.assert_array_equal(g1, g2)
+
+
+def test_sharded_streaming_png_bytes_identical(tmp_path):
+    """The stripe-streaming PNG path with a mesh writes byte-identical
+    output (same pixels, same compression stream)."""
+    xs = _prepared(2, T=760)
+    mesh = make_files_mesh()
+    p1 = tmp_path / "single.png"
+    p2 = tmp_path / "sharded.png"
+    n1 = self_similarity_to_png(xs, xs, 30, 1, 0.5, p1)
+    n2 = self_similarity_to_png(xs, xs, 30, 1, 0.5, p2, mesh=mesh)
+    assert n1 == n2 > 512
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_batched_novelty_sharded():
+    """A mesh-divisible batch shards bit-identically; a padded batch (6
+    files over 8 devices) stays within the plan-invariance budget."""
+    rng = np.random.default_rng(3)
+    xs_b = np.abs(0.5 + 0.1 * rng.standard_normal((8, 14, 700))
+                  ).astype(np.float32)
+    mesh = make_files_mesh()
+    s1 = batched_novelty_traces(xs_b, 50, 0.5)
+    s2 = batched_novelty_traces(xs_b, 50, 0.5, mesh=mesh)
+    assert s1.shape == (8, 700 - 100 + 1)
+    np.testing.assert_array_equal(s1, s2)     # divisible → bit-identical
+    s1p = batched_novelty_traces(xs_b[:6], 50, 0.5)
+    s2p = batched_novelty_traces(xs_b[:6], 50, 0.5, mesh=mesh)
+    assert s2p.shape == (6, 601)              # padding rows sliced away
+    np.testing.assert_allclose(s1p, s2p, atol=2e-5)
+
+
+def _breaks_close(got, want, atol=1e-6):
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.pos == w.pos
+        assert abs(g.sim - w.sim) <= atol, (g, w)
+
+
+def test_segment_batch_matches_per_file():
+    """segment_features_batch equals per-file segment_features: break
+    positions exactly, sims within the plan budget (the batch shares one
+    device width / FFT batch plan); a mesh-divisible batch shards
+    bit-identically."""
+    rng = np.random.default_rng(4)
+    cfg = SegmentationConfig(corr_len=44100, num_breaks=6,
+                             min_spacing=22050, temporal_weight=0.5,
+                             span=Span()).build()
+    feats = [np.abs(0.5 + 0.2 * rng.standard_normal((14, 2000 + 7 * i))
+                    ).astype(np.float32) for i in range(8)]
+    singles = [segment_features(f, None, 512, cfg) for f in feats]
+    batch = segment_features_batch(feats, None, 512, cfg)
+    mesh = make_files_mesh()
+    batch_m = segment_features_batch(feats, None, 512, cfg, mesh=mesh)
+    assert batch == batch_m        # 8 files over 8 devices: bit-identical
+    for got, want in zip(batch, singles):
+        _breaks_close(got, want)
+
+
+def test_segment_batch_empty_and_short_entries():
+    """Entries whose span is empty yield []; afLen < winLen yields the
+    single zero-padded window, matching segment_features."""
+    rng = np.random.default_rng(5)
+    cfg = SegmentationConfig(corr_len=44100, num_breaks=3,
+                             min_spacing=0, temporal_weight=0.5,
+                             span=Span()).build()
+    long_f = np.abs(0.5 + 0.2 * rng.standard_normal((14, 800))
+                    ).astype(np.float32)
+    short_f = np.abs(0.5 + 0.2 * rng.standard_normal((14, 100))
+                     ).astype(np.float32)   # < winLen (172)
+    empty_f = np.zeros((14, 0), np.float32)
+    batch = segment_features_batch([long_f, short_f, empty_f], None, 512,
+                                   cfg)
+    _breaks_close(batch[0], segment_features(long_f, None, 512, cfg))
+    _breaks_close(batch[1], segment_features(short_f, None, 512, cfg))
+    assert batch[2] == []

@@ -17,10 +17,16 @@ minor axis forced lane-padding relayouts and the re-rank ran as host
 numpy.  ``--bf16`` keeps that capacity combo (bf16 features, host
 re-rank) for comparison.
 
-    python tools/db10k_bench.py [--punch] [--compact | --bf16]
+``--memmap`` streams per-file synthesized entries straight into the
+disk-backed raw store: host RSS stays O(one file) through the whole 10k
+staging instead of holding a ~5.8 GB second copy for the life of the
+process (the log line prints ru_maxrss as evidence).
+
+    python tools/db10k_bench.py [--punch] [--compact | --bf16] [--memmap]
 """
 
 import os
+import resource
 import sys
 import time
 
@@ -30,23 +36,43 @@ import numpy as np
 from strugatzki_tpu.analysis.correlation import InputTemplate
 from strugatzki_tpu.parallel.database import FeatureDatabase
 
-rng = np.random.default_rng(0)
 n_files, file_frames, punch = 10000, 10336, 861
-base = rng.uniform(0.3, 0.7, size=(n_files, 14, 1)).astype(np.float32)
-feats = np.abs(base + 0.1 * rng.standard_normal(
-    (n_files, 14, file_frames)).astype(np.float32))
-entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
-tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
+memmap = "--memmap" in sys.argv
+
+
+def synth(i):
+    r = np.random.default_rng(1000 + i)
+    base = r.uniform(0.3, 0.7, size=(14, 1)).astype(np.float32)
+    return np.abs(base + 0.1 * r.standard_normal(
+        (14, file_frames)).astype(np.float32))
+
+
+if memmap:
+    entries = ((f"f{i}.aif", synth(i)) for i in range(n_files))
+    tmpl = InputTemplate(synth(77)[:, 100:100 + punch].copy())
+else:
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.3, 0.7, size=(n_files, 14, 1)).astype(np.float32)
+    feats = np.abs(base + 0.1 * rng.standard_normal(
+        (n_files, 14, file_frames)).astype(np.float32))
+    entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
+    tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
+kw = dict(raw_store="memmap", time_capacity=file_frames) if memmap else {}
 t0 = time.perf_counter()
 if "--compact" in sys.argv:
-    db = FeatureDatabase(entries, norm=None, cache_spectra="bf16")
+    db = FeatureDatabase(entries, norm=None, cache_spectra="bf16", **kw)
 elif "--bf16" in sys.argv:
     import jax.numpy as jnp
     db = FeatureDatabase(entries, norm=None, storage_dtype=jnp.bfloat16,
-                         cache_spectra="bf16")
+                         cache_spectra="bf16", **kw)
 else:
-    db = FeatureDatabase(entries, norm=None)
+    db = FeatureDatabase(entries, norm=None, **kw)
 stage_s = time.perf_counter() - t0
+if memmap:
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    print(f"memmap raw store: peak host RSS {rss:.2f} GiB through staging "
+          f"(full stack would be {n_files*14*file_frames*4/2**30:.2f} GiB "
+          f"+ process overhead)", flush=True)
 db_bytes = db._xs.nbytes
 if db._spectra is not None:
     db_bytes += sum(s.nbytes for s in db._spectra)
