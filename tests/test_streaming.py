@@ -221,14 +221,19 @@ assert spec.num_frames == num_output_frames(n_total, 512), spec.num_frames
 assert np.isfinite(data).all()
 rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 print(f"frames={{spec.num_frames}} rss={{rss_mb:.0f}}MB")
-assert rss_mb < 2048, rss_mb
+# bound chosen well under the ~5 GB an unbounded path would hold, with
+# headroom over persistent-compile-cache deserialization variance: the
+# same fresh subprocess measures ~1.9 GB alone but 2.17 GB when a full
+# prior suite run has populated the JAX cache (found round 4)
+assert rss_mb < 2600, rss_mb
 """
 
 
 def test_long_file_extraction_bounded_memory(tmp_path):
     """A 20-minute file (above STREAMING_THRESHOLD) extracts through the
     chunked streaming path with bounded host memory (fresh process,
-    RSS < 2 GB; the file itself is ~100 MB)."""
+    RSS < 2.6 GB; the file itself is ~100 MB and an unbounded path holds
+    ~5 GB)."""
     import os
     import subprocess
     import sys

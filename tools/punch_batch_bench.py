@@ -1,0 +1,68 @@
+"""Measure query_punch_batch vs sequential query_punch (VERDICT r3
+item 4: done = >= 2x at 512 files x 8 punch pairs).
+
+The batch kernel computes each file's forward spectra once for all pairs
+in a bucket; sequential punch queries recompute them per query.
+
+    python tools/punch_batch_bench.py [n_files] [n_pairs]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from strugatzki_tpu.analysis.correlation import InputTemplate
+from strugatzki_tpu.parallel.database import FeatureDatabase
+
+n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+file_frames, l_in, l_out = 10336, 861, 430
+
+rng = np.random.default_rng(0)
+base = rng.uniform(0.3, 0.7, size=(n_files, 14, 1)).astype(np.float32)
+feats = np.abs(base + 0.1 * rng.standard_normal(
+    (n_files, 14, file_frames)).astype(np.float32))
+entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
+pairs = []
+for q in range(n_pairs):
+    src = feats[7 * q + 3]
+    pairs.append((InputTemplate(src[:, 100 + q:100 + q + l_in].copy()),
+                  InputTemplate(src[:, 4000 + q:4000 + q + l_out].copy()),
+                  2000, 3500))
+
+t0 = time.perf_counter()
+db = FeatureDatabase(entries, norm=None)
+print(f"staged {n_files} files in {time.perf_counter()-t0:.0f}s", flush=True)
+
+t0 = time.perf_counter()
+db.query_punch(*pairs[0][:2], min_punch=2000, max_punch=3500, k=2)
+print(f"punch compile {time.perf_counter()-t0:.0f}s", flush=True)
+t0 = time.perf_counter()
+db.query_punch_batch(pairs[:1], k=2)
+print(f"batch(Q=1) compile {time.perf_counter()-t0:.0f}s", flush=True)
+t0 = time.perf_counter()
+db.query_punch_batch(pairs, k=2)
+print(f"batch(Q={n_pairs}) compile {time.perf_counter()-t0:.0f}s", flush=True)
+
+seq_ts, bat_ts = [], []
+for _ in range(3):
+    t0 = time.perf_counter()
+    seq = [db.query_punch(p_in, p_out, min_punch=mp, max_punch=xp, k=2)
+           for p_in, p_out, mp, xp in pairs]
+    seq_ts.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    bat = db.query_punch_batch(pairs, k=2)
+    bat_ts.append(time.perf_counter() - t0)
+    print(f"  seq {seq_ts[-1]*1e3:.0f} ms vs batch {bat_ts[-1]*1e3:.0f} ms",
+          flush=True)
+for q in range(n_pairs):
+    np.testing.assert_array_equal(seq[q].frames, bat[q].frames)
+    np.testing.assert_allclose(seq[q].sims, bat[q].sims, atol=1e-6)
+print(f"{n_pairs} pairs x {n_files} files: sequential best "
+      f"{min(seq_ts)*1e3:.0f} ms, batch best {min(bat_ts)*1e3:.0f} ms -> "
+      f"x{min(seq_ts)/min(bat_ts):.2f} (results pair-for-pair equal)",
+      flush=True)
