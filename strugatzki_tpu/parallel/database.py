@@ -649,10 +649,17 @@ def _rerank_window_kernel(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
     nt = num_temporal
     L = tmpl_t.shape[1]
     C = xs_b.shape[1]
-    pos = frames[:, None] + jnp.arange(L, dtype=frames.dtype)[None, :]
-    win = xs_b[file_idx[:, None, None],
-               jnp.arange(C)[None, :, None],
-               pos[:, None, :]].astype(jnp.float32)        # [M, C, L]
+
+    # window gather as a vmapped dynamic_slice: ONE gather of M contiguous
+    # [C, L] slices (slice_sizes=(1, C, L)).  An advanced-indexing gather
+    # here (index arrays broadcast to [M, C, L]) lowers to a pointwise
+    # slice_sizes=(1,1,1) gather over M·C·L elements — measured ~1.3 s of
+    # a 10k compact query on the chip vs milliseconds for the slice form.
+    def one_window(i, t):
+        return jax.lax.dynamic_slice(xs_b, (i, 0, t),
+                                     (1, C, L))[0]
+
+    win = jax.vmap(one_window)(file_idx, frames).astype(jnp.float32)
 
     def group(rows, tmpl, a_std, n_cells):
         s = rows.sum(axis=(1, 2))

@@ -179,3 +179,29 @@ def test_concurrent_queries_thread_safe():
         assert not t.is_alive()
     assert not errors
     assert all(r == want for r in results)
+
+
+def test_incremental_new_compact_mode():
+    """Round-4 compact combo (f32 features + PLANAR bf16 spectra + device
+    re-rank): incremental add/remove must stay match-identical to a fresh
+    build, exercising the 4-array spectra scatter and the device re-rank
+    over updated rows (C=14 so the InputTemplate channel layout holds)."""
+    ents = _entries(21, 9, C=14)
+    kw = dict(cache_spectra="bf16")
+    db = FeatureDatabase(ents, norm=None, **kw)
+    assert db._rerank_device and len(db._spectra) == 4
+    db.remove_files([ents[4][0]])
+    extra = _entries(22, 2, T=170, C=14)
+    db.add_files(extra)
+    assert len(db._spectra) == 4
+    live = [e for i, e in enumerate(ents) if i != 4] + extra
+    _assert_equiv(db, live, _tmpl(extra, 0), **kw)
+    t_in = _tmpl(extra, 1, start=10, L=40)
+    t_out = _tmpl(extra, 1, start=90, L=30)
+    fresh = FeatureDatabase(live, norm=None, **kw)
+    got = db.query_punch(t_in, t_out, min_punch=60, max_punch=100, k=2)
+    want = fresh.query_punch(t_in, t_out, min_punch=60, max_punch=100, k=2)
+    assert [(m.file, m.punch.start, round(m.sim, 6))
+            for m in got.matches(512, 3)] == \
+        [(m.file, m.punch.start, round(m.sim, 6))
+         for m in want.matches(512, 3)]

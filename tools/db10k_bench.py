@@ -79,8 +79,8 @@ if db._spectra is not None:
 stats = getattr(db._xs.device, "memory_stats", lambda: None)() or {}
 peak = stats.get("peak_bytes_in_use")
 print(f"staged in {stage_s:.0f}s; database {db_bytes/2**30:.2f} GiB resident"
-      + (" (bf16 features + bf16-packed spectra cache)"
-         if db._spectra is not None else "")
+      + (f" ({db._xs.dtype} features + planar {db._spectra[0].dtype} "
+         "spectra cache)" if db._spectra is not None else "")
       + (f", peak HBM {peak/2**30:.2f} GiB = {peak/db_bytes:.2f}x the "
          f"resident set (slab-wise donated staging; round 2 held ~2x)"
          if peak else ""), flush=True)
