@@ -367,3 +367,43 @@ def test_query_punch_batch_validates_band():
     db = FeatureDatabase(files, norm=None, pad_multiple=64)
     with pytest.raises(ValueError, match="min_punch"):
         db.query_punch_batch([(t_in, t_out, 90, 80)])
+
+
+def test_query_punch_batch_fuzz_seeds():
+    """Fuzz parity for the batched punch path: random databases, random
+    pair shapes/bands (bucketed arbitrarily), random storage mode — every
+    pair must equal its sequential query_punch."""
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        n_files = int(rng.integers(3, 7))
+        files = []
+        for i in range(n_files):
+            T = int(rng.integers(200, 380))
+            base = rng.uniform(0.3, 0.7, size=(14, 1))
+            files.append((f"s{seed}f{i}.aif",
+                          np.abs(base + 0.1 * rng.standard_normal((14, T))
+                                 ).astype(np.float32)))
+        kw = dict(cache_spectra="bf16") if seed % 2 else {}
+        db = FeatureDatabase(files, norm=None, pad_multiple=64, **kw)
+        pairs = []
+        for _ in range(int(rng.integers(2, 5))):
+            src = files[int(rng.integers(0, n_files))][1]
+            li = int(rng.integers(16, 40))
+            lo = int(rng.integers(16, 40))
+            t0 = int(rng.integers(0, src.shape[1] - li))
+            t1 = int(rng.integers(0, src.shape[1] - lo))
+            mp = int(rng.integers(10, 60))
+            pairs.append((InputTemplate(src[:, t0:t0 + li].copy()),
+                          InputTemplate(src[:, t1:t1 + lo].copy()),
+                          mp, mp + int(rng.integers(0, 50))))
+        batch = db.query_punch_batch(pairs, k=3)
+        for q, (p_in, p_out, mp, xp) in enumerate(pairs):
+            single = db.query_punch(p_in, p_out, min_punch=mp,
+                                    max_punch=xp, k=3)
+            np.testing.assert_array_equal(batch[q].frames, single.frames,
+                                          err_msg=f"seed={seed} q={q}")
+            np.testing.assert_allclose(batch[q].sims, single.sims,
+                                       atol=1e-6,
+                                       err_msg=f"seed={seed} q={q}")
+            np.testing.assert_array_equal(batch[q].punch_lens,
+                                          single.punch_lens)
