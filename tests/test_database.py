@@ -397,3 +397,25 @@ def test_rerank_device_flag_validation(db_entries):
     db = FeatureDatabase(db_entries[:2], norm=None, pad_multiple=64,
                          storage_dtype=jnp.bfloat16)
     assert not db._rerank_device
+
+
+def test_sharded_query_punch_batch_matches_single(db_entries):
+    """query_punch_batch runs SPMD over a files mesh unchanged; results
+    must match the single-device batch."""
+    entries = [(n, f.copy()) for n, f in db_entries[:8]]
+    entries[5][1][:, 30:60] = entries[3][1][:, 10:40]
+    entries[5][1][:, 110:130] = entries[3][1][:, 100:120]
+    pairs = [(InputTemplate(entries[3][1][:, 10:40].copy()),
+              InputTemplate(entries[3][1][:, 100:120].copy()), 70, 85),
+             (InputTemplate(entries[2][1][:, 5:35].copy()),
+              InputTemplate(entries[6][1][:, 50:70].copy()), 40, 90)]
+    db1 = FeatureDatabase(entries, norm=None, pad_multiple=64)
+    db2 = FeatureDatabase(entries, norm=None, pad_multiple=64,
+                          mesh=make_files_mesh())
+    b1 = db1.query_punch_batch(pairs, k=2)
+    b2 = db2.query_punch_batch(pairs, k=2)
+    for r1, r2 in zip(b1, b2):
+        np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-5)
+        np.testing.assert_array_equal(r1.frames, r2.frames)
+    m = b2[0].matches(step_size=512, k_total=1)[0]
+    assert m.file == entries[5][0] and m.punch.start == 30 * 512
