@@ -397,10 +397,17 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
 
 class SelfSimilarity(ProcessorFactory):
-    """``SelfSimilarity.run(config, observer) -> Processor[None]`` (writes PNG)."""
+    """``SelfSimilarity.run(config, observer) -> Processor[None]`` (writes PNG).
+
+    The classvar ``mesh`` (like the reference-shaped ``verbose``) shards
+    the gram pair groups over a ``files`` mesh axis — bit-identical
+    pixels, one stripe's row-blocks split across chips (the config stays
+    XML-serializable; hardware topology is process state, not config).
+    """
 
     name = "self similarity"
     Config = SelfSimilarityConfig
+    mesh = None
 
     @classmethod
     def _make_body(cls, config: SelfSimilarityConfig):
@@ -481,14 +488,14 @@ class SelfSimilarity(ProcessorFactory):
                         cfg.image_output, cfg.colors, cfg.color_warp,
                         cfg.color_ceil, cfg.color_inv,
                         check_aborted=proc.check_aborted,
-                        progress=proc.set_progress)
+                        progress=proc.set_progress, mesh=cls.mesh)
             else:
                 with proc.sub(0.95):
                     rgb = self_similarity_image(
                         x1, x2, half_win, decim, cfg.temporal_weight,
                         cfg.colors, cfg.color_warp, cfg.color_ceil,
                         cfg.color_inv, check_aborted=proc.check_aborted,
-                        progress=proc.set_progress)
+                        progress=proc.set_progress, mesh=cls.mesh)
                 write_png(cfg.image_output, rgb)
             proc.set_progress(1.0)
             return None

@@ -795,7 +795,8 @@ class FeatureDatabase:
             shift_parts = []
             for o in range(0, raw.shape[0], _QUERY_CHUNK):
                 check_aborted()
-                dev = staged_put(raw[o:o + _QUERY_CHUNK])
+                dev = staged_put(raw[o:o + _QUERY_CHUNK],
+                                 drain=(raw_store == "memmap"))
                 xs_p, sh_p = prepare_database(
                     dev, norm, self._lens_dev[o:o + _QUERY_CHUNK])
                 buf = _write_slab(buf, xs_p.astype(store_dtype),

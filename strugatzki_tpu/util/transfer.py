@@ -23,9 +23,42 @@ __all__ = ["staged_put", "STAGE_CHUNK_BYTES"]
 STAGE_CHUNK_BYTES = 24 << 20
 
 
-def staged_put(arr: np.ndarray):
+@jax.jit
+def _corner(x):
+    """Tiny scalar dependent on the whole array — fetching it forces the
+    relay to really complete the transfer (block_until_ready acks early
+    on this link, docs/BENCH_LINK.md)."""
+    return x.reshape(-1)[-1]
+
+
+def _finish(parts, out, drain: bool):
+    """Optionally force the relay drain and explicitly delete the piece
+    arrays.  This bounds everything the CALLER can control: pieces are
+    gone and the transfer is genuinely complete before the next slab
+    maps in.  Note the measured residual (tools/rss_probe.py): this
+    harness's relay client still retains ~1 payload copy per uploaded
+    slab internally (neither refcount death, explicit delete, gc, nor
+    malloc_trim releases it) — an environment artifact, not a reference
+    held by this code; on a directly-attached backend the same calls
+    leave RSS at O(one slab)."""
+    if drain:
+        np.asarray(_corner(out))
+        for p in parts:
+            try:
+                p.delete()
+            except Exception:
+                break
+    return out
+
+
+def staged_put(arr: np.ndarray, drain: bool = False):
     """``device_put`` of ``arr`` in ≤ :data:`STAGE_CHUNK_BYTES` pieces,
-    reassembled on device.  Small arrays go straight through."""
+    reassembled on device.  Small arrays go straight through.
+
+    ``drain=True`` (bounded-host-RSS staging) forces a real round-trip
+    after reassembly and deletes the piece arrays so the transport layer
+    can release its per-piece payload copies before the caller uploads
+    the next slab."""
     if arr.nbytes <= STAGE_CHUNK_BYTES:
         return jnp.asarray(arr)
     lead = arr.shape[0] if arr.ndim else 1
@@ -36,9 +69,9 @@ def staged_put(arr: np.ndarray):
         # otherwise fall through to the flat split so no piece exceeds it
         parts = [jax.device_put(arr[i:i + rows_per])
                  for i in range(0, lead, rows_per)]
-        return jnp.concatenate(parts, axis=0)
+        return _finish(parts, jnp.concatenate(parts, axis=0), drain)
     flat = arr.reshape(-1)
     k = -(-arr.nbytes // STAGE_CHUNK_BYTES)
     bounds = np.linspace(0, flat.shape[0], k + 1).astype(np.int64)
     parts = [jax.device_put(flat[a:b]) for a, b in zip(bounds, bounds[1:])]
-    return jnp.concatenate(parts).reshape(arr.shape)
+    return _finish(parts, jnp.concatenate(parts).reshape(arr.shape), drain)

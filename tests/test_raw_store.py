@@ -93,3 +93,20 @@ def test_memmap_save_load(tmp_path):
     tmpl = InputTemplate(entries[1][1][:, 20:60].copy())
     np.testing.assert_array_equal(db.query(tmpl, k=1).frames,
                                   db2.query(tmpl, k=1).frames)
+
+
+def test_memmap_chunked_staging(monkeypatch):
+    """Slab-chunked staging from a memmap store (the 10k path: per-slab
+    forced drain + MADV_DONTNEED) must produce the same results as the
+    in-memory store."""
+    from strugatzki_tpu.parallel import database as D
+    entries = _entries(9)
+    monkeypatch.setattr(D, "_QUERY_CHUNK", 4)
+    db_m = FeatureDatabase(entries, norm=None, pad_multiple=32)
+    db_f = FeatureDatabase(entries, norm=None, pad_multiple=32,
+                           raw_store="memmap")
+    tmpl = InputTemplate(entries[6][1][:, 40:90].copy())
+    r1 = db_m.query(tmpl, k=2)
+    r2 = db_f.query(tmpl, k=2)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)

@@ -398,3 +398,30 @@ def test_selfsim_rejects_illegal_color_settings(tmp_path):
             corr_len=10 * 512, normalize=False, **bad)
         with pytest.raises(ValueError):
             SelfSimilarity.run(cfg).result(timeout=60)
+
+
+def test_selfsim_processor_mesh_bitexact_png(tmp_path):
+    """Setting the SelfSimilarity.mesh classvar shards the gram over the
+    virtual mesh through the factory path — byte-identical PNG."""
+    from strugatzki_tpu.parallel.sweep import make_files_mesh
+
+    rng = np.random.default_rng(11)
+    feats = np.abs(0.5 + 0.1 * rng.standard_normal((14, 260))
+                   ).astype(np.float32)
+    feat_p = tmp_path / "m_feat.aif"
+    meta_p = tmp_path / "m_feat.xml"
+    _write_feat(feat_p, feats)
+    _write_meta(meta_p, tmp_path / "m.aif", feat_p)
+    cfg = SelfSimilarityConfig(
+        meta_input=str(meta_p), image_output=str(tmp_path / "a.png"),
+        corr_len=20 * 512, decimation=1, normalize=False)
+    SelfSimilarity.run(cfg).result(timeout=120)
+    cfg2 = cfg.build()
+    object.__setattr__(cfg2, "image_output", str(tmp_path / "b.png"))
+    SelfSimilarity.mesh = make_files_mesh()
+    try:
+        SelfSimilarity.run(cfg2).result(timeout=120)
+    finally:
+        SelfSimilarity.mesh = None
+    assert (tmp_path / "a.png").read_bytes() == \
+        (tmp_path / "b.png").read_bytes()

@@ -71,8 +71,10 @@ stage_s = time.perf_counter() - t0
 if memmap:
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
     print(f"memmap raw store: peak host RSS {rss:.2f} GiB through staging "
-          f"(full stack would be {n_files*14*file_frames*4/2**30:.2f} GiB "
-          f"+ process overhead)", flush=True)
+          f"vs 17.15 GiB measured for the in-memory store at this scale "
+          f"(tools/rss_probe.py; the process-owned raw copies are gone — "
+          f"the residual is this relay client's per-slab upload "
+          f"retention)", flush=True)
 db_bytes = db._xs.nbytes
 if db._spectra is not None:
     db_bytes += sum(s.nbytes for s in db._spectra)
@@ -94,7 +96,8 @@ print(f"10k query (async chunk fetch): {sorted(round(x*1e3) for x in ts)} ms", f
 print(f"hit: {res.frames[77,0]} sim={res.sims[77,0]:.4f}", flush=True)
 
 if "--punch" in sys.argv:
-    t_out = InputTemplate(feats[77][:, 3000:3430].copy())   # 5 s punch-out
+    src77 = synth(77) if memmap else feats[77]
+    t_out = InputTemplate(src77[:, 3000:3430].copy())       # 5 s punch-out
     t0 = time.perf_counter()
     db.query_punch(tmpl, t_out, min_punch=2000, max_punch=3500, k=2)
     print(f"punch compile {time.perf_counter()-t0:.0f}s", flush=True)
