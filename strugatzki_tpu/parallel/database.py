@@ -775,6 +775,7 @@ class FeatureDatabase:
             # to device 0 — the capacity the mesh exists to exceed)
             raw_dev = jax.device_put(raw, shard)
             self._lens_dev = jax.device_put(lens, shard)
+            _drop_memmap_pages(raw)
         else:
             self._lens_dev = jnp.asarray(lens)
         if mesh is None and raw.shape[0] > _QUERY_CHUNK:
@@ -813,9 +814,10 @@ class FeatureDatabase:
             if mesh is None:
                 # chunked staging: the raw stack easily exceeds the relay's
                 # large-transfer cliff (util/transfer.py)
-                raw_dev = staged_put(raw)
+                raw_dev = staged_put(raw, drain=(raw_store == "memmap"))
             self._xs, self._shifts = prepare_database(raw_dev, norm,
                                                       self._lens_dev)
+            _drop_memmap_pages(raw)
             progress(0.7 if cache_spectra else 1.0)
             if storage_dtype is not None:
                 # e.g. jnp.bfloat16: doubles resident capacity; queries
