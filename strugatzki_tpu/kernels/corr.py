@@ -158,13 +158,7 @@ def sliding_dot_fft(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     N = _fft_len(T)
     ta = jnp.fft.rfft(template, n=N, axis=1)
     xa = jnp.fft.rfft(x, n=N, axis=1)
-    # explicit HIGHEST-precision contraction over channels: under a vmap
-    # (batched templates or files) XLA dot-forms this multiply-reduce onto
-    # the MXU, whose default precision is bf16 — measured 4–7% similarity
-    # error in the batched punch kernel on a real chip (round 4); the
-    # unbatched lowering is elementwise and unaffected
-    spec = jnp.einsum("cn,cn->n", jnp.conj(ta), xa,
-                      precision=jax.lax.Precision.HIGHEST)
+    spec = (jnp.conj(ta) * xa).sum(axis=0)
     return jnp.fft.irfft(spec, n=N)[:W].astype(jnp.float32)
 
 
@@ -235,17 +229,10 @@ def trace_spectra(xs: jnp.ndarray, num_temporal: int = 1):
         # bf16-stored databases (2x HBM capacity) upcast on the fly
         xs = xs.astype(jnp.float32)
     X = jnp.fft.rfft(xs, n=N, axis=1)                     # [C, N/2+1]
-
-    def sq_row(rows):
-        # HIGHEST-precision self-contraction over channels (see
-        # sliding_dot_fft: vmapped callers can dot-form this onto the
-        # bf16-default MXU; this row feeds the window-variance parity math)
-        return jnp.einsum("ct,ct->t", rows, rows,
-                          precision=jax.lax.Precision.HIGHEST)[None]
-
     Xsq = jnp.fft.rfft(
-        jnp.concatenate([sq_row(xs[:nt]), sq_row(xs[nt:])], axis=0),
-        n=N, axis=1)                                      # [2, N/2+1]
+        jnp.concatenate([(xs[:nt] * xs[:nt]).sum(axis=0, keepdims=True),
+                         (xs[nt:] * xs[nt:]).sum(axis=0, keepdims=True)],
+                        axis=0), n=N, axis=1)             # [2, N/2+1]
     return X, Xsq
 
 
@@ -311,11 +298,7 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
 
     def tdot(tmpl, rows):
         ta = jnp.fft.rfft(tmpl, n=N, axis=1)
-        # HIGHEST-precision channel contraction — see sliding_dot_fft:
-        # the batched kernels' vmap makes XLA dot-form this onto the MXU,
-        # where the bf16 default costs ~1e-2 (the parity budget is 1e-5)
-        spec = jnp.einsum("cn,cn->n", jnp.conj(ta), rows,
-                          precision=jax.lax.Precision.HIGHEST)
+        spec = (jnp.conj(ta) * rows).sum(axis=0)
         return jnp.fft.irfft(spec, n=N)[:W]
 
     w = temp_weight
@@ -362,20 +345,15 @@ def novelty_trace(xs: jnp.ndarray, half_win: int,
 
     def group(rows: jnp.ndarray):
         c = rows.shape[0]
-        hi = jax.lax.Precision.HIGHEST
-        # lag product: y[i] = x[i]·x[i+h], summed over channels — an
-        # explicit HIGHEST contraction (vmapped callers can dot-form
-        # these multiply-reduces onto the bf16-default MXU, see
-        # sliding_dot_fft)
-        y = jnp.einsum("ct,ct->t", rows[:, :-h], rows[:, h:], precision=hi)
+        # lag product: y[i] = x[i]·x[i+h], summed over channels
+        y = (rows[:, :-h] * rows[:, h:]).sum(axis=0)
         # window sums via FFT correlation with ones kernels (reduce_window
         # with windows in the hundreds compiles pathologically on TPU)
         yf = jnp.fft.rfft(y, n=N)
         p = jnp.fft.irfft(yf * jnp.conj(ones_h), n=N)[:W]
         sf = jnp.fft.rfft(rows.sum(axis=0), n=N)
         s = jnp.fft.irfft(sf * jnp.conj(ones_2h), n=N)[:W]
-        qf = jnp.fft.rfft(jnp.einsum("ct,ct->t", rows, rows, precision=hi),
-                          n=N)
+        qf = jnp.fft.rfft((rows * rows).sum(axis=0), n=N)
         q = jnp.fft.irfft(qf * jnp.conj(ones_2h), n=N)[:W]
         n2 = 2 * h * c
         mu = s / n2
