@@ -197,34 +197,51 @@ class PunchQueryResult:
         return [c.match for c in kept]
 
 
+def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
+                              a_std_t, a_std_s, ln_avg, shifts_t,
+                              temp_weight, max_boost,
+                              num_temporal: int = 1, k: int = 4):
+    """Shared body of the batched query kernels: vmap templates outer,
+    files inner, the files axis chunked to the hardware-validated batch
+    (:data:`_VALIDATED_QB_BATCH` — the TPU backend returns deflated sims
+    from the fused Q×B trace program at some larger shapes; evidence at
+    the constant's definition and docs/PARITY.md).  ``spectra`` is the
+    cache tuple (complex pair or planar reduced quad); the reduced→
+    complex upcast happens INSIDE the per-file fn so the chunked
+    ``lax.map`` carries bf16 operands, not a materialized full-database
+    complex64 copy.  Returns ``(vals, idx, boosts)``, each
+    ``[Q, B, k]``."""
+    n_queries = tmpl_t.shape[0]
+
+    def one_query(tt, ts, st_t, st_s, la):
+        def one_file(*args):
+            X, Xsq = _unpack_if_reduced(args[:-1])
+            return K.correlation_trace_from_spectra(
+                X, Xsq, t_padded, tt, ts, st_t, st_s, la, args[-1],
+                temp_weight, max_boost, num_temporal=num_temporal)
+
+        sims, boosts = _chunked_files_vmap(
+            one_file, tuple(spectra) + (shifts_t,), n_queries)  # [B, W]
+        return _topk_epilogue(sims, boosts, lens, tt.shape[1], k)
+
+    return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
+
+
 @partial(jax.jit, static_argnames=("num_temporal", "k"))
 def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
                         ln_avg, shifts_t, temp_weight, max_boost,
                         num_temporal: int = 1, k: int = 4):
-    """Q templates × B files in one dispatch: vmap over the template axis of
-    the per-file trace vmap.  Returns ``(vals, idx, boosts)``, each
-    ``[Q, B, k]``.  Files with no valid window (shorter than the template)
-    are masked out — see the module docstring's serving-path divergence
-    note."""
-    Tp = xs_b.shape[2]
-
-    def one_file(xs, shift_t):
-        # forward spectra once per file, shared by every template
-        X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
-
-        def one_query(tt, ts, st_t, st_s, la):
-            return K.correlation_trace_from_spectra(
-                X, Xsq, Tp, tt, ts, st_t, st_s, la, shift_t,
-                temp_weight, max_boost, num_temporal=num_temporal)
-
-        return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
-
-    sims, boosts = jax.vmap(one_file)(xs_b, shifts_t)   # [B, Q, W]
-    vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
-                                         tmpl_t.shape[2], k)  # [B, Q, k]
-    # results are [Q, B, k] for callers
-    return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
-            jnp.swapaxes(boosts_k, 0, 1))
+    """Q templates × B files in one dispatch; the per-file forward spectra
+    are computed once (one files-vmap pass) and shared by every template.
+    Returns ``(vals, idx, boosts)``, each ``[Q, B, k]``.  Files with no
+    valid window (shorter than the template) are masked out — see the
+    module docstring's serving-path divergence note."""
+    X_b, Xsq_b = jax.vmap(partial(K.trace_spectra,
+                                  num_temporal=num_temporal))(xs_b)
+    return _multi_query_from_spectra(
+        (X_b, Xsq_b), xs_b.shape[2], lens, tmpl_t, tmpl_s, a_std_t,
+        a_std_s, ln_avg, shifts_t, temp_weight, max_boost,
+        num_temporal=num_temporal, k=k)
 
 
 def _topk_epilogue(sims, boosts, lens, L: int, k: int):
@@ -237,6 +254,79 @@ def _topk_epilogue(sims, boosts, lens, L: int, k: int):
     masked = jnp.where(t_idx < w_valid, sims, -jnp.inf)
     vals, idx = jax.lax.top_k(masked, k)
     return vals, idx, jnp.take_along_axis(boosts, idx, axis=-1)
+
+
+#: Largest fused (queries × files-chunk) batch the batched trace kernels
+#: hand the TPU backend in one vmap level.  At [Q=8 × B × 10336 frames]
+#: the fused Q×B trace program returns deterministically DEFLATED sims for
+#: planted exact matches at B ∈ {256, 512} (0.88–0.99 instead of 1.0) yet
+#: is bit-exact at B ∈ {128, 352} and on CPU everywhere — non-monotone in
+#: B, which refutes any intermediate-byte-size explanation (1.6 GB fails
+#: while 2.2 GB passes).  The wrong values are bit-identical across
+#: completely different kernel structures (files-outer, pairs-outer, an
+#: einsum/HIGHEST variant), device-side template stacks verify intact, and
+#: isolated batched rfft/irfft at the same batch counts are clean — a
+#: backend fault in the composed program, triggered by shape alone.  The
+#: only regularity observed: both failing shapes have Q·B a power of two
+#: ≥ 2048; both passing shapes don't.  Chunking the files axis so each
+#: step stays at the hardware-validated Q·Bc ≤ 1024 regime avoids every
+#: observed failing shape; re-validated exact at the failing [512 × 8]
+#: configuration.  Bisect history: tools/{punch_vmap,trace_vmap,bandmax,
+#: stack,compose}_repro.py; see docs/PARITY.md (TPU-backend caveat).
+_VALIDATED_QB_BATCH = 1024
+
+#: Per-dispatch cap on the queries axis of the batched kernels: above
+#: this the files-chunking alone cannot keep a fused step within
+#: :data:`_VALIDATED_QB_BATCH` (the chunk floors at one file), so the
+#: host batchers split oversized same-shape buckets into sub-dispatches.
+#: Also bounds jit-key proliferation (Q is a shape dimension).
+_MAX_BATCH_QUERIES = 64
+
+
+def _split_buckets(buckets: dict):
+    """Yield each shape bucket's index list in sorted-key order, oversized
+    buckets split into :data:`_MAX_BATCH_QUERIES`-sized sub-dispatches."""
+    for key, idxs in sorted(buckets.items()):
+        for i0 in range(0, len(idxs), _MAX_BATCH_QUERIES):
+            yield key, idxs[i0:i0 + _MAX_BATCH_QUERIES]
+
+
+def _chunked_files_vmap(fn, mapped, lanes_per_file: int):
+    """``jax.vmap(fn)`` over the leading files axis of every leaf in
+    ``mapped`` (a tuple pytree), chunking the axis with ``lax.map`` so the
+    fused trace batch per step (``lanes_per_file × files-chunk``) stays
+    within :data:`_VALIDATED_QB_BATCH`.  ``lanes_per_file`` counts the
+    trace lanes each file contributes per step: callers invoke this inside
+    their queries-axis vmap, so it is Q for the single-trace query kernel
+    and 2·Q for the punch kernel (punch-in AND punch-out traces share each
+    step — chunking punch at Q·Bc ≤ 1024 still diverged on hardware at
+    [512 × 8] because the fused step held 2·Q·Bc = 2048 trace lanes, the
+    same failing regime; halving the chunk fixed it).
+
+    When the whole batch fits this IS ``jax.vmap(fn)(*mapped)`` —
+    identical HLO, so small dispatches keep their existing compiled
+    programs.  Chunks are a power of two (divides the shape-plan padded
+    batches evenly); a ragged tail is zero-padded and the pad rows sliced
+    off the outputs (callers mask padded files via ``lens`` anyway)."""
+    leaves = jax.tree_util.tree_leaves(mapped)
+    B = leaves[0].shape[0]
+    bc = max(1, _VALIDATED_QB_BATCH // max(1, lanes_per_file))
+    bc = 1 << (bc.bit_length() - 1)          # round down to a power of two
+    if bc >= B:
+        return jax.vmap(fn)(*mapped)
+    nc = -(-B // bc)
+    pad = nc * bc - B
+
+    def pad_reshape(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a.reshape((nc, bc) + a.shape[1:])
+
+    stacked = jax.tree_util.tree_map(pad_reshape, mapped)
+    out = jax.lax.map(lambda ch: jax.vmap(fn)(*ch), stacked)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((nc * bc,) + o.shape[2:])[:B], out)
 
 
 def _unpack_if_reduced(spectra):
@@ -258,21 +348,10 @@ def _multi_query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                                 temp_weight, max_boost,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_multi_query_kernel` continued from cached spectra."""
-    X_b, Xsq_b = _unpack_if_reduced(spectra)
-
-    def one_file(X, Xsq, shift_t):
-        def one_query(tt, ts, st_t, st_s, la):
-            return K.correlation_trace_from_spectra(
-                X, Xsq, t_padded, tt, ts, st_t, st_s, la, shift_t,
-                temp_weight, max_boost, num_temporal=num_temporal)
-
-        return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
-
-    sims, boosts = jax.vmap(one_file)(X_b, Xsq_b, shifts_t)  # [B, Q, W]
-    vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
-                                         tmpl_t.shape[2], k)
-    return (jnp.swapaxes(vals, 0, 1), jnp.swapaxes(idx, 0, 1),
-            jnp.swapaxes(boosts_k, 0, 1))
+    return _multi_query_from_spectra(
+        spectra, t_padded, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
+        ln_avg, shifts_t, temp_weight, max_boost,
+        num_temporal=num_temporal, k=k)
 
 
 @partial(jax.jit, static_argnames=("num_temporal", "pack_dtype"))
@@ -484,6 +563,45 @@ def _punch_one_from_spectra(X, Xsq, t_padded,
     return vals, t_idx, j_k, b_in, b_out, si
 
 
+def _multi_punch_from_spectra(spectra, t_padded, lens,
+                              in_t, in_s, in_std_t, in_std_s, in_ln,
+                              out_t, out_s, out_std_t, out_std_s, out_ln,
+                              shifts_t, tw_in, tw_out, max_boost,
+                              min_punch, scan_span,
+                              num_temporal: int = 1, k: int = 4):
+    """Shared body of the batched punch kernels: vmap pairs outer, files
+    inner, the files axis chunked to the hardware-validated batch
+    (:data:`_VALIDATED_QB_BATCH`), returning ``[Q, B, k]`` outputs
+    directly.
+
+    The chunking is load-bearing for correctness, not memory: at
+    [512 files × 8 pairs × 10336 frames] the unchunked fused Q×B program
+    returned deflated planted exact-match sims (0.90–0.97 instead of 1.0)
+    on the TPU backend — bit-identically across BOTH vmap nesting orders
+    and an einsum/HIGHEST variant, exact at ≤128 files or 352 files and
+    on CPU everywhere (tools/punch_vmap_repro.py, tools/compose_repro.py;
+    full evidence at the constant's definition and docs/PARITY.md).
+    """
+    n_pairs = in_t.shape[0]
+
+    def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
+        def one_file(*args):
+            X, Xsq = _unpack_if_reduced(args[:-2])
+            shift_t, t_len = args[-2:]
+            return _punch_one_from_spectra(
+                X, Xsq, t_padded, it, is_, ist, iss, iln,
+                ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
+                mp, ss, t_len, num_temporal=num_temporal, k=k)
+
+        # 2 lanes per (pair, file): the punch-in and punch-out traces
+        return _chunked_files_vmap(
+            one_file, tuple(spectra) + (shifts_t, lens), 2 * n_pairs)
+
+    return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
+                              out_t, out_s, out_std_t, out_std_s,
+                              out_ln, min_punch, scan_span)
+
+
 @partial(jax.jit, static_argnames=("num_temporal", "k"))
 def _multi_punch_kernel(xs_b, lens,
                         in_t, in_s, in_std_t, in_std_s, in_ln,
@@ -493,30 +611,23 @@ def _multi_punch_kernel(xs_b, lens,
                         num_temporal: int = 1, k: int = 4):
     """Q punch pairs × B files in one dispatch: the per-file forward
     spectra — the expensive shared half of every punch search — are
-    computed ONCE and reused by every (punch-in, punch-out) pair via a
-    vmap over the pair axis of :func:`_punch_one_from_spectra`.
-    ``min_punch``/``scan_span`` are per-pair ``[Q]`` vectors (traced — no
-    jit key per punch band).  Returns the per-pair tuple of
-    :func:`_punch_query_kernel` outputs, each ``[Q, B, k]``.
+    computed ONCE (one files-vmap pass) and reused by every
+    (punch-in, punch-out) pair.  ``min_punch``/``scan_span`` are per-pair
+    ``[Q]`` vectors (traced — no jit key per punch band).  Returns the
+    per-pair tuple of :func:`_punch_query_kernel` outputs, each
+    ``[Q, B, k]``.
 
     Match: FeatureCorrelationImpl.scala:325-389 (one sequential search per
     query there; a Q-query stream re-reads the whole database Q times).
     """
-    def one_file(xs, shift_t, t_len):
-        X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
-
-        def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
-            return _punch_one_from_spectra(
-                X, Xsq, xs_b.shape[2], it, is_, ist, iss, iln,
-                ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
-                mp, ss, t_len, num_temporal=num_temporal, k=k)
-
-        return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
-                                  out_t, out_s, out_std_t, out_std_s,
-                                  out_ln, min_punch, scan_span)
-
-    outs = jax.vmap(one_file)(xs_b, shifts_t, lens)      # each [B, Q, k]
-    return tuple(jnp.swapaxes(o, 0, 1) for o in outs)    # [Q, B, k]
+    X_b, Xsq_b = jax.vmap(partial(K.trace_spectra,
+                                  num_temporal=num_temporal))(xs_b)
+    return _multi_punch_from_spectra(
+        (X_b, Xsq_b), xs_b.shape[2], lens,
+        in_t, in_s, in_std_t, in_std_s, in_ln,
+        out_t, out_s, out_std_t, out_std_s, out_ln,
+        shifts_t, tw_in, tw_out, max_boost, min_punch, scan_span,
+        num_temporal=num_temporal, k=k)
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
@@ -527,21 +638,12 @@ def _multi_punch_kernel_spectra(spectra, t_padded, lens,
                                 min_punch, scan_span,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_multi_punch_kernel` continued from cached spectra."""
-    X_b, Xsq_b = _unpack_if_reduced(spectra)
-
-    def one_file(X, Xsq, shift_t, t_len):
-        def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
-            return _punch_one_from_spectra(
-                X, Xsq, t_padded, it, is_, ist, iss, iln,
-                ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
-                mp, ss, t_len, num_temporal=num_temporal, k=k)
-
-        return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
-                                  out_t, out_s, out_std_t, out_std_s,
-                                  out_ln, min_punch, scan_span)
-
-    outs = jax.vmap(one_file)(X_b, Xsq_b, shifts_t, lens)
-    return tuple(jnp.swapaxes(o, 0, 1) for o in outs)
+    return _multi_punch_from_spectra(
+        spectra, t_padded, lens,
+        in_t, in_s, in_std_t, in_std_s, in_ln,
+        out_t, out_s, out_std_t, out_std_s, out_ln,
+        shifts_t, tw_in, tw_out, max_boost, min_punch, scan_span,
+        num_temporal=num_temporal, k=k)
 
 
 def _drop_memmap_pages(raw) -> None:
@@ -1401,7 +1503,7 @@ class FeatureDatabase:
         for qi, t in enumerate(templates):
             buckets.setdefault(t.num_frames, []).append(qi)
         results: List[Optional[QueryResult]] = [None] * len(templates)
-        for frames_len, idxs in sorted(buckets.items()):
+        for frames_len, idxs in _split_buckets(buckets):
             k_dev = self._inflated_k(k, frames_len) \
                 if (exact_rerank and reduced) else k
             group = [templates[qi] for qi in idxs]
@@ -1477,7 +1579,7 @@ class FeatureDatabase:
         results: List[Optional[PunchQueryResult]] = [None] * len(pairs)
         scal = (jnp.float32(temp_weight_in), jnp.float32(temp_weight_out),
                 jnp.float32(max_boost))
-        for (_li, _lo), idxs in sorted(buckets.items()):
+        for (_li, _lo), idxs in _split_buckets(buckets):
             group = [pairs[q] for q in idxs]
             ins = [p for p, _, _, _ in group]
             outs = [p for _, p, _, _ in group]

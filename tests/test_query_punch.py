@@ -407,3 +407,78 @@ def test_query_punch_batch_fuzz_seeds():
                                        err_msg=f"seed={seed} q={q}")
             np.testing.assert_array_equal(batch[q].punch_lens,
                                           single.punch_lens)
+
+
+def test_batched_kernels_chunked_files_path(monkeypatch):
+    """The validated-batch files chunking in the batched kernels
+    (``_chunked_files_vmap`` — the mitigation for the TPU-backend fault
+    documented in docs/PARITY.md) must be result-identical to the plain
+    files vmap, including a ragged zero-padded tail chunk, on both the f32
+    and the compact (planar bf16 spectra) storage modes."""
+    from strugatzki_tpu.parallel import database as D
+
+    inp, files = _make_db(5, num_files=7)
+    tmpls = [InputTemplate(files[i][1][:, 30 + i:60 + i].copy())
+             for i in range(3)]
+    pairs = [(InputTemplate(inp[:, 20:50].copy()),
+              InputTemplate(inp[:, 160:185].copy()), 80, 100),
+             (InputTemplate(files[1][1][:, 50:80].copy()),
+              InputTemplate(files[4][1][:, 200:225].copy()), 60, 90)]
+    kernels = (D._multi_query_kernel, D._multi_query_kernel_spectra,
+               D._multi_punch_kernel, D._multi_punch_kernel_spectra)
+    for kw in (dict(), dict(cache_spectra="bf16")):
+        db = FeatureDatabase(files, norm=None, pad_multiple=64, **kw)
+        ref_q = db.query_batch(tmpls, k=3)
+        ref_p = db.query_punch_batch(pairs, k=3)
+        # Q=3 -> bc=2 -> 4 chunks of 2 with one zero-padded tail file;
+        # Q=2 -> bc=4 -> 2 chunks with one padded tail file
+        for kern in kernels:
+            kern.clear_cache()
+        monkeypatch.setattr(D, "_VALIDATED_QB_BATCH", 8)
+        try:
+            got_q = db.query_batch(tmpls, k=3)
+            got_p = db.query_punch_batch(pairs, k=3)
+        finally:
+            monkeypatch.undo()
+            for kern in kernels:
+                kern.clear_cache()
+        for q in range(len(tmpls)):
+            np.testing.assert_array_equal(got_q[q].frames, ref_q[q].frames,
+                                          err_msg=str((q, kw)))
+            np.testing.assert_allclose(got_q[q].sims, ref_q[q].sims,
+                                       atol=1e-6, err_msg=str((q, kw)))
+        for q in range(len(pairs)):
+            np.testing.assert_array_equal(got_p[q].frames, ref_p[q].frames,
+                                          err_msg=str((q, kw)))
+            np.testing.assert_allclose(got_p[q].sims, ref_p[q].sims,
+                                       atol=1e-6, err_msg=str((q, kw)))
+            np.testing.assert_array_equal(got_p[q].punch_lens,
+                                          ref_p[q].punch_lens)
+
+
+def test_batch_bucket_splitting(monkeypatch):
+    """Oversized same-shape buckets split into _MAX_BATCH_QUERIES-sized
+    sub-dispatches (the files-chunking cannot bound the fused step once
+    the chunk floors at one file); results must stay in input order and
+    equal the unsplit dispatch."""
+    from strugatzki_tpu.parallel import database as D
+
+    inp, files = _make_db(6, num_files=5)
+    tmpls = [InputTemplate(files[i % 5][1][:, 30 + i:60 + i].copy())
+             for i in range(7)]            # one length bucket of 7
+    pairs = [(InputTemplate(files[i % 5][1][:, 20:50].copy()),
+              InputTemplate(files[(i + 2) % 5][1][:, 160:185].copy()),
+              60 + i, 110 + i) for i in range(5)]
+    db = FeatureDatabase(files, norm=None, pad_multiple=64)
+    ref_q = db.query_batch(tmpls, k=3)
+    ref_p = db.query_punch_batch(pairs, k=3)
+    monkeypatch.setattr(D, "_MAX_BATCH_QUERIES", 3)
+    got_q = db.query_batch(tmpls, k=3)     # sub-dispatches of 3, 3, 1
+    got_p = db.query_punch_batch(pairs, k=3)
+    for q in range(len(tmpls)):
+        np.testing.assert_array_equal(got_q[q].frames, ref_q[q].frames)
+        np.testing.assert_allclose(got_q[q].sims, ref_q[q].sims, atol=1e-6)
+    for q in range(len(pairs)):
+        np.testing.assert_array_equal(got_p[q].frames, ref_p[q].frames)
+        np.testing.assert_allclose(got_p[q].sims, ref_p[q].sims, atol=1e-6)
+        assert got_p[q].min_punch == pairs[q][2]

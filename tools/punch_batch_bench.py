@@ -89,3 +89,34 @@ for label, mp, xp in (("wide band 1501", 2000, 3500),
           f"{min(seq_ts)*1e3:.0f} ms, batch best {min(bat_ts)*1e3:.0f} ms "
           f"-> x{min(seq_ts)/min(bat_ts):.2f} (planted hits equal, sims "
           f"within 1e-5)", flush=True)
+
+# query_batch on the same database: Q single templates (the punch-in
+# templates), batch vs sequential, planted-hit checked the same way
+tmpls = [p[0] for p in make_pairs(2000, 3500)]
+t0 = time.perf_counter()
+db.query(tmpls[0], k=2)
+print(f"query compile {time.perf_counter()-t0:.0f}s", flush=True)
+t0 = time.perf_counter()
+db.query_batch(tmpls, k=2)
+print(f"query_batch(Q={n_pairs}) compile {time.perf_counter()-t0:.0f}s",
+      flush=True)
+seq_ts, bat_ts = [], []
+for _ in range(3):
+    t0 = time.perf_counter()
+    seq = [db.query(t, k=2) for t in tmpls]
+    seq_ts.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    bat = db.query_batch(tmpls, k=2)
+    bat_ts.append(time.perf_counter() - t0)
+    print(f"  [query] seq {seq_ts[-1]*1e3:.0f} ms vs batch "
+          f"{bat_ts[-1]*1e3:.0f} ms", flush=True)
+for q in range(n_pairs):
+    sm, bm = (r.matches(step_size=512, k_total=1)[0] for r in (seq[q], bat[q]))
+    assert sm.file == bm.file == f"f{7 * q + 3}.aif", (q, sm.file, bm.file)
+    assert sm.punch.start == bm.punch.start == (100 + q) * 512, q
+    np.testing.assert_allclose(np.sort(seq[q].sims, axis=None),
+                               np.sort(bat[q].sims, axis=None), atol=1e-5)
+print(f"[query] {n_pairs} templates x {n_files} files: sequential best "
+      f"{min(seq_ts)*1e3:.0f} ms, batch best {min(bat_ts)*1e3:.0f} ms "
+      f"-> x{min(seq_ts)/min(bat_ts):.2f} (planted hits equal, sims "
+      f"within 1e-5)", flush=True)
