@@ -200,7 +200,8 @@ class PunchQueryResult:
 def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                               a_std_t, a_std_s, ln_avg, shifts_t,
                               temp_weight, max_boost,
-                              num_temporal: int = 1, k: int = 4):
+                              num_temporal: int = 1, k: int = 4,
+                              shards: int = 1):
     """Shared body of the batched query kernels: vmap templates outer,
     files inner, the files axis chunked to the hardware-validated batch
     (:data:`_VALIDATED_QB_BATCH` — the TPU backend returns deflated sims
@@ -221,16 +222,18 @@ def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                 temp_weight, max_boost, num_temporal=num_temporal)
 
         sims, boosts = _chunked_files_vmap(
-            one_file, tuple(spectra) + (shifts_t,), n_queries)  # [B, W]
+            one_file, tuple(spectra) + (shifts_t,), n_queries,
+            shards=shards)                                      # [B, W]
         return _topk_epilogue(sims, boosts, lens, tt.shape[1], k)
 
     return jax.vmap(one_query)(tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg)
 
 
-@partial(jax.jit, static_argnames=("num_temporal", "k"))
+@partial(jax.jit, static_argnames=("num_temporal", "k", "shards"))
 def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
                         ln_avg, shifts_t, temp_weight, max_boost,
-                        num_temporal: int = 1, k: int = 4):
+                        num_temporal: int = 1, k: int = 4,
+                        shards: int = 1):
     """Q templates × B files in one dispatch; the per-file forward spectra
     are computed once (one files-vmap pass) and shared by every template.
     Returns ``(vals, idx, boosts)``, each ``[Q, B, k]``.  Files with no
@@ -241,7 +244,7 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
     return _multi_query_from_spectra(
         (X_b, Xsq_b), xs_b.shape[2], lens, tmpl_t, tmpl_s, a_std_t,
         a_std_s, ln_avg, shifts_t, temp_weight, max_boost,
-        num_temporal=num_temporal, k=k)
+        num_temporal=num_temporal, k=k, shards=shards)
 
 
 def _topk_epilogue(sims, boosts, lens, L: int, k: int):
@@ -275,23 +278,36 @@ def _topk_epilogue(sims, boosts, lens, L: int, k: int):
 #: stack,compose}_repro.py; see docs/PARITY.md (TPU-backend caveat).
 _VALIDATED_QB_BATCH = 1024
 
-#: Per-dispatch cap on the queries axis of the batched kernels: above
-#: this the files-chunking alone cannot keep a fused step within
-#: :data:`_VALIDATED_QB_BATCH` (the chunk floors at one file), so the
-#: host batchers split oversized same-shape buckets into sub-dispatches.
-#: Also bounds jit-key proliferation (Q is a shape dimension).
+#: Per-dispatch cap on the queries axis of the batched kernels.  This is
+#: compile-cost POLICY, not the correctness bound: files-chunking alone
+#: keeps a fused step within :data:`_VALIDATED_QB_BATCH` up to Q = 1024
+#: (query) / 512 (punch) — only beyond that does the chunk floor at one
+#: file.  But Q is a jit-key shape dimension and axon remote compiles
+#: cost minutes (CLAUDE.md), so oversized same-shape buckets split into
+#: ≤64-query sub-dispatches, each ragged tail padded up to a power of
+#: two by repeating the last query: possible Q keys are exactly
+#: {1, 2, 4, 8, 16, 32, 64} per shape bucket.  Tradeoff, accepted: in
+#: the non-cached-spectra mode each sub-dispatch recomputes the database
+#: chunk's forward FFTs (Q > 64 same-shape batches are far beyond the
+#: reference's one-query-per-run usage; `cache_spectra` removes the
+#: recompute entirely).
 _MAX_BATCH_QUERIES = 64
 
 
 def _split_buckets(buckets: dict):
     """Yield each shape bucket's index list in sorted-key order, oversized
-    buckets split into :data:`_MAX_BATCH_QUERIES`-sized sub-dispatches."""
+    buckets split into :data:`_MAX_BATCH_QUERIES`-sized sub-dispatches and
+    every ragged tail padded to a power-of-two length by repeating its
+    last index (the duplicate lane recomputes the same query; callers
+    overwrite the same result slot with an identical value)."""
     for key, idxs in sorted(buckets.items()):
         for i0 in range(0, len(idxs), _MAX_BATCH_QUERIES):
-            yield key, idxs[i0:i0 + _MAX_BATCH_QUERIES]
+            sub = idxs[i0:i0 + _MAX_BATCH_QUERIES]
+            q = 1 << (len(sub) - 1).bit_length()    # next power of two
+            yield key, sub + [sub[-1]] * (q - len(sub))
 
 
-def _chunked_files_vmap(fn, mapped, lanes_per_file: int):
+def _chunked_files_vmap(fn, mapped, lanes_per_file: int, shards: int = 1):
     """``jax.vmap(fn)`` over the leading files axis of every leaf in
     ``mapped`` (a tuple pytree), chunking the axis with ``lax.map`` so the
     fused trace batch per step (``lanes_per_file × files-chunk``) stays
@@ -307,10 +323,17 @@ def _chunked_files_vmap(fn, mapped, lanes_per_file: int):
     identical HLO, so small dispatches keep their existing compiled
     programs.  Chunks are a power of two (divides the shape-plan padded
     batches evenly); a ragged tail is zero-padded and the pad rows sliced
-    off the outputs (callers mask padded files via ``lens`` anyway)."""
+    off the outputs (callers mask padded files via ``lens`` anyway).
+
+    ``shards``: under a mesh the files axis is sharded, the whole
+    (global) axis arrives in one call, and each chip's per-step slice is
+    ``bc / shards`` files — so the budget scales by the shard count to
+    keep every chip at the validated per-program lane count without
+    serializing the mesh by the same factor."""
     leaves = jax.tree_util.tree_leaves(mapped)
     B = leaves[0].shape[0]
-    bc = max(1, _VALIDATED_QB_BATCH // max(1, lanes_per_file))
+    bc = max(1, _VALIDATED_QB_BATCH * max(1, shards)
+             // max(1, lanes_per_file))
     bc = 1 << (bc.bit_length() - 1)          # round down to a power of two
     if bc >= B:
         return jax.vmap(fn)(*mapped)
@@ -342,16 +365,18 @@ def _unpack_if_reduced(spectra):
     return K.unpack_spectra(x_re, x_im), K.unpack_spectra(q_re, q_im)
 
 
-@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
+@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k",
+                                   "shards"))
 def _multi_query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                                 a_std_t, a_std_s, ln_avg, shifts_t,
                                 temp_weight, max_boost,
-                                num_temporal: int = 1, k: int = 4):
+                                num_temporal: int = 1, k: int = 4,
+                                shards: int = 1):
     """:func:`_multi_query_kernel` continued from cached spectra."""
     return _multi_query_from_spectra(
         spectra, t_padded, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
         ln_avg, shifts_t, temp_weight, max_boost,
-        num_temporal=num_temporal, k=k)
+        num_temporal=num_temporal, k=k, shards=shards)
 
 
 @partial(jax.jit, static_argnames=("num_temporal", "pack_dtype"))
@@ -568,7 +593,8 @@ def _multi_punch_from_spectra(spectra, t_padded, lens,
                               out_t, out_s, out_std_t, out_std_s, out_ln,
                               shifts_t, tw_in, tw_out, max_boost,
                               min_punch, scan_span,
-                              num_temporal: int = 1, k: int = 4):
+                              num_temporal: int = 1, k: int = 4,
+                              shards: int = 1):
     """Shared body of the batched punch kernels: vmap pairs outer, files
     inner, the files axis chunked to the hardware-validated batch
     (:data:`_VALIDATED_QB_BATCH`), returning ``[Q, B, k]`` outputs
@@ -595,20 +621,22 @@ def _multi_punch_from_spectra(spectra, t_padded, lens,
 
         # 2 lanes per (pair, file): the punch-in and punch-out traces
         return _chunked_files_vmap(
-            one_file, tuple(spectra) + (shifts_t, lens), 2 * n_pairs)
+            one_file, tuple(spectra) + (shifts_t, lens), 2 * n_pairs,
+            shards=shards)
 
     return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
                               out_t, out_s, out_std_t, out_std_s,
                               out_ln, min_punch, scan_span)
 
 
-@partial(jax.jit, static_argnames=("num_temporal", "k"))
+@partial(jax.jit, static_argnames=("num_temporal", "k", "shards"))
 def _multi_punch_kernel(xs_b, lens,
                         in_t, in_s, in_std_t, in_std_s, in_ln,
                         out_t, out_s, out_std_t, out_std_s, out_ln,
                         shifts_t, tw_in, tw_out, max_boost,
                         min_punch, scan_span,
-                        num_temporal: int = 1, k: int = 4):
+                        num_temporal: int = 1, k: int = 4,
+                        shards: int = 1):
     """Q punch pairs × B files in one dispatch: the per-file forward
     spectra — the expensive shared half of every punch search — are
     computed ONCE (one files-vmap pass) and reused by every
@@ -627,23 +655,25 @@ def _multi_punch_kernel(xs_b, lens,
         in_t, in_s, in_std_t, in_std_s, in_ln,
         out_t, out_s, out_std_t, out_std_s, out_ln,
         shifts_t, tw_in, tw_out, max_boost, min_punch, scan_span,
-        num_temporal=num_temporal, k=k)
+        num_temporal=num_temporal, k=k, shards=shards)
 
 
-@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
+@partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k",
+                                   "shards"))
 def _multi_punch_kernel_spectra(spectra, t_padded, lens,
                                 in_t, in_s, in_std_t, in_std_s, in_ln,
                                 out_t, out_s, out_std_t, out_std_s, out_ln,
                                 shifts_t, tw_in, tw_out, max_boost,
                                 min_punch, scan_span,
-                                num_temporal: int = 1, k: int = 4):
+                                num_temporal: int = 1, k: int = 4,
+                                shards: int = 1):
     """:func:`_multi_punch_kernel` continued from cached spectra."""
     return _multi_punch_from_spectra(
         spectra, t_padded, lens,
         in_t, in_s, in_std_t, in_std_s, in_ln,
         out_t, out_s, out_std_t, out_std_s, out_ln,
         shifts_t, tw_in, tw_out, max_boost, min_punch, scan_span,
-        num_temporal=num_temporal, k=k)
+        num_temporal=num_temporal, k=k, shards=shards)
 
 
 def _drop_memmap_pages(raw) -> None:
@@ -997,6 +1027,11 @@ class FeatureDatabase:
     def num_files(self) -> int:
         """Live file count (tombstoned entries excluded)."""
         return sum(1 for n in self.files if n is not None)
+
+    @property
+    def _num_shards(self) -> int:
+        """Files-axis shard count for the validated-batch chunk budget."""
+        return 1 if self._mesh is None else int(self._mesh.devices.size)
 
     # -- incremental updates -----------------------------------------------
 
@@ -1520,11 +1555,12 @@ class FeatureDatabase:
                     out = _multi_query_kernel_spectra(
                         tuple(s[sl] for s in self._spectra),
                         self._xs.shape[2], self._lens_dev[sl], *qargs,
-                        k=k_dev)
+                        k=k_dev, shards=self._num_shards)
                 else:
                     out = _multi_query_kernel(self._xs[sl],
                                               self._lens_dev[sl], *qargs,
-                                              k=k_dev)
+                                              k=k_dev,
+                                              shards=self._num_shards)
                 parts.append(out)
             parts = jax.device_get(parts)
             # per-chunk results are [Q, chunk, k]: concat the files axis
@@ -1606,10 +1642,12 @@ class FeatureDatabase:
                 if self._spectra is not None:
                     out = _multi_punch_kernel_spectra(
                         tuple(s[sl] for s in self._spectra),
-                        self._xs.shape[2], self._lens_dev[sl], *ch, k=k_dev)
+                        self._xs.shape[2], self._lens_dev[sl], *ch,
+                        k=k_dev, shards=self._num_shards)
                 else:
                     out = _multi_punch_kernel(
-                        self._xs[sl], self._lens_dev[sl], *ch, k=k_dev)
+                        self._xs[sl], self._lens_dev[sl], *ch, k=k_dev,
+                        shards=self._num_shards)
                 parts.append(out)
             parts = jax.device_get(parts)   # all chunks dispatched first
             # per-chunk results are [Q, chunk, k]: concat the files axis

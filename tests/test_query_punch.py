@@ -430,8 +430,9 @@ def test_batched_kernels_chunked_files_path(monkeypatch):
         db = FeatureDatabase(files, norm=None, pad_multiple=64, **kw)
         ref_q = db.query_batch(tmpls, k=3)
         ref_p = db.query_punch_batch(pairs, k=3)
-        # Q=3 -> bc=2 -> 4 chunks of 2 with one zero-padded tail file;
-        # Q=2 -> bc=4 -> 2 chunks with one padded tail file
+        # query: Q=3 -> bc = 8//3 -> 2 -> 4 chunks of 2 with one
+        # zero-padded tail file; punch: Q=2 -> lanes 2*Q=4 -> bc=2 ->
+        # likewise 4 chunks of 2 with one padded tail file
         for kern in kernels:
             kern.clear_cache()
         monkeypatch.setattr(D, "_VALIDATED_QB_BATCH", 8)

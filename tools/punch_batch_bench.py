@@ -111,7 +111,8 @@ for _ in range(3):
     print(f"  [query] seq {seq_ts[-1]*1e3:.0f} ms vs batch "
           f"{bat_ts[-1]*1e3:.0f} ms", flush=True)
 for q in range(n_pairs):
-    sm, bm = (r.matches(step_size=512, k_total=1)[0] for r in (seq[q], bat[q]))
+    sm, bm = (r.matches(punch_len=l_in, step_size=512, k_total=1)[0]
+              for r in (seq[q], bat[q]))
     assert sm.file == bm.file == f"f{7 * q + 3}.aif", (q, sm.file, bm.file)
     assert sm.punch.start == bm.punch.start == (100 + q) * 512, q
     np.testing.assert_allclose(np.sort(seq[q].sims, axis=None),
