@@ -111,8 +111,12 @@ def segment_features_batch(feature_mats, norm, step_size: int,
     batch shards bit-identically (tests pin all of this)."""
     from ..parallel.sweep import batched_novelty_traces
 
-    preps = [_novelty_prep(np.asarray(f, np.float32), norm, step_size,
-                           config) for f in feature_mats]
+    mats = [np.asarray(f, np.float32) for f in feature_mats]
+    if mats and any(m.shape[0] != mats[0].shape[0] for m in mats):
+        raise ValueError(
+            "channel count mismatch across the batch: "
+            f"{sorted({m.shape[0] for m in mats})}")
+    preps = [_novelty_prep(f, norm, step_size, config) for f in mats]
     live = [(i, p) for i, p in enumerate(preps) if p is not None]
     results: List[List[Break]] = [[] for _ in feature_mats]
     if not live:

@@ -1168,14 +1168,12 @@ class FeatureDatabase:
         built first and adopted only on success: an abort (or any staging
         failure) mid-restage leaves the old resident database fully
         usable."""
-        old = [(n, self._raw[i][:, :int(self._lens[i])])
-               for i, n in enumerate(self.files) if n is not None]
-        # time_capacity is NOT forwarded (the restage may exist precisely
-        # because it was outgrown — recomputed from the materialized list);
-        # a memmap store streams the old rows lazily (views), so a
-        # memmap→memmap restage stays RSS-bounded
-        fresh = FeatureDatabase(
-            old + list(new_entries), self.norm,
+        live = [(i, n) for i, n in enumerate(self.files) if n is not None]
+        new_entries = list(new_entries)
+        # time_capacity is NOT forwarded as-is (the restage may exist
+        # precisely because it was outgrown) — recomputed from the live
+        # lens + the new entries' frame counts
+        kwargs = dict(
             step_size=self.step_size, mesh=self._mesh,
             pad_multiple=self._pad_multiple,
             storage_dtype=self._storage_dtype,
@@ -1183,6 +1181,32 @@ class FeatureDatabase:
             rerank_device=self._rerank_device,
             raw_store=self._raw_store,
             progress=progress, check_aborted=check_aborted)
+        if self._raw_store == "memmap":
+            # stream the old rows lazily AND drop the old mapping's pages
+            # as the copy walks it — without the drops the read loop
+            # faults the whole old store resident and ru_maxrss spikes to
+            # the full database size, the exact bound the memmap store
+            # exists to keep
+            import itertools
+
+            cap = max([int(self._lens[i]) for i, _ in live]
+                      + [int(np.asarray(f).shape[1])
+                         for _, f in new_entries])
+
+            def old_rows():
+                for j, (i, n) in enumerate(live):
+                    yield (n, self._raw[i][:, :int(self._lens[i])])
+                    if j % 64 == 63:
+                        _drop_memmap_pages(self._raw)
+                _drop_memmap_pages(self._raw)
+
+            fresh = FeatureDatabase(
+                itertools.chain(old_rows(), new_entries), self.norm,
+                time_capacity=cap, **kwargs)
+        else:
+            old = [(n, self._raw[i][:, :int(self._lens[i])])
+                   for i, n in live]
+            fresh = FeatureDatabase(old + new_entries, self.norm, **kwargs)
         self.__dict__.update(fresh.__dict__)
 
     def _chunks(self):
@@ -1593,10 +1617,13 @@ class FeatureDatabase:
         ``pairs``: sequence of ``(punch_in, punch_out, min_punch,
         max_punch)`` tuples (templates are :class:`InputTemplate`, the
         band in feature frames).  Pairs are bucketed by
-        ``(len_in, len_out)`` — the only jit-key dimensions; the punch
-        band is traced — and each bucket answers in one dispatch per
-        database chunk, with the per-file forward spectra computed ONCE
-        per bucket instead of once per query (the Q× FFT saving; see
+        ``(len_in, len_out)`` — the punch band is traced, so it mints no
+        keys; the pair count is a shape dimension too, but
+        :func:`_split_buckets` pads it to a power of two ≤
+        :data:`_MAX_BATCH_QUERIES`, bounding the jit keys per shape
+        bucket — and each bucket answers in one dispatch per database
+        chunk, with the per-file forward spectra computed ONCE per
+        bucket instead of once per query (the Q× FFT saving; see
         :func:`_multi_punch_kernel`).  Results come back in input order
         and are each equal to the corresponding :meth:`query_punch`
         (tests pin this), including the automatic exact re-rank +
@@ -1677,22 +1704,69 @@ class FeatureDatabase:
         """Persist the stacked database (raw features + lengths + norm +
         file names) so serving restarts skip the per-file AIFF parsing —
         reload with :meth:`load` and the device staging re-runs in one
-        fused pass.  Abort is honored before the write begins (a partial
-        archive is never attributed success; interrupting the OS write
-        itself leaves a torn file like any interrupted save would)."""
-        if check_aborted is not None:
-            check_aborted()
-        if progress is not None:
-            progress(0.0)
+        fused pass.
+
+        The archive is byte-compatible with ``np.savez_compressed`` (same
+        member names; ``np.load`` reads it), but the ``raw`` member
+        streams ROW BY ROW with periodic page drops, so a
+        ``raw_store="memmap"`` database saves without materializing its
+        full raw stack in host RAM (the bounded-RSS contract; ~5.8 GB at
+        the 10k scale).  The write goes to a same-directory temp file and
+        renames into place on success, so an abort (honored between rows)
+        or crash never leaves a torn archive at ``path``."""
+        import os
+        import tempfile
+        import zipfile
+        from numpy.lib import format as npf
+
+        progress = progress if progress is not None else (lambda f: None)
+        check_aborted = check_aborted if check_aborted is not None \
+            else (lambda: None)
+        check_aborted()
+        progress(0.0)
+        path = os.fspath(path)
+        if not path.endswith(".npz"):
+            path += ".npz"                       # np.savez semantics
         keep = [i for i, n in enumerate(self.files) if n is not None]
-        np.savez_compressed(
-            path, raw=self._raw[keep], lens=self._lens[keep],
-            norm=(self.norm if self.norm is not None
-                  else np.zeros((0, 2), np.float32)),
-            files=np.array([self.files[i] for i in keep]),
-            step_size=self.step_size)
-        if progress is not None:
-            progress(1.0)
+        small = {
+            "lens": self._lens[keep],
+            "norm": (self.norm if self.norm is not None
+                     else np.zeros((0, 2), np.float32)),
+            "files": np.array([self.files[i] for i in keep]),
+            "step_size": np.asarray(self.step_size),
+        }
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh, \
+                    zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED,
+                                    allowZip64=True) as zf:
+                with zf.open("raw.npy", "w", force_zip64=True) as f:
+                    npf.write_array_header_1_0(f, {
+                        "descr": npf.dtype_to_descr(self._raw.dtype),
+                        "fortran_order": False,
+                        "shape": (len(keep),) + self._raw.shape[1:]})
+                    for j, i in enumerate(keep):
+                        check_aborted()
+                        f.write(np.ascontiguousarray(
+                            self._raw[i]).tobytes())
+                        if j % 64 == 63:
+                            _drop_memmap_pages(self._raw)
+                            progress(0.9 * (j + 1) / len(keep))
+                _drop_memmap_pages(self._raw)
+                for name, arr in small.items():
+                    with zf.open(name + ".npy", "w",
+                                 force_zip64=True) as f:
+                        npf.write_array(f, np.asanyarray(arr),
+                                        allow_pickle=False)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        progress(1.0)
 
     @staticmethod
     def load(path, mesh=None, **stage_kwargs) -> "FeatureDatabase":

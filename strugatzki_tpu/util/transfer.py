@@ -43,11 +43,17 @@ def _finish(parts, out, drain: bool):
     leave RSS at O(one slab)."""
     if drain:
         np.asarray(_corner(out))
+        failed = 0
         for p in parts:
             try:
                 p.delete()
             except Exception:
-                break
+                failed += 1       # keep draining the rest — one piece
+        if failed:                # failing must not unbound the others
+            import logging
+            logging.getLogger(__name__).warning(
+                "staged_put drain: %d piece delete(s) failed; those "
+                "buffers free at GC instead", failed)
     return out
 
 
