@@ -748,6 +748,20 @@ def _stack_memmap(entries, pad_multiple: int, time_capacity,
     return raw, np.asarray(lens + [0] * pad, np.int32), names
 
 
+def _pad_rows_of(count: int, mesh) -> int:
+    """Files-axis padding (zero rows, lens 0 — masked everywhere): to a
+    _QUERY_CHUNK multiple when chunked dispatch will be needed, or to a
+    mesh-size multiple so the sharded files axis divides evenly.
+    Idempotent: a count that is already padded pads by 0, so a
+    pre-padded ``_prestacked`` store (the streamed :meth:`load` path)
+    passes through the constructor unchanged."""
+    if mesh is None and count > _QUERY_CHUNK:
+        return -count % _QUERY_CHUNK
+    if mesh is not None:
+        return -count % mesh.devices.size
+    return 0
+
+
 def _rerank_bucket(m: int) -> int:
     """Pad the re-rank candidate count to power-of-two buckets (min 64) so
     repeated queries reuse one jit key per (bucket, template length)."""
@@ -850,15 +864,8 @@ class FeatureDatabase:
             else (lambda: None)
         check_aborted()
 
-        # files-axis padding (zero rows, lens 0 — masked everywhere): to a
-        # _QUERY_CHUNK multiple when chunked dispatch will be needed, or to
-        # a mesh-size multiple so the sharded files axis divides evenly
         def pad_rows_of(count: int) -> int:
-            if mesh is None and count > _QUERY_CHUNK:
-                return -count % _QUERY_CHUNK
-            if mesh is not None:
-                return -count % mesh.devices.size
-            return 0
+            return _pad_rows_of(count, mesh)
 
         if raw_store not in ("memory", "memmap"):
             raise ValueError(f"raw_store {raw_store!r}")
@@ -1773,13 +1780,76 @@ class FeatureDatabase:
         """Re-stage a :meth:`save`d database.  ``stage_kwargs`` pass
         through to the constructor (e.g. ``cache_spectra="bf16"`` for the
         compact serving mode, or ``progress=``/``check_aborted=`` for the
-        staging observer protocol)."""
+        staging observer protocol).
+
+        With ``raw_store="memmap"`` the archive's ``raw`` member streams
+        ROW BY ROW straight into the unlinked temp-file memmap store —
+        peak host RSS stays O(one row + the deflate window) instead of
+        the full decompressed raw stack (~5.8 GB at the 10k scale): the
+        same bounded-RSS contract :meth:`save` keeps on the way out."""
+        if stage_kwargs.get("raw_store") == "memmap":
+            return FeatureDatabase._load_memmap(path, mesh, stage_kwargs)
         z = np.load(path, allow_pickle=False)
         norm = z["norm"] if z["norm"].size else None
         return FeatureDatabase(
             [str(f) for f in z["files"]], norm,
             step_size=int(z["step_size"]), mesh=mesh,
             _prestacked=(z["raw"], z["lens"]), **stage_kwargs)
+
+    @staticmethod
+    def _load_memmap(path, mesh, stage_kwargs) -> "FeatureDatabase":
+        """Streamed :meth:`load` for ``raw_store="memmap"``: decompress
+        the ``raw.npy`` member row-wise from the zip into a fresh
+        :func:`_stack_memmap` store (files-axis pads included, so the
+        constructor's idempotent :func:`_pad_rows_of` re-pad is a no-op
+        and the memmap is adopted as-is — a ``np.concatenate`` re-pad
+        would materialize the stack, the exact thing this path avoids)."""
+        import os
+        import zipfile
+        from numpy.lib import format as npf
+
+        check_aborted = stage_kwargs.get("check_aborted") or (lambda: None)
+        with zipfile.ZipFile(os.fspath(path)) as zf:
+            def member(name):
+                with zf.open(name + ".npy") as f:
+                    return npf.read_array(f, allow_pickle=False)
+
+            lens = member("lens")
+            norm = member("norm")
+            files = [str(f) for f in member("files")]
+            step_size = int(member("step_size"))
+            with zf.open("raw.npy") as f:
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    shape, fortran, dtype = npf.read_array_header_1_0(f)
+                elif version == (2, 0):
+                    shape, fortran, dtype = npf.read_array_header_2_0(f)
+                else:
+                    raise ValueError(f"unsupported npy version {version}")
+                if fortran or len(shape) != 3 or shape[0] != len(files):
+                    raise ValueError(f"unexpected raw layout {shape}")
+                n, C, t_cap = shape
+                row_bytes = C * t_cap * dtype.itemsize
+
+                def rows():
+                    for i in range(n):
+                        check_aborted()
+                        buf = f.read(row_bytes)
+                        if len(buf) != row_bytes:
+                            raise ValueError("truncated raw member")
+                        a = np.frombuffer(buf, dtype).reshape(C, t_cap)
+                        yield files[i], a[:, :int(lens[i])]
+
+                # pad_multiple=1 + time_capacity=t_cap keeps the stored
+                # frame capacity EXACT (it already carries the original
+                # save-time padding)
+                raw, lens_p, names = _stack_memmap(
+                    rows(), 1, t_cap,
+                    lambda c: _pad_rows_of(c, mesh),
+                    check_aborted=check_aborted)
+        return FeatureDatabase(
+            names, norm if norm.size else None, step_size=step_size,
+            mesh=mesh, _prestacked=(raw, lens_p), **stage_kwargs)
 
     @staticmethod
     def stage(entries, norm, observer=None, name: str = "database staging",

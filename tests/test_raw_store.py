@@ -95,6 +95,58 @@ def test_memmap_save_load(tmp_path):
                                   db2.query(tmpl, k=1).frames)
 
 
+def test_memmap_streamed_load(tmp_path):
+    """load(raw_store="memmap") streams the archive row-wise into the
+    disk-backed store: raw bytes, lens, norm, files, and query results
+    all equal the materializing load path."""
+    entries = _entries(5, seed=3)
+    norm = np.stack([np.full(14, 0.1, np.float32),
+                     np.full(14, 1.2, np.float32)], axis=1)
+    db = FeatureDatabase(entries, norm=norm, pad_multiple=32)
+    db.save(tmp_path / "db.npz")
+    db_mem = FeatureDatabase.load(tmp_path / "db.npz")
+    db_mm = FeatureDatabase.load(tmp_path / "db.npz", raw_store="memmap")
+    assert isinstance(db_mm._raw, np.memmap)
+    assert db_mm._raw_store == "memmap"
+    assert db_mm.files == db_mem.files == [n for n, _ in entries]
+    assert db_mm.step_size == db_mem.step_size
+    np.testing.assert_array_equal(db_mm._lens, db_mem._lens)
+    np.testing.assert_array_equal(np.asarray(db_mm._raw), db_mem._raw)
+    np.testing.assert_array_equal(db_mm.norm, norm)
+    tmpl = InputTemplate(entries[2][1][:, 15:65].copy())
+    r1, r2 = db_mem.query(tmpl, k=2), db_mm.query(tmpl, k=2)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)
+
+
+def test_memmap_streamed_load_pads_and_aborts(tmp_path, monkeypatch):
+    """The streamed load pre-pads the files axis to the chunk multiple
+    (the constructor's re-pad must be a no-op — a concatenate would
+    materialize the store) and honors abort mid-stream."""
+    from strugatzki_tpu.parallel import database as D
+    entries = _entries(6, seed=1)
+    FeatureDatabase(entries, norm=None, pad_multiple=32).save(
+        tmp_path / "db.npz")
+    monkeypatch.setattr(D, "_QUERY_CHUNK", 4)
+    db = FeatureDatabase.load(tmp_path / "db.npz", raw_store="memmap")
+    assert isinstance(db._raw, np.memmap)          # no concatenate re-pad
+    assert db._raw.shape[0] == 8 and len(db.files) == 6
+    assert list(db._lens[6:]) == [0, 0]
+    tmpl = InputTemplate(entries[4][1][:, 30:80].copy())
+    assert db.query(tmpl, k=1).frames[4, 0] == 30
+
+    calls = []
+
+    def abort():
+        calls.append(1)
+        if len(calls) > 3:
+            raise RuntimeError("aborted")
+
+    with pytest.raises(RuntimeError, match="aborted"):
+        FeatureDatabase.load(tmp_path / "db.npz", raw_store="memmap",
+                             check_aborted=abort)
+
+
 def test_memmap_chunked_staging(monkeypatch):
     """Slab-chunked staging from a memmap store (the 10k path: per-slab
     forced drain + MADV_DONTNEED) must produce the same results as the
