@@ -132,9 +132,38 @@ def test_save_load_observer(tmp_path):
     fracs = []
     db.save(tmp_path / "db.npz", progress=fracs.append)
     assert fracs == [0.0, 1.0]
+    # the streamed writer stays byte-compatible with np.savez semantics
+    z = np.load(tmp_path / "db.npz", allow_pickle=False)
+    assert set(z.files) == {"raw", "lens", "norm", "files", "step_size"}
+    np.testing.assert_array_equal(z["raw"], db._raw)
     lfr = []
     db2 = FeatureDatabase.load(tmp_path / "db.npz", progress=lfr.append)
     assert db2.files == db.files and lfr[-1] == 1.0
     with pytest.raises(Aborted):
         db.save(tmp_path / "x.npz",
                 check_aborted=lambda: (_ for _ in ()).throw(Aborted()))
+
+
+def test_save_abort_mid_rows_leaves_no_torn_file(tmp_path):
+    """An abort between raw rows must remove the temp file and never
+    produce the target path (the atomic temp+rename contract)."""
+    db = FeatureDatabase(_entries(3), norm=None, pad_multiple=32)
+    calls = []
+
+    def check():
+        calls.append(1)
+        if len(calls) == 3:          # top-of-save + two rows, then abort
+            raise Aborted()
+
+    with pytest.raises(Aborted):
+        db.save(tmp_path / "torn.npz", check_aborted=check)
+    assert len(calls) == 3           # the abort really fired mid-rows
+    leftovers = sorted(p.name for p in tmp_path.iterdir())
+    assert leftovers == []           # no target, no .npz.tmp residue
+    # overwriting an existing archive aborts without touching it
+    db.save(tmp_path / "db.npz")
+    before = (tmp_path / "db.npz").read_bytes()
+    calls.clear()
+    with pytest.raises(Aborted):
+        db.save(tmp_path / "db.npz", check_aborted=check)
+    assert (tmp_path / "db.npz").read_bytes() == before

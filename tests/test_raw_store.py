@@ -119,6 +119,20 @@ def test_memmap_streamed_load(tmp_path):
     np.testing.assert_allclose(r1.sims, r2.sims, atol=1e-6)
 
 
+def test_memmap_streamed_load_reads_plain_savez(tmp_path):
+    """Archives written by np.savez_compressed itself (the pre-streaming
+    writer, same member layout) stream-load into the memmap store."""
+    entries = _entries(3, seed=9)
+    db = FeatureDatabase(entries, norm=None, pad_multiple=32)
+    np.savez_compressed(
+        tmp_path / "old.npz", raw=db._raw, lens=db._lens,
+        norm=np.zeros((0, 2), np.float32),
+        files=np.array(db.files), step_size=db.step_size)
+    db2 = FeatureDatabase.load(tmp_path / "old.npz", raw_store="memmap")
+    assert isinstance(db2._raw, np.memmap) and db2.files == db.files
+    np.testing.assert_array_equal(np.asarray(db2._raw), db._raw)
+
+
 def test_memmap_streamed_load_pads_and_aborts(tmp_path, monkeypatch):
     """The streamed load pre-pads the files axis to the chunk multiple
     (the constructor's re-pad must be a no-op — a concatenate would
