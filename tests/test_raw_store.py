@@ -87,7 +87,7 @@ def test_memmap_save_load(tmp_path):
     entries = _entries(4)
     db = FeatureDatabase(entries, norm=None, pad_multiple=32,
                          raw_store="memmap")
-    db.save(tmp_path / "db.npz")
+    db.save(tmp_path / "db.npz", compresslevel=1)
     db2 = FeatureDatabase.load(tmp_path / "db.npz")
     assert db2.files == db.files
     tmpl = InputTemplate(entries[1][1][:, 20:60].copy())

@@ -22,7 +22,15 @@ disk-backed raw store: host RSS stays O(one file) through the whole 10k
 staging instead of holding a ~5.8 GB second copy for the life of the
 process (the log line prints ru_maxrss as evidence).
 
+``--saveload`` (pairs with ``--memmap``) exercises the streamed
+save/load cycle at scale: the archive is written row-by-row (atomic
+temp+rename, ``compresslevel=1``), then a FRESH subprocess streams it
+back into a memmap store (``load(..., raw_store="memmap")``), re-stages
+on device and answers the same query — its own ru_maxrss is the
+bounded-RSS evidence for the load direction.
+
     python tools/db10k_bench.py [--punch] [--compact | --bf16] [--memmap]
+                                [--saveload]
 """
 
 import os
@@ -37,6 +45,10 @@ from strugatzki_tpu.analysis.correlation import InputTemplate
 from strugatzki_tpu.parallel.database import FeatureDatabase
 
 n_files, file_frames, punch = 10000, 10336, 861
+# smoke-test scale override (e.g. STRUG_BENCH_FILES=64 on CPU); headline
+# captures use the 10k default
+n_files = int(os.environ.get("STRUG_BENCH_FILES", n_files))
+probe = min(77, n_files - 1)
 memmap = "--memmap" in sys.argv
 
 
@@ -49,14 +61,14 @@ def synth(i):
 
 if memmap:
     entries = ((f"f{i}.aif", synth(i)) for i in range(n_files))
-    tmpl = InputTemplate(synth(77)[:, 100:100 + punch].copy())
+    tmpl = InputTemplate(synth(probe)[:, 100:100 + punch].copy())
 else:
     rng = np.random.default_rng(0)
     base = rng.uniform(0.3, 0.7, size=(n_files, 14, 1)).astype(np.float32)
     feats = np.abs(base + 0.1 * rng.standard_normal(
         (n_files, 14, file_frames)).astype(np.float32))
     entries = [(f"f{i}.aif", feats[i]) for i in range(n_files)]
-    tmpl = InputTemplate(feats[77][:, 100:100 + punch].copy())
+    tmpl = InputTemplate(feats[probe][:, 100:100 + punch].copy())
 kw = dict(raw_store="memmap", time_capacity=file_frames) if memmap else {}
 t0 = time.perf_counter()
 if "--compact" in sys.argv:
@@ -93,10 +105,46 @@ for _ in range(5):
     t0 = time.perf_counter(); res = db.query(tmpl); ts.append(time.perf_counter()-t0)
     print(f"  query: {ts[-1]*1e3:.0f} ms", flush=True)   # survive timeouts
 print(f"10k query (async chunk fetch): {sorted(round(x*1e3) for x in ts)} ms", flush=True)
-print(f"hit: {res.frames[77,0]} sim={res.sims[77,0]:.4f}", flush=True)
+print(f"hit: {res.frames[probe,0]} sim={res.sims[probe,0]:.4f}", flush=True)
+
+if "--saveload" in sys.argv:
+    import subprocess
+    import tempfile
+
+    arch = os.path.join(tempfile.gettempdir(), "db10k_saveload.npz")
+    t0 = time.perf_counter()
+    db.save(arch, compresslevel=1)
+    save_s = time.perf_counter() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    print(f"streamed save: {save_s:.0f}s, "
+          f"{os.path.getsize(arch)/2**30:.2f} GiB archive "
+          f"(compresslevel=1); process peak RSS now {rss:.2f} GiB",
+          flush=True)
+    child = f"""
+import os, resource, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import numpy as np
+from strugatzki_tpu.analysis.correlation import InputTemplate
+from strugatzki_tpu.parallel.database import FeatureDatabase
+t0 = time.perf_counter()
+db = FeatureDatabase.load({arch!r}, raw_store="memmap")
+print(f"streamed load + restage: {{time.perf_counter()-t0:.0f}}s", flush=True)
+tmpl = InputTemplate(np.asarray(db._raw[{probe}][:, 100:100 + {punch}]).copy())
+t0 = time.perf_counter(); res = db.query(tmpl)
+print(f"loaded-db query (incl. compile): {{time.perf_counter()-t0:.1f}}s "
+      f"hit {{res.frames[{probe},0]}} sim={{res.sims[{probe},0]:.4f}}", flush=True)
+rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+print(f"loader subprocess peak RSS {{rss:.2f}} GiB "
+      f"(streamed load: no decompressed raw stack was ever resident)",
+      flush=True)
+assert res.frames[{probe}, 0] == 100, res.frames[{probe}, 0]
+"""
+    r = subprocess.run([sys.executable, "-c", child], text=True)
+    os.unlink(arch)
+    assert r.returncode == 0, r.returncode
 
 if "--punch" in sys.argv:
-    src77 = synth(77) if memmap else feats[77]
+    src77 = synth(probe) if memmap else feats[probe]
     t_out = InputTemplate(src77[:, 3000:3430].copy())       # 5 s punch-out
     t0 = time.perf_counter()
     db.query_punch(tmpl, t_out, min_punch=2000, max_punch=3500, k=2)
