@@ -92,14 +92,23 @@ def main() -> None:
     print(f"incremental:  {db.num_files} live files; new file found: "
           f"{r_new.matches(60, step, 1)[0].file}")
 
-    # 6. durable serving artifact: save/load skips per-file parsing
+    # 6. durable serving artifact: save/load skips per-file parsing.
+    #    Both directions stream row-by-row when bounded host RSS matters:
+    #    save never materializes a memmap store's raw stack, and
+    #    load(raw_store="memmap") decompresses straight into a fresh
+    #    disk-backed store (O(one row) peak on top of the store itself)
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "db.npz")
-        db.save(p)
+        db.save(p, compresslevel=1)
         db2 = FeatureDatabase.load(p)
         r2 = db2.query(tmpl, k=1)
         print(f"save/load:    best frame {int(r2.frames.max(initial=0))} "
               f"(same database, re-staged in one pass)")
+        db3 = FeatureDatabase.load(p, raw_store="memmap")
+        assert isinstance(db3._raw, np.memmap)
+        r3 = db3.query(tmpl, k=1)
+        print(f"streamed-load memmap store: same best frame "
+              f"{int(r3.frames.max(initial=0))}, bounded host RSS")
 
     # 7. multi-chip: pass mesh=make_files_mesh() to shard the files axis
     #    (see tests/test_database.py::test_sharded_query_punch_matches_single
