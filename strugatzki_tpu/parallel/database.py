@@ -66,6 +66,15 @@ def _write_slab(buf, slab, offset):
     return jax.lax.dynamic_update_slice(buf, slab, idx)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf, idx, rows):
+    """Donated row scatter for incremental :meth:`FeatureDatabase.add_files`:
+    an undonated ``buf.at[idx].set(rows)`` would transiently hold TWO copies
+    of a resident multi-GB buffer (2× the database — the same peak the
+    donated staging path exists to avoid)."""
+    return buf.at[idx].set(rows)
+
+
 @dataclass
 class QueryResult:
     """Top-k hits of one query: parallel arrays ``[num_files, k]``."""
@@ -93,7 +102,10 @@ class QueryResult:
         entry-queue / spacing-collapse / merge machinery FeatureCorrelation
         uses, so the result equals the full reference search whenever the
         device top-k contains every candidate that selection touches (raise
-        the query ``k`` accordingly)."""
+        the query ``k`` accordingly).  NaN sims (degenerate zero-variance
+        windows) are dropped by the finite gate — ``skip_nan=True``
+        semantics; the reference's default NaN-first ordering lives on the
+        ``FeatureCorrelation`` path (docs/PARITY.md §6)."""
         def mk(i, j):
             t = int(self.frames[i, j])
             return Match(float(self.sims[i, j]), self.files[i],
@@ -162,7 +174,8 @@ class PunchQueryResult:
         ``k`` when ``k_total·num_per_file`` approaches it).  The kernel
         already keeps only the best punch length per offset, which is what
         the reference's always-on overlap collapse reduces same-offset
-        candidates to."""
+        candidates to.  NaN sims are dropped by the finite gate
+        (``skip_nan=True`` semantics — docs/PARITY.md §6)."""
         def mk(i, j):
             t = int(self.frames[i, j])
             kl = int(self.punch_lens[i, j])
@@ -298,8 +311,9 @@ def _split_buckets(buckets: dict):
     """Yield each shape bucket's index list in sorted-key order, oversized
     buckets split into :data:`_MAX_BATCH_QUERIES`-sized sub-dispatches and
     every ragged tail padded to a power-of-two length by repeating its
-    last index (the duplicate lane recomputes the same query; callers
-    overwrite the same result slot with an identical value)."""
+    last index (the duplicate lane recomputes the same query on device;
+    callers skip result slots already filled, so the host epilogue — in
+    particular the exact re-rank — runs once per distinct query)."""
     for key, idxs in sorted(buckets.items()):
         for i0 in range(0, len(idxs), _MAX_BATCH_QUERIES):
             sub = idxs[i0:i0 + _MAX_BATCH_QUERIES]
@@ -848,7 +862,7 @@ class FeatureDatabase:
                  rerank_device: Optional[bool] = None,
                  progress=None, check_aborted=None,
                  raw_store: str = "memory", time_capacity=None,
-                 _prestacked=None) -> None:
+                 num_temporal: int = 1, _prestacked=None) -> None:
         from ..kernels.pallas_prep import prepare_database
 
         # observer protocol for minutes-long stagings (SURVEY §5; the
@@ -869,6 +883,13 @@ class FeatureDatabase:
 
         if raw_store not in ("memory", "memmap"):
             raise ValueError(f"raw_store {raw_store!r}")
+        if num_temporal < 1:
+            raise ValueError(f"num_temporal {num_temporal} < 1")
+        # the temporal/spectral channel split (the reference's numTemporal,
+        # FeatureCorrelation.scala:279-289) is a DATABASE property: staging
+        # group-shifts and every query kernel must agree with the template's
+        # split, so templates are validated against it per query
+        self._num_temporal = num_temporal
         if _prestacked is not None:
             raw, lens = _prestacked
             self.files = list(entries)
@@ -894,10 +915,13 @@ class FeatureDatabase:
                 [raw, np.zeros((pad_rows,) + raw.shape[1:], raw.dtype)])
             lens = np.concatenate(
                 [lens, np.zeros(pad_rows, lens.dtype)])
+        if num_temporal >= raw.shape[1]:
+            raise ValueError(
+                f"num_temporal {num_temporal} leaves no spectral channel "
+                f"(database has {raw.shape[1]})")
         self._raw = raw
         self._lens = lens
         self._raw_store = raw_store
-        self._time_capacity = time_capacity
         self.norm = norm
         self._mesh = mesh
         # retained for incremental add_files/remove_files and restaging
@@ -938,7 +962,8 @@ class FeatureDatabase:
                 dev = staged_put(raw[o:o + _QUERY_CHUNK],
                                  drain=(raw_store == "memmap"))
                 xs_p, sh_p = prepare_database(
-                    dev, norm, self._lens_dev[o:o + _QUERY_CHUNK])
+                    dev, norm, self._lens_dev[o:o + _QUERY_CHUNK],
+                    num_temporal=num_temporal)
                 buf = _write_slab(buf, xs_p.astype(store_dtype),
                                   jnp.int32(o))
                 buf.block_until_ready()   # one slab in flight at a time
@@ -954,8 +979,8 @@ class FeatureDatabase:
                 # chunked staging: the raw stack easily exceeds the relay's
                 # large-transfer cliff (util/transfer.py)
                 raw_dev = staged_put(raw, drain=(raw_store == "memmap"))
-            self._xs, self._shifts = prepare_database(raw_dev, norm,
-                                                      self._lens_dev)
+            self._xs, self._shifts = prepare_database(
+                raw_dev, norm, self._lens_dev, num_temporal=num_temporal)
             _drop_memmap_pages(raw)
             progress(0.7 if cache_spectra else 1.0)
             if storage_dtype is not None:
@@ -984,7 +1009,8 @@ class FeatureDatabase:
                 # under a mesh the kernel runs SPMD on the sharded xs and
                 # its outputs inherit the files sharding — the chunked
                 # host-buffer path below would gather onto one device
-                self._spectra = _spectra_kernel(self._xs, pack_dtype=pack)
+                self._spectra = _spectra_kernel(
+                    self._xs, num_temporal=num_temporal, pack_dtype=pack)
             else:
                 # chunk-wise into preallocated donated buffers: one chunk's
                 # f32 forward-FFT transient in flight at a time (shapes via
@@ -996,12 +1022,14 @@ class FeatureDatabase:
                 # squeeze a 16 GB chip during staging.
                 step = min(_QUERY_CHUNK, _SPECTRA_CHUNK)
                 probe = jax.eval_shape(
-                    partial(_spectra_kernel, pack_dtype=pack), self._xs[:1])
+                    partial(_spectra_kernel, num_temporal=num_temporal,
+                            pack_dtype=pack), self._xs[:1])
                 bufs = [jnp.zeros((b,) + p.shape[1:], p.dtype)
                         for p in probe]
                 for o in range(0, b, step):
                     check_aborted()
                     part = _spectra_kernel(self._xs[o:o + step],
+                                           num_temporal=num_temporal,
                                            pack_dtype=pack)
                     bufs = [_write_slab(buf, p, jnp.int32(o))
                             for buf, p in zip(bufs, part)]
@@ -1116,11 +1144,18 @@ class FeatureDatabase:
             raw_new = np.pad(
                 raw_new, ((0, 0), (0, 0), (0, t_cap - raw_new.shape[2])))
         dev = staged_put(raw_new)
-        xs_p, sh_p = prepare_database(dev, self.norm, jnp.asarray(lens_new))
+        xs_p, sh_p = prepare_database(dev, self.norm, jnp.asarray(lens_new),
+                                      num_temporal=self._num_temporal)
         if self._storage_dtype is not None:
             xs_p = xs_p.astype(self._storage_dtype)
-        sp_p = _spectra_kernel(xs_p, pack_dtype=self._spectra_pack) \
+        sp_p = _spectra_kernel(xs_p, num_temporal=self._num_temporal,
+                               pack_dtype=self._spectra_pack) \
             if self._spectra is not None else None
+        # surface any async device failure (e.g. RESOURCE_EXHAUSTED in the
+        # prep/spectra kernels) BEFORE host metadata mutates — past the
+        # abort point the commit must be all-or-nothing
+        jax.block_until_ready((xs_p, sh_p) if sp_p is None
+                              else (xs_p, sh_p, sp_p))
         progress(0.8)
         # last abort point: past here the scatter commits atomically
         check_aborted()
@@ -1134,13 +1169,14 @@ class FeatureDatabase:
                 self.files.append(names[j])
             self._lens[slot] = lens_new[j]
             self._raw[slot] = raw_new[j]
-        # one scatter per device array (a per-row Python loop would cost a
-        # dispatch round-trip and a fresh tiny jit key per slot)
+        # one DONATED scatter per device array (a per-row Python loop would
+        # cost a dispatch round-trip and a fresh tiny jit key per slot; an
+        # undonated .at[].set would transiently double the resident buffer)
         slots_dev = jnp.asarray(np.asarray(used, np.int32))
-        self._xs = self._xs.at[slots_dev].set(xs_p)
-        self._shifts = self._shifts.at[slots_dev].set(sh_p)
+        self._xs = _scatter_rows(self._xs, slots_dev, xs_p)
+        self._shifts = _scatter_rows(self._shifts, slots_dev, sh_p)
         if sp_p is not None:
-            self._spectra = tuple(buf.at[slots_dev].set(p)
+            self._spectra = tuple(_scatter_rows(buf, slots_dev, p)
                                   for buf, p in zip(self._spectra, sp_p))
         self._lens_dev = self._put_lens()
         jax.block_until_ready(self._xs)
@@ -1187,6 +1223,7 @@ class FeatureDatabase:
             cache_spectra=self._cache_spectra_mode,
             rerank_device=self._rerank_device,
             raw_store=self._raw_store,
+            num_temporal=self._num_temporal,
             progress=progress, check_aborted=check_aborted)
         if self._raw_store == "memmap":
             # stream the old rows lazily AND drop the old mapping's pages
@@ -1249,11 +1286,21 @@ class FeatureDatabase:
         recovered (recall at the ~1e-2 margin); use a float32 database when
         even that inflation is not enough.
         """
+        self._check_template(template)
         reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
         if exact_rerank is None:
             exact_rerank = reduced
         k_dev = self._inflated_k(k, template.num_frames) \
             if (exact_rerank and reduced) else k
+        k_dev = self._k_clamp(k_dev, template.num_frames)
+        if k_dev == 0:
+            if with_traces:
+                raise ValueError(
+                    f"template ({template.num_frames} frames) exceeds the "
+                    f"database's padded time capacity "
+                    f"{self._xs.shape[2]} — no file can contain it, and "
+                    "there is no trace to return")
+            return self._masked_query_result(k)
         tmpl_args = (template.device_temporal(), template.device_spectral(),
                      jnp.float32(template.temporal_std),
                      jnp.float32(template.spectral_std),
@@ -1265,10 +1312,12 @@ class FeatureDatabase:
             if self._spectra is not None:
                 out = _query_kernel_spectra(
                     tuple(s[sl] for s in self._spectra),
-                    self._xs.shape[2], self._lens_dev[sl], *targs, k=k_dev)
+                    self._xs.shape[2], self._lens_dev[sl], *targs,
+                    num_temporal=self._num_temporal, k=k_dev)
             else:
                 out = _query_kernel(self._xs[sl], self._lens_dev[sl],
-                                    *targs, k=k_dev)
+                                    *targs,
+                                    num_temporal=self._num_temporal, k=k_dev)
             parts.append(out if with_traces else out[:3])
         # dispatch every chunk first, then one fetch pass: chunk k+1's
         # device work overlaps chunk k's transfer
@@ -1280,10 +1329,10 @@ class FeatureDatabase:
         if exact_rerank:
             self._rerank_exact(res, template, temp_weight, max_boost)
         if k_dev != k:
-            res.sims = res.sims[:, :k]
-            res.frames = res.frames[:, :k]
+            res.sims = self._fit_k_cols(res.sims, k, -np.inf)
+            res.frames = self._fit_k_cols(res.frames, k, 0)
             if res.boosts is not None:
-                res.boosts = res.boosts[:, :k]
+                res.boosts = self._fit_k_cols(res.boosts, k, 1.0)
         if with_traces:
             sims, boosts = self._trim(got[3], got[4])
             return res, (sims, boosts, self._lens[:len(self.files)])
@@ -1292,8 +1341,67 @@ class FeatureDatabase:
     def _inflated_k(self, k: int, tmpl_frames: int) -> int:
         """Device top-k for reduced-precision storage: 4× the requested k
         (bounded by the window count) so the exact re-rank can pull back
-        candidates the lossy device sims pushed just outside the top-k."""
+        candidates the lossy device sims pushed just outside the top-k.
+        May still exceed the window count when ``k`` itself does —
+        :meth:`_k_clamp` bounds the final device k in every query path."""
         return max(k, min(4 * k, self._xs.shape[2] - tmpl_frames + 1))
+
+    def _k_clamp(self, k_dev: int, *tmpl_frames: int) -> int:
+        """Largest device top-k the kernels can take: their window axis
+        has ``t_cap − L + 1`` slots (padded time capacity), and
+        ``lax.top_k`` requires ``k`` ≤ that.  Returns 0 when some template
+        is longer than the capacity itself — i.e. longer than EVERY file —
+        where the documented serving rule (files shorter than the template
+        are excluded from results) leaves nothing to search: callers
+        short-circuit to an all-masked result instead of crashing."""
+        w = min(self._xs.shape[2] - L + 1 for L in tmpl_frames)
+        return max(0, min(k_dev, w))
+
+    def _check_template(self, *templates: InputTemplate) -> None:
+        """Every query template must carry the database's channel layout:
+        the same channel count and the same temporal/spectral split
+        (``num_temporal``) the staging group-shift was computed with — a
+        mismatched split would silently score channels against the wrong
+        group statistics (the host exact mirror honors the template's
+        split, so the two backends would disagree without this gate)."""
+        C = self._raw.shape[1]
+        for t in templates:
+            tc = t.temporal_block.shape[0] + t.spectral_block.shape[0]
+            if tc != C:
+                raise ValueError(
+                    f"template has {tc} channels, database has {C}")
+            if t.num_temporal != self._num_temporal:
+                raise ValueError(
+                    f"template num_temporal {t.num_temporal} != database "
+                    f"num_temporal {self._num_temporal}")
+
+    @staticmethod
+    def _fit_k_cols(arr: np.ndarray, k: int, fill) -> np.ndarray:
+        """Return exactly ``k`` result columns: trim an inflated device k,
+        or pad a capacity-clamped one with masked values (−inf sims are
+        dropped by ``matches``'s finite gate like the staging padding)."""
+        if arr.shape[1] >= k:
+            return arr[:, :k]
+        pad = np.full((arr.shape[0], k - arr.shape[1]), fill, arr.dtype)
+        return np.concatenate([arr, pad], axis=1)
+
+    def _masked_query_result(self, k: int) -> QueryResult:
+        """All-masked ``[num_rows, k]`` result (template fits no window)."""
+        B = len(self.files)
+        return QueryResult(np.full((B, k), -np.inf, np.float32),
+                           np.zeros((B, k), np.int32), list(self.files),
+                           np.ones((B, k), np.float32))
+
+    def _masked_punch_result(self, k: int, min_punch: int
+                             ) -> PunchQueryResult:
+        """All-masked punch result (some template fits no window)."""
+        B = len(self.files)
+        ones = np.ones((B, k), np.float32)
+        return PunchQueryResult(
+            np.full((B, k), -np.inf, np.float32),
+            np.zeros((B, k), np.int32), np.zeros((B, k), np.int32),
+            ones, ones.copy(), list(self.files), min_punch,
+            np.full((B, k), -np.inf, np.float32))
 
     #: exact-re-rank budget: only the globally best (by device sim)
     #: candidates are re-scored on host.  Every candidate `.matches()` can
@@ -1367,7 +1475,8 @@ class FeatureDatabase:
             jnp.float32(template.temporal_std),
             jnp.float32(template.spectral_std),
             jnp.float32(template.ln_avg_loudness),
-            jnp.float32(temp_weight), jnp.float32(max_boost))
+            jnp.float32(temp_weight), jnp.float32(max_boost),
+            num_temporal=self._num_temporal)
         sims, boosts = jax.device_get((sims, boosts))
         return sims[:m].copy(), boosts[:m].copy()
 
@@ -1504,11 +1613,15 @@ class FeatureDatabase:
         sims mis-ranked just outside the top-k."""
         if min_punch > max_punch:
             raise ValueError(f"min_punch {min_punch} > max_punch {max_punch}")
+        self._check_template(punch_in, punch_out)
         reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
         if exact_rerank is None:
             exact_rerank = reduced
         k_dev = self._inflated_k(k, punch_in.num_frames) \
             if (exact_rerank and reduced) else k
+        if self._k_clamp(1, punch_in.num_frames, punch_out.num_frames) == 0:
+            return self._masked_punch_result(k, min_punch)
+        k_dev = self._k_clamp(k_dev, punch_in.num_frames)
         targs = (punch_in.device_temporal(), punch_in.device_spectral(),
                  jnp.float32(punch_in.temporal_std),
                  jnp.float32(punch_in.spectral_std),
@@ -1527,10 +1640,13 @@ class FeatureDatabase:
             if self._spectra is not None:
                 out = _punch_query_kernel_spectra(
                     tuple(s[sl] for s in self._spectra),
-                    self._xs.shape[2], self._lens_dev[sl], *ch_args, k=k_dev)
+                    self._xs.shape[2], self._lens_dev[sl], *ch_args,
+                    num_temporal=self._num_temporal, k=k_dev)
             else:
                 out = _punch_query_kernel(self._xs[sl], self._lens_dev[sl],
-                                          *ch_args, k=k_dev)
+                                          *ch_args,
+                                          num_temporal=self._num_temporal,
+                                          k=k_dev)
             parts.append(out)
         parts = jax.device_get(parts)   # all chunks dispatched before fetch
         vals, t_idx, j_k, b_in, b_out, in_sims = self._trim(
@@ -1542,12 +1658,18 @@ class FeatureDatabase:
                                      temp_weight_in, temp_weight_out,
                                      max_boost)
         if k_dev != k:
-            for name in ("sims", "frames", "punch_lens", "boosts_in",
-                         "boosts_out", "in_sims"):
-                arr = getattr(res, name)
-                if arr is not None:
-                    setattr(res, name, arr[:, :k])
+            self._fit_punch_cols(res, k)
         return res
+
+    def _fit_punch_cols(self, res: PunchQueryResult, k: int) -> None:
+        """Trim/pad every punch result array to exactly ``k`` columns
+        (see :meth:`_fit_k_cols`)."""
+        for name, fill in (("sims", -np.inf), ("frames", 0),
+                           ("punch_lens", 0), ("boosts_in", 1.0),
+                           ("boosts_out", 1.0), ("in_sims", -np.inf)):
+            arr = getattr(res, name)
+            if arr is not None:
+                setattr(res, name, self._fit_k_cols(arr, k, fill))
 
     def query_batch(self, templates: Sequence[InputTemplate],
                     temp_weight: float = 0.5, max_boost: float = 8.0,
@@ -1562,6 +1684,7 @@ class FeatureDatabase:
         come back in input order with boosts, and reduced-precision
         storage re-ranks exactly on host like :meth:`query`.
         """
+        self._check_template(*templates)
         reduced = (self._xs.dtype != jnp.float32) or self._spectra_reduced
         if exact_rerank is None:
             exact_rerank = reduced
@@ -1572,6 +1695,11 @@ class FeatureDatabase:
         for frames_len, idxs in _split_buckets(buckets):
             k_dev = self._inflated_k(k, frames_len) \
                 if (exact_rerank and reduced) else k
+            k_dev = self._k_clamp(k_dev, frames_len)
+            if k_dev == 0:
+                for qi in idxs:
+                    results[qi] = self._masked_query_result(k)
+                continue
             group = [templates[qi] for qi in idxs]
             tt = jnp.stack([t.device_temporal() for t in group])
             ts = jnp.stack([t.device_spectral() for t in group])
@@ -1586,10 +1714,12 @@ class FeatureDatabase:
                     out = _multi_query_kernel_spectra(
                         tuple(s[sl] for s in self._spectra),
                         self._xs.shape[2], self._lens_dev[sl], *qargs,
-                        k=k_dev, shards=self._num_shards)
+                        num_temporal=self._num_temporal, k=k_dev,
+                        shards=self._num_shards)
                 else:
                     out = _multi_query_kernel(self._xs[sl],
                                               self._lens_dev[sl], *qargs,
+                                              num_temporal=self._num_temporal,
                                               k=k_dev,
                                               shards=self._num_shards)
                 parts.append(out)
@@ -1600,15 +1730,18 @@ class FeatureDatabase:
                            axis=1)
                 for i in range(3))
             for q, qi in enumerate(idxs):
+                if results[qi] is not None:
+                    continue        # power-of-two padding lane (duplicate
+                    # of sub[-1]): identical data — skip the re-rank
                 res = QueryResult(vals[q], idx[q], list(self.files),
                                   boosts[q])
                 if exact_rerank:
                     self._rerank_exact(res, group[q], temp_weight, max_boost)
                 if k_dev != k:
-                    res.sims = res.sims[:, :k]
-                    res.frames = res.frames[:, :k]
+                    res.sims = self._fit_k_cols(res.sims, k, -np.inf)
+                    res.frames = self._fit_k_cols(res.frames, k, 0)
                     if res.boosts is not None:
-                        res.boosts = res.boosts[:, :k]
+                        res.boosts = self._fit_k_cols(res.boosts, k, 1.0)
                 results[qi] = res
         return results
 
@@ -1642,6 +1775,7 @@ class FeatureDatabase:
             if mp > xp:
                 raise ValueError(
                     f"pair {q}: min_punch {mp} > max_punch {xp}")
+            self._check_template(p_in, p_out)
         buckets: dict = {}
         for q, (p_in, p_out, *_band) in enumerate(pairs):
             buckets.setdefault((p_in.num_frames, p_out.num_frames),
@@ -1653,8 +1787,14 @@ class FeatureDatabase:
             group = [pairs[q] for q in idxs]
             ins = [p for p, _, _, _ in group]
             outs = [p for _, p, _, _ in group]
+            if self._k_clamp(1, _li, _lo) == 0:
+                for q in idxs:
+                    results[q] = self._masked_punch_result(
+                        k, int(pairs[q][2]))
+                continue
             k_dev = self._inflated_k(k, ins[0].num_frames) \
                 if (exact_rerank and reduced) else k
+            k_dev = self._k_clamp(k_dev, _li)
 
             def stack(ts):
                 return (jnp.stack([t.device_temporal() for t in ts]),
@@ -1677,10 +1817,12 @@ class FeatureDatabase:
                     out = _multi_punch_kernel_spectra(
                         tuple(s[sl] for s in self._spectra),
                         self._xs.shape[2], self._lens_dev[sl], *ch,
-                        k=k_dev, shards=self._num_shards)
+                        num_temporal=self._num_temporal, k=k_dev,
+                        shards=self._num_shards)
                 else:
                     out = _multi_punch_kernel(
-                        self._xs[sl], self._lens_dev[sl], *ch, k=k_dev,
+                        self._xs[sl], self._lens_dev[sl], *ch,
+                        num_temporal=self._num_temporal, k=k_dev,
                         shards=self._num_shards)
                 parts.append(out)
             parts = jax.device_get(parts)   # all chunks dispatched first
@@ -1690,6 +1832,9 @@ class FeatureDatabase:
                            axis=1)
                 for i in range(6))
             for g, q in enumerate(idxs):
+                if results[q] is not None:
+                    continue        # power-of-two padding lane (duplicate
+                    # of sub[-1]): identical data — skip the re-rank
                 p_in, p_out, mp, _xp = pairs[q]
                 res = PunchQueryResult(
                     got[0][g], got[1][g], got[2][g], got[3][g], got[4][g],
@@ -1699,11 +1844,7 @@ class FeatureDatabase:
                                              temp_weight_in,
                                              temp_weight_out, max_boost)
                 if k_dev != k:
-                    for name in ("sims", "frames", "punch_lens",
-                                 "boosts_in", "boosts_out", "in_sims"):
-                        arr = getattr(res, name)
-                        if arr is not None:
-                            setattr(res, name, arr[:, :k])
+                    self._fit_punch_cols(res, k)
                 results[q] = res
         return results
 
@@ -1747,6 +1888,7 @@ class FeatureDatabase:
                      else np.zeros((0, 2), np.float32)),
             "files": np.array([self.files[i] for i in keep]),
             "step_size": np.asarray(self.step_size),
+            "num_temporal": np.asarray(self._num_temporal),
         }
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(path) or ".", suffix=".npz.tmp")
@@ -1796,12 +1938,16 @@ class FeatureDatabase:
         same bounded-RSS contract :meth:`save` keeps on the way out."""
         if stage_kwargs.get("raw_store") == "memmap":
             return FeatureDatabase._load_memmap(path, mesh, stage_kwargs)
-        z = np.load(path, allow_pickle=False)
-        norm = z["norm"] if z["norm"].size else None
-        return FeatureDatabase(
-            [str(f) for f in z["files"]], norm,
-            step_size=int(z["step_size"]), mesh=mesh,
-            _prestacked=(z["raw"], z["lens"]), **stage_kwargs)
+        with np.load(path, allow_pickle=False) as z:
+            norm = z["norm"] if z["norm"].size else None
+            # plain np.savez archives / pre-round-4 saves lack the member
+            stage_kwargs.setdefault(
+                "num_temporal",
+                int(z["num_temporal"]) if "num_temporal" in z.files else 1)
+            return FeatureDatabase(
+                [str(f) for f in z["files"]], norm,
+                step_size=int(z["step_size"]), mesh=mesh,
+                _prestacked=(z["raw"], z["lens"]), **stage_kwargs)
 
     @staticmethod
     def _load_memmap(path, mesh, stage_kwargs) -> "FeatureDatabase":
@@ -1825,6 +1971,11 @@ class FeatureDatabase:
             norm = member("norm")
             files = [str(f) for f in member("files")]
             step_size = int(member("step_size"))
+            # plain np.savez archives / pre-round-4 saves lack the member
+            stage_kwargs.setdefault(
+                "num_temporal",
+                int(member("num_temporal"))
+                if "num_temporal.npy" in zf.namelist() else 1)
             with zf.open("raw.npy") as f:
                 version = npf.read_magic(f)
                 if version == (1, 0):

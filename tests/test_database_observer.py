@@ -134,7 +134,8 @@ def test_save_load_observer(tmp_path):
     assert fracs == [0.0, 1.0]
     # the streamed writer stays byte-compatible with np.savez semantics
     z = np.load(tmp_path / "db.npz", allow_pickle=False)
-    assert set(z.files) == {"raw", "lens", "norm", "files", "step_size"}
+    assert set(z.files) == {"raw", "lens", "norm", "files",
+                            "step_size", "num_temporal"}
     np.testing.assert_array_equal(z["raw"], db._raw)
     lfr = []
     db2 = FeatureDatabase.load(tmp_path / "db.npz", progress=lfr.append)

@@ -89,6 +89,37 @@ def test_add_overflow_restages():
     _assert_equiv(db, ents + extra, _tmpl(extra, 2))
 
 
+def test_add_failure_before_commit_leaves_db_intact(monkeypatch):
+    """An ASYNC device failure in the add batch's prep kernels surfaces at
+    the pre-commit ``jax.block_until_ready`` — which must run BEFORE any
+    host metadata mutates (the all-or-nothing commit contract): the
+    database stays fully usable with its pre-add contents.  Simulated by
+    making the first ``block_until_ready`` of the add raise (the way a
+    deferred RESOURCE_EXHAUSTED would surface)."""
+    import jax
+
+    ents = _entries(20, 4)
+    kw = dict(cache_spectra=True)
+    db = FeatureDatabase(ents, norm=None, **kw)
+    files_before = list(db.files)
+    lens_before = np.array(db._lens)
+    raw_before = np.array(db._raw)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated deferred device failure")
+
+    monkeypatch.setattr(jax, "block_until_ready", boom)
+    with pytest.raises(RuntimeError, match="simulated deferred"):
+        db.add_files(_entries(21, 1, T=150))
+    monkeypatch.undo()
+
+    assert db.files == files_before
+    np.testing.assert_array_equal(np.array(db._lens), lens_before)
+    np.testing.assert_array_equal(np.array(db._raw), raw_before)
+    assert db.num_files == 4
+    _assert_equiv(db, ents, _tmpl(ents, 1), **kw)
+
+
 def test_duplicate_add_rejected():
     ents = _entries(10, 3)
     db = FeatureDatabase(ents, norm=None)

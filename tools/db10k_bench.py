@@ -106,6 +106,12 @@ for _ in range(5):
     print(f"  query: {ts[-1]*1e3:.0f} ms", flush=True)   # survive timeouts
 print(f"10k query (async chunk fetch): {sorted(round(x*1e3) for x in ts)} ms", flush=True)
 print(f"hit: {res.frames[probe,0]} sim={res.sims[probe,0]:.4f}", flush=True)
+# deflated-sims canary (docs/PARITY.md TPU-backend caveat): the planted
+# self-match must come back EXACT, not just top-ranked — a recurrence of
+# the backend fault at a new shape deflates values while often keeping
+# the ranking, which a frames-only check would miss
+assert res.frames[probe, 0] == 100, res.frames[probe, 0]
+assert res.sims[probe, 0] > 0.999, res.sims[probe, 0]
 
 if "--saveload" in sys.argv:
     import subprocess
@@ -138,6 +144,7 @@ print(f"loader subprocess peak RSS {{rss:.2f}} GiB "
       f"(streamed load: no decompressed raw stack was ever resident)",
       flush=True)
 assert res.frames[{probe}, 0] == 100, res.frames[{probe}, 0]
+assert res.sims[{probe}, 0] > 0.999, res.sims[{probe}, 0]
 """
     r = subprocess.run([sys.executable, "-c", child], text=True)
     os.unlink(arch)
@@ -160,3 +167,7 @@ if "--punch" in sys.argv:
     print(f"10k punch-in x punch-out: {sorted(round(x*1e3) for x in ts)} ms; "
           f"hit {m.file} {m.punch.start//512}..{m.punch.stop//512} "
           f"sim={m.sim:.4f}", flush=True)
+    # deflated-sims canary: the punch templates are cut from file `probe`
+    # (in at 100, out at 3000 -> punch length 2900 inside the band)
+    assert m.file == f"f{probe}.aif" and m.punch.start // 512 == 100, m
+    assert m.sim > 0.999, m.sim
