@@ -147,7 +147,8 @@ def sliding_traces(xs_shifted: np.ndarray, shift_t: float, shift_s: float,
         template.device_temporal(), template.device_spectral(),
         jnp.float32(template.temporal_std), jnp.float32(template.spectral_std),
         jnp.float32(template.ln_avg_loudness), jnp.float32(shift_t),
-        jnp.float32(temp_weight), jnp.float32(max_boost))
+        jnp.float32(temp_weight), jnp.float32(max_boost),
+        num_temporal=template.num_temporal)
     if as_device:
         # async handles — lets callers overlap further uploads/compute
         # before forcing the fetch

@@ -67,14 +67,17 @@ __all__ = [
 def prepare_template(mat: np.ndarray):
     """Center a template channel-group in f64; return (centered f32, mean, std).
 
-    ``mean``/``std`` mirror MathUtil.stat over the full group
-    (FeatureCorrelationImpl.scala:92-97).
+    ``mean``/``std`` come from the single parity anchor
+    :func:`~strugatzki_tpu.kernels.mathref.stat` (MathUtil.stat,
+    FeatureCorrelationImpl.scala:92-97) so the device template statistics
+    can never desynchronize from the host mirror the tests anchor to.
     """
+    from . import mathref as M
+
     m64 = np.asarray(mat, dtype=np.float64)
-    mean = m64.sum() / m64.size
-    var = ((m64 - mean) ** 2).sum() / m64.size
+    mean, std = M.stat(m64, 0, m64.shape[1], 0, m64.shape[0])
     centered = (m64 - mean).astype(np.float32)
-    return centered, float(mean), float(np.sqrt(var))
+    return centered, float(mean), float(std)
 
 
 def shift_per_group(x: np.ndarray, num_temporal: int = 1):
@@ -155,6 +158,10 @@ def sliding_dot_fft(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     C, L = template.shape
     T = x.shape[1]
     W = T - L + 1
+    if W <= 0:
+        # static shapes: raise at trace time — a negative [:W] slice would
+        # silently return a wrong-length array of circularly-wrapped values
+        raise ValueError(f"template length {L} exceeds signal length {T}")
     N = _fft_len(T)
     ta = jnp.fft.rfft(template, n=N, axis=1)
     xa = jnp.fft.rfft(x, n=N, axis=1)
@@ -275,6 +282,13 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
     L = template_t.shape[1]
     Tp = t_padded
     W = Tp - L + 1
+    if W <= 0:
+        # static shapes: raise at trace time instead of returning a
+        # negative-slice array of circularly-wrapped garbage (serving-layer
+        # callers pre-clamp via FeatureDatabase._k_clamp; this guards any
+        # new direct caller)
+        raise ValueError(
+            f"template length {L} exceeds padded signal length {Tp}")
     C_s = X.shape[0] - nt
     N = _fft_len(Tp)
     ones_l = _ones_spectrum(L, N)
@@ -297,6 +311,18 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
     std_s = jnp.sqrt(var_s)
 
     def tdot(tmpl, rows):
+        # NOTE on precision: this multiply-reduce (like trace_spectra's
+        # squared-row sums and novelty_trace's lag product) is elementwise
+        # f32 ops + a tree reduce — XLA does NOT route it through the
+        # bf16-default MXU, so no Precision.HIGHEST is needed (the explicit
+        # matmuls in sliding_dot_conv/gram_similarity_block DO set it).
+        # History: b95c973 added einsum/HIGHEST forms here suspecting MXU
+        # rounding behind deflated batched sims; the bisect proved a
+        # shape-triggered backend fault instead (values bit-identical
+        # across kernel structures incl. einsum/HIGHEST — docs/PARITY.md,
+        # TPU-backend caveat) and 2e02649 reverted.  Hardware parity is
+        # pinned at ≤3e-8 by tools/tpu_parity.py — if a future XLA starts
+        # dot-forming these contractions, that budget is the canary.
         ta = jnp.fft.rfft(tmpl, n=N, axis=1)
         spec = (jnp.conj(ta) * rows).sum(axis=0)
         return jnp.fft.irfft(spec, n=N)[:W]
@@ -337,6 +363,11 @@ def novelty_trace(xs: jnp.ndarray, half_win: int,
     """
     h = half_win
     nt = num_temporal
+    if xs.dtype != jnp.float32:
+        # mirror trace_spectra's guard: products/squares below must not run
+        # in a reduced storage dtype (~4e-3 relative per bf16 product vs
+        # the ~2e-5 parity budget)
+        xs = xs.astype(jnp.float32)
     Tp = xs.shape[1]
     W = Tp - 2 * h + 1
     N = _fft_len(Tp)
@@ -384,6 +415,8 @@ def window_stats(win: jnp.ndarray, num_temporal: int = 1):
     """Per-window per-group sums and sums of squares: ``[B, C, h]`` →
     ``(s_t, q_t, s_s, q_s)`` each ``[B]``."""
     nt = num_temporal
+    if win.dtype != jnp.float32:
+        win = win.astype(jnp.float32)   # see novelty_trace's dtype guard
     t, s = win[:, :nt], win[:, nt:]
     return (t.sum(axis=(1, 2)), (t * t).sum(axis=(1, 2)),
             s.sum(axis=(1, 2)), (s * s).sum(axis=(1, 2)))

@@ -83,14 +83,17 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
             jnp.asarray(shifts_t, dtype=jnp.float32),
             jnp.float32(temp_weight), jnp.float32(max_boost))
     if mesh is None:
-        sims, boosts = _batched_traces(jnp.asarray(xs_b), *args)
+        sims, boosts = _batched_traces(jnp.asarray(xs_b), *args,
+                                       num_temporal=template.num_temporal)
     else:
         fn = _sharded_traces_fn(mesh)
         # shard straight from host memory — an eager jnp.asarray would
         # commit the whole stack to device 0 first
         xs_s = jax.device_put(np.asarray(xs_b),
                               NamedSharding(mesh, P("files")))
-        sims, boosts = fn(xs_s, *args)
+        # positional: pjit rejects kwargs when in_shardings is specified
+        # (num_temporal is static, so it is not part of the shardings tuple)
+        sims, boosts = fn(xs_s, *args, template.num_temporal)
     return np.asarray(sims), np.asarray(boosts)
 
 
@@ -110,7 +113,8 @@ def _sharded_traces_fn(mesh: Mesh):
             _batched_traces,
             in_shardings=(shard, repl, repl, repl, repl, repl, shard,
                           repl, repl),
-            out_shardings=(shard, shard))
+            out_shardings=(shard, shard),
+            static_argnames=("num_temporal",))
         _SHARDED_TRACES_CACHE[key] = fn
     return fn
 
@@ -154,7 +158,8 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
         jnp.float32(template.temporal_std), jnp.float32(template.spectral_std),
         jnp.float32(template.ln_avg_loudness),
         jax.device_put(shifts, shard),
-        jnp.float32(temp_weight), jnp.float32(max_boost))
+        jnp.float32(temp_weight), jnp.float32(max_boost),
+        num_temporal=template.num_temporal)
     sims = np.asarray(sims).reshape(-1)[:n_dev * per]
     boosts = np.asarray(boosts).reshape(-1)[:n_dev * per]
     return sims[:W].copy(), boosts[:W].copy()

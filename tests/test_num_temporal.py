@@ -100,6 +100,55 @@ def test_punch_and_batch_nt2():
         np.testing.assert_array_equal(r.frames, want.frames)
 
 
+def test_sliding_traces_nt2_planted():
+    """analysis.correlation.sliding_traces must thread the template's
+    split (regression: a planted exact self-match scored 0.776 with the
+    nt=1 default grouping)."""
+    from strugatzki_tpu.analysis.correlation import sliding_traces
+
+    rng = np.random.default_rng(21)
+    feats = np.abs(0.5 + 0.2 * rng.standard_normal((6, 200))).astype(
+        np.float32)
+    xs, sh_t, sh_s = K.shift_per_group(feats, num_temporal=NT)
+    tmpl = InputTemplate(feats[:, 40:90].copy(), num_temporal=NT)
+    sims, _ = sliding_traces(xs, sh_t, sh_s, tmpl, scan_len=200,
+                             temp_weight=0.5, max_boost=8.0)
+    assert int(np.argmax(sims)) == 40
+    assert sims[40] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_batched_and_long_file_traces_nt2_planted():
+    """parallel.sweep paths must thread the template's split too."""
+    from strugatzki_tpu.parallel.sweep import (
+        batched_correlation_traces, make_files_mesh, pad_stack,
+        sharded_long_file_trace)
+
+    rng = np.random.default_rng(22)
+    mats = [np.abs(0.5 + 0.2 * rng.standard_normal((6, 180 + 9 * i))
+                   ).astype(np.float32) for i in range(8)]
+    shifted = [K.shift_per_group(m, num_temporal=NT) for m in mats]
+    xs_b, _ = pad_stack([s[0] for s in shifted])
+    shifts = np.asarray([s[1] for s in shifted], np.float32)
+    tmpl = InputTemplate(mats[2][:, 30:80].copy(), num_temporal=NT)
+    sims, _ = batched_correlation_traces(xs_b, shifts, tmpl, 0.5, 8.0)
+    assert int(np.argmax(sims[2])) == 30
+    assert sims[2, 30] == pytest.approx(1.0, abs=1e-5)
+    # sharded variant agrees
+    sims_m, _ = batched_correlation_traces(xs_b, shifts, tmpl, 0.5, 8.0,
+                                           mesh=make_files_mesh())
+    np.testing.assert_allclose(sims_m, sims, atol=1e-6)
+    # one long file, time axis sharded: planted self-match at frame 300
+    long_feats = np.abs(0.5 + 0.2 * rng.standard_normal((6, 700))).astype(
+        np.float32)
+    long_xs, lsh_t, _lsh_s = K.shift_per_group(long_feats, num_temporal=NT)
+    t2 = InputTemplate(long_feats[:, 300:360].copy(), num_temporal=NT)
+    sims_l, _b = sharded_long_file_trace(long_xs, lsh_t, t2, 0.5, 8.0,
+                                         make_files_mesh())
+    assert sims_l.shape == (700 - 60 + 1,)
+    assert int(np.argmax(sims_l)) == 300
+    assert sims_l[300] == pytest.approx(1.0, abs=3e-5)
+
+
 def test_template_split_validation():
     ents = _entries(seed=11)
     db = FeatureDatabase(ents, norm=None, pad_multiple=64, num_temporal=NT)
