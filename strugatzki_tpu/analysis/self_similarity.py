@@ -59,39 +59,64 @@ _gram_pair_group = partial(jax.jit, static_argnames=("num_temporal",))(
     _gram_group_core)
 
 
-def _pix_epilogue(sims, inv_ceil, ncm1, gray: bool, inv: bool):
-    """Fused device colorization for the ``colorWarp == 1`` fast path.
+# --- device colorization (colorWarp == 1 fast path) -------------------------
+# Replicates the host quantization (``_colorize`` + ``apply_palette``) with
+# the identical float32 op sequence — IEEE mul/add/clip/truncate, no pow —
+# so the produced gray bytes / palette indices are bit-equal to the host
+# path (which itself mirrors the reference's Java float math,
+# SelfSimilarityImpl.scala:98-110).  Shipping uint8/uint16 instead of
+# float32 sims cuts the fetched bytes 4×/2× — the image pipeline through
+# this harness's link is fetch-bound (docs/BENCHMARKS.md) — and the smooth
+# integer rasters compress far better on the relay's wire.
+#
+# The three stages are SEPARATE dispatches on purpose.  Inside one compiled
+# kernel XLA:CPU lets LLVM contract a multiply feeding an add/sub into an
+# FMA — one rounding where the host/Java sequence rounds twice — which
+# flips the quantized index for sims whose product lands exactly on a
+# rounding tie (observed on ~2% of random rasters at colorInv+colorCeil
+# 1.3: 1 − s·(1/1.3) hit a round-to-even tie).  Every value-preserving
+# in-graph fence is elided before LLVM sees it (optimization_barrier and
+# identity reduce_precision are dropped, bitcast pairs and min(x, +inf)
+# folded by the algebraic simplifier) — a kernel boundary is the only
+# fence the compiler cannot remove.  Within each stage no multiply feeds
+# an add/sub, so every op is individually IEEE-rounded:
+#   s1: max, ×inv_ceil              (mul, no add)
+#   s2: [1−·], nan→0, [clip], ×k    (sub/muls never chained into an add)
+#   s3: +0.5, [clip], truncate-cast (adds, no mul)
+# Cost: two extra tiny elementwise dispatches per chunk (~40 ms relay RTT
+# each), negligible against the fast engine's savings.
 
-    Replicates the host quantization (``_colorize`` + ``apply_palette``)
-    with the identical float32 op sequence — IEEE mul/add/clip/truncate, no
-    pow — so the produced gray bytes / palette indices are bit-equal to the
-    host path (which itself mirrors the reference's Java float math,
-    SelfSimilarityImpl.scala:98-110).  Shipping uint8/uint16 instead of
-    float32 sims cuts the fetched bytes 4×/2× — the image pipeline through
-    this harness's link is fetch-bound (docs/BENCHMARKS.md) — and the
-    smooth integer rasters compress far better on the relay's wire.
-    """
-    v = jnp.maximum(sims, 0.0) * inv_ceil
+@jax.jit
+def _pix_s1(sims, inv_ceil):
+    return jnp.maximum(sims, 0.0) * inv_ceil
+
+
+@partial(jax.jit, static_argnames=("gray", "inv"))
+def _pix_s2(v, k, gray: bool = False, inv: bool = False):
     if inv:
         v = 1.0 - v
     # np.nan_to_num semantics: NaN → 0 (Java's (int)NaN == 0 — same pixel
-    # the reference produces), ±inf → ±huge (the clips below resolve them
-    # to the same endpoints either way)
+    # the reference produces), ±inf → ±huge (the clips resolve them to the
+    # same endpoints either way)
     v = jnp.nan_to_num(v, nan=0.0)
     if gray:
-        return jnp.clip(v * np.float32(255) + np.float32(0.5),
-                        0.0, 255.0).astype(jnp.uint8)
-    return (jnp.clip(v, 0.0, 1.0) * ncm1
-            + np.float32(0.5)).astype(jnp.uint16)
+        return v * k          # host clips after the +0.5 (``_colorize``)
+    return jnp.clip(v, 0.0, 1.0) * k      # host clips first (apply_palette)
 
 
-@partial(jax.jit, static_argnames=("num_temporal", "gray", "inv"))
-def _gram_pair_group_pix(wi_s, wj_s, stats_i, stats_j, temp_weight,
-                         inv_ceil, ncm1, num_temporal: int = 1,
-                         gray: bool = False, inv: bool = False):
-    sims = _gram_group_core(wi_s, wj_s, stats_i, stats_j, temp_weight,
-                            num_temporal=num_temporal)
-    return _pix_epilogue(sims, inv_ceil, ncm1, gray, inv)
+@partial(jax.jit, static_argnames=("gray",))
+def _pix_s3(t, gray: bool = False):
+    if gray:
+        return jnp.clip(t + np.float32(0.5), 0.0, 255.0).astype(jnp.uint8)
+    return (t + np.float32(0.5)).astype(jnp.uint16)
+
+
+def _apply_pix_stages(sims_dev, pix):
+    """Quantize device sims (async — three chained dispatches)."""
+    inv_ceil, ncm1, gray, inv = pix
+    k = np.float32(255) if gray else ncm1
+    v = _pix_s1(sims_dev, inv_ceil)
+    return _pix_s3(_pix_s2(v, k, gray=gray, inv=inv), gray=gray)
 
 
 def _device_pix(colors: str, color_warp: float, color_ceil: float,
@@ -121,6 +146,123 @@ def _group_size(mesh) -> int:
     return _PAIR_GROUP * (mesh.devices.size if mesh is not None else 1)
 
 
+# --- single-device fast engine ---------------------------------------------
+# The per-group engine above issues ~10 eager stack ops + 1 jit call per
+# 8-pair group; through the relay-attached chip every dispatch pays a
+# command round-trip (~30-40 ms, CLAUDE.md), which tools/gram_dispatch_probe
+# measured as the DOMINANT cost of giant renders (the MXU matmuls are
+# sub-second, the u16 fetch ~2 min at the ceiling — yet the render took
+# 17.7 min).  The fast engine removes the per-group traffic: every window
+# block is stacked ONCE into two resident arrays and each dispatch fetches
+# _PAIRS_PER_CALL pairs through a single jitted call that gathers its
+# operand blocks in-program (one tiny [2, P] index upload per call).
+# Values are bit-identical to the per-group engine — the per-pair math is
+# the same jitted kernels on the same operands (tests pin exact equality).
+# The mesh path keeps the per-group engine (operands are device_put per
+# shard there); it is CPU-mesh-only in this environment.
+
+_PAIRS_PER_CALL = 32
+
+
+def _prep_resident(x1: np.ndarray, x2: np.ndarray, half_win: int,
+                   decim: int):
+    """Fast-engine prep: image extent, block count, and per-input
+    ``(win_all [NSp, C, h], stats_all [4, NSp])`` resident stacks.
+
+    ``NSp`` pads the block count to a power of two (padded starts repeat
+    the last window start — valid data, never indexed by a real pair) so
+    the pair-call program keeps a handful of jit keys across extents; the
+    input length never enters the jit key at all (windows are
+    materialized).  Memory: ``NSp·_BLOCK·C·h`` floats — 315 MB at the
+    reference's 46340 ceiling, far under HBM."""
+    af_len = min(x1.shape[1], x2.shape[1])
+    win_len = half_win * 2
+    num_corrs = max(0, af_len - win_len + 1)
+    n = num_corrs // decim
+    if n == 0:
+        return 0, 0, None, None
+    num_blocks = (n + _BLOCK - 1) // _BLOCK
+    nbp = 1
+    while nbp < num_blocks:
+        nbp *= 2
+    starts = np.minimum(np.arange(nbp * _BLOCK, dtype=np.int64),
+                        n - 1) * decim
+    starts_d = jnp.asarray(starts)
+
+    def stacks_of(xj):
+        win_all = K.extract_windows(jnp.asarray(xj), starts_d, half_win)
+        stats_all = jnp.stack(K.window_stats(win_all))
+        return win_all, stats_all
+
+    res1 = stacks_of(x1)
+    res2 = res1 if x2 is x1 else stacks_of(x2)
+    return n, num_blocks, res1, res2
+
+
+def _pair_block_gather(win_all, stats_all, block_ids):
+    """Vmapped in-program gather of whole window blocks: ``[P]`` block ids
+    → ``([P, _BLOCK, C, h]`` windows, 4× ``[P, _BLOCK]`` stats)."""
+    c, h = win_all.shape[1], win_all.shape[2]
+
+    def one(b):
+        w = jax.lax.dynamic_slice(win_all, (b * _BLOCK, 0, 0),
+                                  (_BLOCK, c, h))
+        s = jax.lax.dynamic_slice(stats_all, (0, b * _BLOCK), (4, _BLOCK))
+        return w, s
+
+    w, s = jax.vmap(one)(block_ids)
+    return w, (s[:, 0], s[:, 1], s[:, 2], s[:, 3])
+
+
+def _gram_pairs_core(win1, stats1, win2, stats2, idx, tw,
+                     num_temporal: int = 1):
+    """``idx``: ``[2, P]`` (row-block ids, col-block ids).  Returns
+    ``sims [P, _BLOCK, _BLOCK]`` — same per-pair kernels as the group
+    engine, operands gathered in-program."""
+    wi, sti = _pair_block_gather(win1, stats1, idx[0])
+    wj, stj = _pair_block_gather(win2, stats2, idx[1])
+    return _gram_group_core(wi, wj, sti, stj, tw, num_temporal=num_temporal)
+
+
+_gram_pairs_fast = partial(jax.jit, static_argnames=("num_temporal",))(
+    _gram_pairs_core)
+
+
+def _dispatch_pairs_fast(res1, res2, pairs, tw, pix=None):
+    """One gram call (+ staged colorize) for ``_PAIRS_PER_CALL`` (bi, bj)
+    pairs (async)."""
+    idx = jnp.asarray(np.asarray(pairs, np.int32).T)
+    win1, stats1 = res1
+    win2, stats2 = res2
+    sims = _gram_pairs_fast(win1, stats1, win2, stats2, idx, tw)
+    return sims if pix is None else _apply_pix_stages(sims, pix)
+
+
+def _iter_pair_sims(pairs, dispatch_chunk, chunk_size,
+                    check_aborted=lambda: None, lookahead: int = 2):
+    """Yield ``((bi, bj), sims[_BLOCK, _BLOCK])`` per real pair, with
+    ``lookahead`` chunks dispatched ahead of the fetch so device work and
+    result transfers overlap the host write-back (the per-group engine
+    previously fetched synchronously per dispatch)."""
+    from collections import deque
+    chunks = []
+    for g0 in range(0, len(pairs), chunk_size):
+        c = pairs[g0:g0 + chunk_size]
+        chunks.append((c, c + [c[-1]] * (chunk_size - len(c))))
+    pending: "deque" = deque()
+    ci = 0
+    while pending or ci < len(chunks):
+        while ci < len(chunks) and len(pending) < lookahead:
+            check_aborted()
+            c, padded = chunks[ci]
+            ci += 1
+            pending.append((c, dispatch_chunk(padded)))
+        c, dev = pending.popleft()
+        sims = np.asarray(dev)
+        for p, s in zip(c, sims):
+            yield p, s
+
+
 def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
     """Stack a group of (block-i, block-j) pairs and dispatch (async) —
     returns the device array.  With ``pix`` the result is the colorized
@@ -142,16 +284,8 @@ def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
         wj_s = jax.device_put(wj_s, shard)
         sti = tuple(jax.device_put(s, shard) for s in sti)
         stj = tuple(jax.device_put(s, shard) for s in stj)
-    if pix is None:
-        return _gram_pair_group(wi_s, wj_s, sti, stj, tw)
-    inv_ceil, ncm1, gray, inv = pix
-    return _gram_pair_group_pix(wi_s, wj_s, sti, stj, tw, inv_ceil, ncm1,
-                                gray=gray, inv=inv)
-
-
-def _fetch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
-    return np.asarray(_dispatch_group(blocks1, blocks2, pairs, tw, pix,
-                                      mesh=mesh))
+    sims = _gram_pair_group(wi_s, wj_s, sti, stj, tw)
+    return sims if pix is None else _apply_pix_stages(sims, pix)
 
 
 def _pix_to_rgb(pix_vals: np.ndarray, gray: bool) -> np.ndarray:
@@ -198,42 +332,43 @@ def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
                   progress=lambda f: None, pix=None, mesh=None) -> np.ndarray:
     """Shared matrix builder: float32 sims (``pix=None``) or the
     device-colorized uint8/uint16 raster over the same block schedule."""
-    n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
-        x1, x2, half_win, decim)
     dtype = np.float32 if pix is None else (
         np.uint8 if pix[2] else np.uint16)
+    tw = jnp.float32(temp_weight)
+    if mesh is None:
+        n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim)
+        dispatch = lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix)
+        chunk = _PAIRS_PER_CALL
+    else:
+        n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
+            x1, x2, half_win, decim)
+        dispatch = lambda ps: _dispatch_group(blocks1, blocks2, ps, tw,
+                                              pix, mesh=mesh)
+        chunk = _group_size(mesh)
     if n == 0:
         return np.zeros((0, 0), dtype)
-    tw = jnp.float32(temp_weight)
 
     pairs = [(bi, bj) for bi in range(num_blocks)
              for bj in range(bi, num_blocks)]
     out = np.empty((n, n), dtype)
     done = 0
-    gsize = _group_size(mesh)
-    for g0 in range(0, len(pairs), gsize):
-        check_aborted()
-        group = pairs[g0:g0 + gsize]
-        # pad the final group to keep one jit key
-        padded_group = group + [group[-1]] * (gsize - len(group))
-        sims_g = _fetch_group(blocks1, blocks2, padded_group, tw, pix,
-                              mesh=mesh)
-        for (bi, bj), sims in zip(group, sims_g):
-            r0 = bi * _BLOCK
-            c0 = bj * _BLOCK
-            r1 = min(r0 + _BLOCK, n)
-            c1 = min(c0 + _BLOCK, n)
-            s = sims[:r1 - r0, :c1 - c0]
-            if bi == bj:
-                # only i ≤ j cells are the reference's computed values
-                # (SelfSimilarityImpl.scala:136); mirror the upper triangle —
-                # in cross mode the i > j half of the block differs
-                s = np.triu(s) + np.triu(s, 1).T
-                out[r0:r1, c0:c1] = s
-            else:
-                out[r0:r1, c0:c1] = s
-                out[c0:c1, r0:r1] = s.T
-        done += len(group)
+    for (bi, bj), sims in _iter_pair_sims(pairs, dispatch, chunk,
+                                          check_aborted=check_aborted):
+        r0 = bi * _BLOCK
+        c0 = bj * _BLOCK
+        r1 = min(r0 + _BLOCK, n)
+        c1 = min(c0 + _BLOCK, n)
+        s = sims[:r1 - r0, :c1 - c0]
+        if bi == bj:
+            # only i ≤ j cells are the reference's computed values
+            # (SelfSimilarityImpl.scala:136); mirror the upper triangle —
+            # in cross mode the i > j half of the block differs
+            s = np.triu(s) + np.triu(s, 1).T
+            out[r0:r1, c0:c1] = s
+        else:
+            out[r0:r1, c0:c1] = s
+            out[c0:c1, r0:r1] = s.T
+        done += 1
         progress(done / len(pairs))
     return out
 
@@ -330,30 +465,36 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
     Returns the image extent ``n``.
     """
-    n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
-        x1, x2, half_win, decim)
-    if n == 0:
-        write_png(path, np.zeros((0, 0, 3), np.uint8))
-        return 0
     tw = jnp.float32(temp_weight)
     pix = _device_pix(colors, color_warp, color_ceil, color_inv)
     dtype = np.float32 if pix is None else (
         np.uint8 if pix[2] else np.uint16)
-
-    gsize = _group_size(mesh)
+    if mesh is None:
+        n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim)
+        dispatch = lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix)
+        gsize = _PAIRS_PER_CALL
+    else:
+        n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
+            x1, x2, half_win, decim)
+        dispatch = lambda ps: _dispatch_group(blocks1, blocks2, ps, tw,
+                                              pix, mesh=mesh)
+        gsize = _group_size(mesh)
+    if n == 0:
+        write_png(path, np.zeros((0, 0, 3), np.uint8))
+        return 0
 
     def dispatch_stripe(bj):
-        """Launch every group of column-stripe ``bj`` asynchronously.
-        Row-blocks go in groups of ``gsize`` (``_PAIR_GROUP`` per mesh
-        device); for bi > bj the cell is the mirrored upper-triangle
-        value → compute (bj, bi), transpose."""
+        """Launch every chunk of column-stripe ``bj`` asynchronously.
+        Row-blocks go in chunks of ``gsize`` (one jitted call each on the
+        fast engine; ``_PAIR_GROUP`` per mesh device on the group engine);
+        for bi > bj the cell is the mirrored upper-triangle value →
+        compute (bj, bi), transpose."""
         out = []
         for g0 in range(0, num_blocks, gsize):
             group = list(range(g0, min(g0 + gsize, num_blocks)))
             padded = group + [group[-1]] * (gsize - len(group))
             lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
-            out.append((group, _dispatch_group(blocks1, blocks2, lo_hi,
-                                               tw, pix, mesh=mesh)))
+            out.append((group, dispatch(lo_hi)))
         return out
 
     def collect_stripe(bj, dispatched):

@@ -1,0 +1,107 @@
+"""Fast (resident-stacks, in-jit gather) gram engine ≡ per-group engine.
+
+The single-device default switched to the fast engine in round 4 (the
+per-group engine issues ~10 eager dispatches per 8-pair group — measured
+as the dominant cost of giant renders through the relay,
+tools/gram_dispatch_probe.py).  Both engines must produce bit-identical
+values: the mesh path still runs the group engine, and
+dryrun_multichip/test_sharded_gram_novelty assert exact equality across
+them.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from strugatzki_tpu.analysis import self_similarity as SS
+from strugatzki_tpu.kernels import corr as K
+
+
+def _group_engine_matrix(x1, x2, half_win, decim, tw_f, pix=None):
+    """The per-group engine run single-device (what _pixel_matrix did
+    before round 4's fast engine), via the same write-back loop."""
+    n, num_blocks, blocks1, blocks2 = SS._prep_window_blocks(
+        x1, x2, half_win, decim)
+    tw = jnp.float32(tw_f)
+    dtype = np.float32 if pix is None else (
+        np.uint8 if pix[2] else np.uint16)
+    pairs = [(bi, bj) for bi in range(num_blocks)
+             for bj in range(bi, num_blocks)]
+    dispatch = lambda ps: SS._dispatch_group(blocks1, blocks2, ps, tw, pix)
+    out = np.empty((n, n), dtype)
+    for (bi, bj), sims in SS._iter_pair_sims(pairs, dispatch,
+                                             SS._PAIR_GROUP):
+        r0, c0 = bi * SS._BLOCK, bj * SS._BLOCK
+        r1, c1 = min(r0 + SS._BLOCK, n), min(c0 + SS._BLOCK, n)
+        s = sims[:r1 - r0, :c1 - c0]
+        if bi == bj:
+            s = np.triu(s) + np.triu(s, 1).T
+            out[r0:r1, c0:c1] = s
+        else:
+            out[r0:r1, c0:c1] = s
+            out[c0:c1, r0:r1] = s.T
+    return out
+
+
+def _x(seed, c, t):
+    rng = np.random.default_rng(seed)
+    x = np.abs(0.5 + 0.15 * rng.standard_normal((c, t))).astype(np.float32)
+    return K.shift_per_group(x)[0]
+
+
+@pytest.mark.parametrize("t,decim", [(700, 1), (1700, 2)])
+def test_fast_matrix_bitwise_equals_group_engine(t, decim):
+    # t=1700/decim=2: extent 831 → 2 blocks (pair padding to 32 exercised);
+    # t=700: extent 681 → 2 blocks with a ragged tail block
+    x = _x(1, 5, t)
+    h = 10
+    fast = SS.self_similarity_matrix(x, x, h, decim, 0.5)
+    ref = _group_engine_matrix(x, x, h, decim, 0.5)
+    assert fast.dtype == np.float32
+    assert np.array_equal(fast, ref, equal_nan=True)
+
+
+def test_fast_matrix_cross_mode_and_pix():
+    x1 = _x(2, 6, 900)
+    x2 = _x(3, 6, 1100)
+    h = 12
+    fast = SS.self_similarity_matrix(x1, x2, h, 1, 0.3)
+    ref = _group_engine_matrix(x1, x2, h, 1, 0.3)
+    assert np.array_equal(fast, ref, equal_nan=True)
+
+    pix = SS._device_pix("psycho", 1.0, 1.0, False)
+    assert pix is not None
+    fast_p = SS._pixel_matrix(x1, x2, h, 1, 0.3, pix=pix)
+    ref_p = _group_engine_matrix(x1, x2, h, 1, 0.3, pix=pix)
+    assert fast_p.dtype == np.uint16
+    assert np.array_equal(fast_p, ref_p)
+
+
+def test_prep_resident_block_padding():
+    # 3 blocks → NSp pads to 4; padded starts repeat the last window start
+    x = _x(4, 4, 1400)   # extent 1381 → 3 blocks
+    n, nb, res1, res2 = SS._prep_resident(x, x, 10, 1)
+    assert (n, nb) == (1381, 3)
+    win_all, stats_all = res1
+    assert win_all.shape[0] == 4 * SS._BLOCK
+    assert stats_all.shape == (4, 4 * SS._BLOCK)
+    assert res2 is res1  # self mode shares the stacks
+    # the padded tail must hold the last real window, not garbage
+    assert np.array_equal(np.asarray(win_all[n - 1]),
+                          np.asarray(win_all[-1]))
+
+
+def test_iter_pair_sims_lookahead_order():
+    # the pipelined iterator must preserve pair order and drop padding
+    calls = []
+
+    def dispatch(padded):
+        calls.append(list(padded))
+        return np.array([[p[0] * 10 + p[1]] for p in padded], np.float32)
+
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]   # 6 pairs
+    got = list(SS._iter_pair_sims(pairs, dispatch, 4))
+    assert [p for p, _ in got] == pairs
+    assert [float(s[0]) for _, s in got] == [p[0] * 10 + p[1] for p in pairs]
+    assert all(len(c) == 4 for c in calls)          # padded chunks
+    assert calls[1][-1] == calls[1][-2] == (2, 2)   # tail repeats last pair
