@@ -113,27 +113,30 @@ def _pix_s3(t, gray: bool = False):
 
 def _apply_pix_stages(sims_dev, pix):
     """Quantize device sims (async — three chained dispatches)."""
-    inv_ceil, ncm1, gray, inv = pix
-    k = np.float32(255) if gray else ncm1
+    inv_ceil, k, gray, inv = pix
     v = _pix_s1(sims_dev, inv_ceil)
     return _pix_s3(_pix_s2(v, k, gray=gray, inv=inv), gray=gray)
 
 
 def _device_pix(colors: str, color_warp: float, color_ceil: float,
                 color_inv: bool):
-    """``(inv_ceil, ncm1, gray, inv)`` for the fused device colorization,
-    or None when the bit-exact fast path does not apply: ``colorWarp != 1``
-    (pow on device is not ulp-identical to host pow) or a custom palette
-    too large for uint16 indices.  Callers fall back to fetching float32
-    sims and colorizing on host."""
+    """``(inv_ceil, k, gray, inv)`` for the fused device colorization —
+    ``k`` the device-resident quantization factor (255 for gray,
+    ``NUM_COLORS − 1`` for palette indices; built once per render so the
+    per-chunk dispatches reuse one committed buffer instead of paying a
+    ~40 ms relay upload each, CLAUDE.md) — or None when the bit-exact
+    fast path does not apply: ``colorWarp != 1`` (pow on device is not
+    ulp-identical to host pow) or a custom palette too large for uint16
+    indices.  Callers fall back to fetching float32 sims and colorizing
+    on host."""
     if float(color_warp) != 1.0:
         return None
     gray = colors == ColorScheme.GRAY_SCALE
     from ..util import palette as P
     if not gray and P.NUM_COLORS > 0xFFFF:
         return None
-    ncm1 = 0 if gray else P.NUM_COLORS - 1
-    return (jnp.float32(1.0 / color_ceil), jnp.float32(ncm1), gray,
+    k = 255 if gray else P.NUM_COLORS - 1
+    return (jnp.float32(1.0 / color_ceil), jnp.float32(k), gray,
             bool(color_inv))
 
 
@@ -164,21 +167,31 @@ def _group_size(mesh) -> int:
 _PAIRS_PER_CALL = 32
 
 
+def _extent(x1: np.ndarray, x2: np.ndarray, half_win: int,
+            decim: int) -> int:
+    """Image extent ``n`` (decimated window-pair count) — the one formula
+    both engines' preps share (SelfSimilarityImpl.scala:75-91)."""
+    af_len = min(x1.shape[1], x2.shape[1])
+    num_corrs = max(0, af_len - half_win * 2 + 1)
+    return num_corrs // decim
+
+
 def _prep_resident(x1: np.ndarray, x2: np.ndarray, half_win: int,
-                   decim: int):
+                   decim: int, num_temporal: int = 1):
     """Fast-engine prep: image extent, block count, and per-input
-    ``(win_all [NSp, C, h], stats_all [4, NSp])`` resident stacks.
+    ``(win_all [NSp, C, h], stats_all [4, NSp], num_temporal)`` resident
+    stacks (``num_temporal`` rides with the stacks so the pair-call
+    program can never blend with a different split than the stats were
+    computed with).
 
     ``NSp`` pads the block count to a power of two (padded starts repeat
     the last window start — valid data, never indexed by a real pair) so
     the pair-call program keeps a handful of jit keys across extents; the
     input length never enters the jit key at all (windows are
-    materialized).  Memory: ``NSp·_BLOCK·C·h`` floats — 315 MB at the
-    reference's 46340 ceiling, far under HBM."""
-    af_len = min(x1.shape[1], x2.shape[1])
-    win_len = half_win * 2
-    num_corrs = max(0, af_len - win_len + 1)
-    n = num_corrs // decim
+    materialized).  Memory: ``NSp·_BLOCK·C·h`` floats per input — 315 MB
+    at the reference's 46340 ceiling (doubled in cross mode, where the
+    two inputs hold separate stacks), well under this chip's HBM."""
+    n = _extent(x1, x2, half_win, decim)
     if n == 0:
         return 0, 0, None, None
     num_blocks = (n + _BLOCK - 1) // _BLOCK
@@ -191,8 +204,9 @@ def _prep_resident(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
     def stacks_of(xj):
         win_all = K.extract_windows(jnp.asarray(xj), starts_d, half_win)
-        stats_all = jnp.stack(K.window_stats(win_all))
-        return win_all, stats_all
+        stats_all = jnp.stack(K.window_stats(win_all,
+                                             num_temporal=num_temporal))
+        return win_all, stats_all, num_temporal
 
     res1 = stacks_of(x1)
     res2 = res1 if x2 is x1 else stacks_of(x2)
@@ -232,9 +246,10 @@ def _dispatch_pairs_fast(res1, res2, pairs, tw, pix=None):
     """One gram call (+ staged colorize) for ``_PAIRS_PER_CALL`` (bi, bj)
     pairs (async)."""
     idx = jnp.asarray(np.asarray(pairs, np.int32).T)
-    win1, stats1 = res1
-    win2, stats2 = res2
-    sims = _gram_pairs_fast(win1, stats1, win2, stats2, idx, tw)
+    win1, stats1, nt = res1
+    win2, stats2, _ = res2
+    sims = _gram_pairs_fast(win1, stats1, win2, stats2, idx, tw,
+                            num_temporal=nt)
     return sims if pix is None else _apply_pix_stages(sims, pix)
 
 
@@ -252,8 +267,11 @@ def _iter_pair_sims(pairs, dispatch_chunk, chunk_size,
     pending: "deque" = deque()
     ci = 0
     while pending or ci < len(chunks):
+        # checked every iteration — including the drain of the final
+        # lookahead chunks, where a relay stall can hold a fetch for
+        # minutes and an abort must still be honored
+        check_aborted()
         while ci < len(chunks) and len(pending) < lookahead:
-            check_aborted()
             c, padded = chunks[ci]
             ci += 1
             pending.append((c, dispatch_chunk(padded)))
@@ -299,14 +317,11 @@ def _pix_to_rgb(pix_vals: np.ndarray, gray: bool) -> np.ndarray:
 
 def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
                         decim: int):
-    """Shared prep for the matrix and streaming paths: image extent ``n``,
-    block count, and per-block device windows + stats for both inputs
-    (starts padded so every block is full → one jit key for all pairs;
-    padded rows/cols are sliced away on write-back)."""
-    af_len = min(x1.shape[1], x2.shape[1])
-    win_len = half_win * 2
-    num_corrs = max(0, af_len - win_len + 1)
-    n = num_corrs // decim
+    """Group-engine prep (mesh path): image extent ``n``, block count, and
+    per-block device windows + stats for both inputs (starts padded so
+    every block is full → one jit key for all pairs; padded rows/cols are
+    sliced away on write-back)."""
+    n = _extent(x1, x2, half_win, decim)
     if n == 0:
         return 0, 0, [], []
     num_blocks = (n + _BLOCK - 1) // _BLOCK
@@ -326,6 +341,24 @@ def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
     return n, num_blocks, blocks1, blocks2
 
 
+def _make_engine(x1, x2, half_win: int, decim: int, tw, pix, mesh):
+    """Select + prep the gram engine: ``(n, num_blocks, dispatch, chunk)``
+    where ``dispatch(padded_pairs)`` asynchronously computes one chunk of
+    (bi, bj) block pairs.  Single device → fast engine (resident stacks,
+    in-jit gather); mesh → per-group engine sharded over ``files``."""
+    if mesh is None:
+        n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim)
+        return (n, num_blocks,
+                lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix),
+                _PAIRS_PER_CALL)
+    n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
+        x1, x2, half_win, decim)
+    return (n, num_blocks,
+            lambda ps: _dispatch_group(blocks1, blocks2, ps, tw, pix,
+                                       mesh=mesh),
+            _group_size(mesh))
+
+
 def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
                   decim: int, temp_weight: float,
                   check_aborted=lambda: None,
@@ -335,16 +368,8 @@ def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
     dtype = np.float32 if pix is None else (
         np.uint8 if pix[2] else np.uint16)
     tw = jnp.float32(temp_weight)
-    if mesh is None:
-        n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim)
-        dispatch = lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix)
-        chunk = _PAIRS_PER_CALL
-    else:
-        n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
-            x1, x2, half_win, decim)
-        dispatch = lambda ps: _dispatch_group(blocks1, blocks2, ps, tw,
-                                              pix, mesh=mesh)
-        chunk = _group_size(mesh)
+    n, num_blocks, dispatch, chunk = _make_engine(
+        x1, x2, half_win, decim, tw, pix, mesh)
     if n == 0:
         return np.zeros((0, 0), dtype)
 
@@ -469,16 +494,8 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
     pix = _device_pix(colors, color_warp, color_ceil, color_inv)
     dtype = np.float32 if pix is None else (
         np.uint8 if pix[2] else np.uint16)
-    if mesh is None:
-        n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim)
-        dispatch = lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix)
-        gsize = _PAIRS_PER_CALL
-    else:
-        n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
-            x1, x2, half_win, decim)
-        dispatch = lambda ps: _dispatch_group(blocks1, blocks2, ps, tw,
-                                              pix, mesh=mesh)
-        gsize = _group_size(mesh)
+    n, num_blocks, dispatch, gsize = _make_engine(
+        x1, x2, half_win, decim, tw, pix, mesh)
     if n == 0:
         write_png(path, np.zeros((0, 0, 3), np.uint8))
         return 0

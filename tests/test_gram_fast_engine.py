@@ -82,13 +82,38 @@ def test_prep_resident_block_padding():
     x = _x(4, 4, 1400)   # extent 1381 → 3 blocks
     n, nb, res1, res2 = SS._prep_resident(x, x, 10, 1)
     assert (n, nb) == (1381, 3)
-    win_all, stats_all = res1
+    win_all, stats_all, nt = res1
     assert win_all.shape[0] == 4 * SS._BLOCK
     assert stats_all.shape == (4, 4 * SS._BLOCK)
+    assert nt == 1
     assert res2 is res1  # self mode shares the stacks
     # the padded tail must hold the last real window, not garbage
     assert np.array_equal(np.asarray(win_all[n - 1]),
                           np.asarray(win_all[-1]))
+
+
+def test_prep_resident_threads_num_temporal():
+    """The nt the stats were computed with rides inside the res tuple, so
+    the pair-call program can never blend with a different split (the
+    review-pass trap: exposing num_temporal only on the call side lets
+    stats and blend silently disagree)."""
+    x = _x(5, 6, 800)
+    h = 10
+    n, _nb, res2t, _ = SS._prep_resident(x, x, h, 1, num_temporal=2)
+    assert res2t[2] == 2
+    tw = jnp.float32(0.5)
+    pairs = [(0, 0)] * SS._PAIRS_PER_CALL
+    out2 = np.asarray(SS._dispatch_pairs_fast(res2t, res2t, pairs, tw))
+    _, _, res1t, _ = SS._prep_resident(x, x, h, 1)
+    out1 = np.asarray(SS._dispatch_pairs_fast(res1t, res1t, pairs, tw))
+    assert not np.array_equal(out2, out1)   # the split must matter
+    # oracle: the shared block kernel with nt=2 stats on block 0
+    starts = np.minimum(np.arange(SS._BLOCK, dtype=np.int64), n - 1)
+    win = K.extract_windows(jnp.asarray(x), jnp.asarray(starts), h)
+    st = K.window_stats(win, num_temporal=2)
+    want = np.asarray(K.gram_similarity_block(win, win, st, st, tw,
+                                              num_temporal=2))
+    np.testing.assert_array_equal(out2[0], want)
 
 
 def test_iter_pair_sims_lookahead_order():
