@@ -31,12 +31,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _await_backend(total_s: float = 900.0):
+    """Bounded, retrying backend init.  The relay-attached backend can be
+    hard-down (observed 2026-08-17: ``jax.devices()`` hangs for 15+ min,
+    then UNAVAILABLE) — a bench run at round end must fail fast and loud
+    rather than stall the driver.  Returns the device list or exits 1
+    with a clear diagnostic (no JSON line: an outage is not a number)."""
+    import threading
+
+    import jax
+
+    deadline = time.monotonic() + total_s
+    attempt = 0
+    while True:
+        attempt += 1
+        box = {}
+
+        def probe():
+            try:
+                box["devs"] = jax.devices()
+            except Exception as e:  # noqa: BLE001 — report any init failure
+                box["err"] = e
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout=min(120.0, max(5.0, deadline - time.monotonic())))
+        if box.get("devs"):
+            return box["devs"]
+        why = box.get("err", "device enumeration hung")
+        print(f"bench: backend init attempt {attempt} failed: {why}",
+              file=sys.stderr)
+        if time.monotonic() >= deadline:
+            print(f"bench: backend unavailable after {total_s:.0f}s — "
+                  "aborting without a JSON record (infra outage, not a "
+                  "perf number)", file=sys.stderr)
+            sys.exit(1)
+        time.sleep(30.0)
+
+
 def main() -> None:
     from strugatzki_tpu.dsp import frontend as FE
 
     import jax
     import jax.numpy as jnp
-    print(f"bench devices: {jax.devices()}", file=sys.stderr)
+    print(f"bench devices: {_await_backend()}", file=sys.stderr)
     dev = jax.devices()[0]
 
     sr = 44100.0
