@@ -116,6 +116,31 @@ def test_prep_resident_threads_num_temporal():
     np.testing.assert_array_equal(out2[0], want)
 
 
+def test_iter_pair_sims_abort_honored_between_fetches():
+    # aborts must be honored on every outer iteration, including during
+    # the drain of already-dispatched lookahead chunks
+    class Aborted(RuntimeError):
+        pass
+
+    state = {"abort": False}
+
+    def check():
+        if state["abort"]:
+            raise Aborted()
+
+    def dispatch(padded):
+        return np.zeros((len(padded), 1), np.float32)
+
+    pairs = [(i, i) for i in range(8)]
+    it = SS._iter_pair_sims(pairs, dispatch, 2, check_aborted=check)
+    assert next(it)[0] == (0, 0)
+    assert next(it)[0] == (1, 1)     # finishes chunk 0
+    state["abort"] = True
+    with pytest.raises(Aborted):
+        next(it)                     # chunk 1 was already dispatched
+                                     # (lookahead) — abort still honored
+
+
 def test_iter_pair_sims_lookahead_order():
     # the pipelined iterator must preserve pair order and drop padding
     calls = []
