@@ -135,6 +135,23 @@ def main() -> None:
     print("gram block (64×64 cells) vs f64 mirror:")
     check("gram sims TPU vs mirror", float(np.abs(g - ref_g).max()), 1e-5)
 
+    # 3b. fast-engine pair program (round 4: resident stacks + in-jit
+    # gather) on chip: must match the direct block kernel bit-for-bit and
+    # the mirror within budget
+    from strugatzki_tpu.analysis import self_similarity as SS
+    n_fast, _nb, res1, res2 = SS._prep_resident(xs, xs, 30, 1)
+    pairs = [(0, 0)] * SS._PAIRS_PER_CALL
+    fast = np.asarray(SS._dispatch_pairs_fast(res1, res2, pairs,
+                                              jnp.float32(0.5)))[0]
+    print("fast-engine pair call (block 0 × block 0) on chip:")
+    check("fast engine vs mirror",
+          float(np.abs(fast[:64, :64] - ref_g).max()), 1e-5)
+    bit_equal = np.array_equal(fast[:64, :64], g, equal_nan=True)
+    print(f"  {'fast engine == direct block kernel':44s} "
+          f"{'PASS (bit-equal)' if bit_equal else 'FAIL'}")
+    if not bit_equal:
+        failures.append("fast engine bitwise vs block kernel")
+
     if failures:
         print(f"\nFAIL: {failures}")
         sys.exit(1)
