@@ -23,6 +23,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _force_group_engine() -> None:
+    """--group-engine: run the round-3 per-group engine single-device (the
+    mesh path's engine) for an honest A/B against the round-4 fast engine
+    — ~10 eager stacks + 1 jit call per 8-pair group vs one jitted call
+    per 32 pairs."""
+    import strugatzki_tpu.analysis.self_similarity as SS
+
+    def group_engine(x1, x2, half_win, decim, tw, pix, mesh):
+        n, nb, b1, b2 = SS._prep_window_blocks(x1, x2, half_win, decim)
+        return (n, nb,
+                lambda ps: SS._dispatch_group(b1, b2, ps, tw, pix),
+                SS._PAIR_GROUP)
+
+    SS._make_engine = group_engine
+    print("engine: per-group (round-3 A/B baseline)", file=sys.stderr)
+
+
 def giant() -> None:
     """--giant [extent]: stream a giant image (default extent 20001;
     ``--giant 46340`` is the reference's hard ceiling, 2.1B cells, where
@@ -127,4 +144,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--group-engine" in sys.argv:
+        _force_group_engine()
     giant() if "--giant" in sys.argv else main()
