@@ -639,14 +639,19 @@ class SelfSimilarity(ProcessorFactory):
 
             if img_ext > _STREAM_EXTENT:
                 # giant image: stream column stripes straight into the PNG
-                # compressor — never materializes [n, n] or the RGB raster
+                # compressor — never materializes [n, n] or the RGB raster.
+                # deflate level 1: at these sizes (6.4 GB of raw scanlines
+                # at the 46340 ceiling) level 6 costs minutes of extra
+                # single-threaded deflate for a modestly smaller file;
+                # pixels are identical either way
                 with proc.sub(0.98):
                     self_similarity_to_png(
                         x1, x2, half_win, decim, cfg.temporal_weight,
                         cfg.image_output, cfg.colors, cfg.color_warp,
                         cfg.color_ceil, cfg.color_inv,
                         check_aborted=proc.check_aborted,
-                        progress=proc.set_progress, mesh=cls.mesh)
+                        progress=proc.set_progress, png_level=1,
+                        mesh=cls.mesh)
             else:
                 with proc.sub(0.95):
                     rgb = self_similarity_image(
