@@ -2,8 +2,14 @@
 transcription of FeatureCorrelationImpl.scala's selection logic (dense
 indexing, float64 math), in both no-punch-out and punch-out modes."""
 
+import os
+
 import numpy as np
 import pytest
+
+#: scale the fuzz sweeps without editing the file: STRUG_FUZZ_SEEDS=200
+#: runs a soak (the default keeps the committed CI cost)
+_FUZZ = int(os.environ.get("STRUG_FUZZ_SEEDS", "0"))
 
 from strugatzki_tpu.analysis.correlation import correlate_database
 from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig, Match,
@@ -324,7 +330,7 @@ def test_max_boost_gating():
     assert all(m.file != "db0.aif" for m in ours)
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(_FUZZ or 20))
 def test_fuzz_parity_with_transcription(seed):
     """Randomized configs and databases: the framework must agree with the
     reference transcription match-for-match across edge combinations
@@ -397,7 +403,8 @@ def test_punch_out_tiny_file_zero_tail():
     _assert_same(ours, ref)
 
 
-@pytest.mark.parametrize("seed", [31, 32, 33])
+@pytest.mark.parametrize("seed",
+                         range(31, 31 + (_FUZZ or 3)))
 def test_fuzz_varying_file_lengths_with_punch_out(seed):
     """Mixed file lengths through the chunked batch path (bucketed padding,
     per-file valid-prefix slicing, the scan < punchInLen zero-tail edge)

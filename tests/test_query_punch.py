@@ -372,8 +372,10 @@ def test_query_punch_batch_validates_band():
 def test_query_punch_batch_fuzz_seeds():
     """Fuzz parity for the batched punch path: random databases, random
     pair shapes/bands (bucketed arbitrarily), random storage mode — every
-    pair must equal its sequential query_punch."""
-    for seed in range(8):
+    pair must equal its sequential query_punch (STRUG_FUZZ_SEEDS=N runs a
+    longer soak)."""
+    import os
+    for seed in range(int(os.environ.get("STRUG_FUZZ_SEEDS", "0")) or 8):
         rng = np.random.default_rng(100 + seed)
         n_files = int(rng.integers(3, 7))
         files = []
