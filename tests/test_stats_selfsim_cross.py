@@ -425,3 +425,38 @@ def test_selfsim_processor_mesh_bitexact_png(tmp_path):
         SelfSimilarity.mesh = None
     assert (tmp_path / "a.png").read_bytes() == \
         (tmp_path / "b.png").read_bytes()
+
+
+def test_selfsim_factory_streaming_branch(tmp_path, monkeypatch):
+    """Above _STREAM_EXTENT the factory streams stripes straight to the
+    PNG (round-4 wiring: progress sub-scope, deflate level 1, engine via
+    _make_engine) — pixels must equal the matrix branch's exactly."""
+    import strugatzki_tpu.analysis.self_similarity as SS
+    from strugatzki_tpu.config import SelfSimilarityConfig
+
+    rng = np.random.default_rng(11)
+    a = np.abs(0.5 + 0.1 * rng.standard_normal((14, 160))).astype(np.float32)
+    fa, ma = tmp_path / "a_feat.aif", tmp_path / "a_feat.xml"
+    _write_feat(fa, a)
+    _write_meta(ma, tmp_path / "a.aif", fa)
+    cfg = dict(meta_input=str(ma), corr_len=15 * 512, decimation=1,
+               normalize=False, colors="psycho")
+
+    SelfSimilarity.run(SelfSimilarityConfig(
+        image_output=str(tmp_path / "mat.png"), **cfg)).result(timeout=300)
+
+    progress = []
+    monkeypatch.setattr(SS, "_STREAM_EXTENT", 50)   # extent 131 > 50
+    proc = SelfSimilarity.run(
+        SelfSimilarityConfig(image_output=str(tmp_path / "str.png"), **cfg),
+        observer=lambda ev: progress.append(ev))
+    proc.result(timeout=300)
+
+    import zlib
+    def pixels(p):
+        raw = p.read_bytes()
+        return zlib.decompress(
+            raw[raw.index(b"IDAT") + 4:raw.rindex(b"IEND") - 4])
+
+    assert pixels(tmp_path / "str.png") == pixels(tmp_path / "mat.png")
+    assert progress   # observer saw streaming progress events
