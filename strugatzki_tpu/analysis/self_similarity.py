@@ -159,10 +159,13 @@ def _group_size(mesh) -> int:
 # block is stacked ONCE into two resident arrays and each dispatch fetches
 # _PAIRS_PER_CALL pairs through a single jitted call that gathers its
 # operand blocks in-program (one tiny [2, P] index upload per call).
-# Values are bit-identical to the per-group engine — the per-pair math is
-# the same jitted kernels on the same operands (tests pin exact equality).
-# The mesh path keeps the per-group engine (operands are device_put per
-# shard there); it is CPU-mesh-only in this environment.
+# The per-pair math is the same jitted kernels on the same operands, but
+# the two engines are DIFFERENT compiled programs: XLA chooses FMA
+# contractions per program, so cross-engine sims agree within the plan-
+# invariance budget (≤2e-5; ≤2e-7 over a 60-config soak), bitwise at most
+# shapes (tests pin the budget).  The mesh path keeps the per-group
+# engine (operands are device_put per shard there); it is CPU-mesh-only
+# in this environment.
 
 _PAIRS_PER_CALL = 32
 
@@ -286,9 +289,9 @@ def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
     returns the device array.  With ``pix`` the result is the colorized
     uint8/uint16 raster; else float32 sims.  With ``mesh`` the stacked
     pair axis is sharded over the ``files`` axis and the SAME jitted
-    kernels run SPMD (per-pair math is element-independent under the
-    vmap, so pixels stay bit-identical to the single-device path — tests
-    pin exact equality)."""
+    kernels run SPMD; vs the single-device fast engine, results agree
+    within the plan-invariance budget (different compiled programs —
+    see the fast-engine note above; tests pin the budget)."""
     wi_s = jnp.stack([blocks1[a][0] for a, _ in pairs])
     wj_s = jnp.stack([blocks2[b][0] for _, b in pairs])
     sti = tuple(jnp.stack([blocks1[a][1][t] for a, _ in pairs])
@@ -405,7 +408,7 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
     """Similarity matrix ``[n, n]`` over decimated window starts of two
     prepared (normalized, *jointly* shifted) feature matrices.  With a
     ``mesh`` the stacked pair groups shard over the ``files`` axis
-    (bit-identical results — see :func:`_dispatch_group`)."""
+    (plan-budget results — see :func:`_dispatch_group`)."""
     return _pixel_matrix(x1, x2, half_win, decim, temp_weight,
                          check_aborted=check_aborted, progress=progress,
                          mesh=mesh)
@@ -558,8 +561,9 @@ class SelfSimilarity(ProcessorFactory):
     """``SelfSimilarity.run(config, observer) -> Processor[None]`` (writes PNG).
 
     The classvar ``mesh`` (like the reference-shaped ``verbose``) shards
-    the gram pair groups over a ``files`` mesh axis — bit-identical
-    pixels, one stripe's row-blocks split across chips (the config stays
+    the gram pair groups over a ``files`` mesh axis — one stripe's
+    row-blocks split across chips; sims within the plan-invariance
+    budget of the single-device engine (the config stays
     XML-serializable; hardware topology is process state, not config).
     """
 

@@ -1,12 +1,15 @@
-"""Fast (resident-stacks, in-jit gather) gram engine ≡ per-group engine.
+"""Fast (resident-stacks, in-jit gather) gram engine vs per-group engine.
 
 The single-device default switched to the fast engine in round 4 (the
 per-group engine issues ~10 eager dispatches per 8-pair group — measured
 as the dominant cost of giant renders through the relay,
-tools/gram_dispatch_probe.py).  Both engines must produce bit-identical
-values: the mesh path still runs the group engine, and
-dryrun_multichip/test_sharded_gram_novelty assert exact equality across
-them.
+tools/gram_dispatch_probe.py).  The mesh path still runs the group
+engine.  The two are different compiled programs, so XLA's independent
+FMA-contraction choices can scatter results by a few ulp at some shapes
+(a 60-config soak measured ≤2e-7; docs/ROUND4_NOTES.md) — cross-engine
+equality is therefore pinned to the plan-invariance budget (≤2e-5),
+while bitwise claims stay within one program (device colorize vs host
+quantization of the same sims).
 """
 
 import numpy as np
@@ -50,7 +53,7 @@ def _x(seed, c, t):
 
 
 @pytest.mark.parametrize("t,decim", [(700, 1), (1700, 2)])
-def test_fast_matrix_bitwise_equals_group_engine(t, decim):
+def test_fast_matrix_matches_group_engine_plan_budget(t, decim):
     # t=1700/decim=2: extent 831 → 2 blocks (pair padding to 32 exercised);
     # t=700: extent 681 → 2 blocks with a ragged tail block
     x = _x(1, 5, t)
@@ -58,7 +61,7 @@ def test_fast_matrix_bitwise_equals_group_engine(t, decim):
     fast = SS.self_similarity_matrix(x, x, h, decim, 0.5)
     ref = _group_engine_matrix(x, x, h, decim, 0.5)
     assert fast.dtype == np.float32
-    assert np.array_equal(fast, ref, equal_nan=True)
+    np.testing.assert_allclose(fast, ref, atol=2e-5, equal_nan=True)
 
 
 def test_fast_matrix_cross_mode_and_pix():
@@ -67,14 +70,17 @@ def test_fast_matrix_cross_mode_and_pix():
     h = 12
     fast = SS.self_similarity_matrix(x1, x2, h, 1, 0.3)
     ref = _group_engine_matrix(x1, x2, h, 1, 0.3)
-    assert np.array_equal(fast, ref, equal_nan=True)
+    np.testing.assert_allclose(fast, ref, atol=2e-5, equal_nan=True)
 
+    # within the fast engine the device colorize must be bit-equal to the
+    # host quantization of the SAME sims (one gram program feeds both)
     pix = SS._device_pix("psycho", 1.0, 1.0, False)
     assert pix is not None
     fast_p = SS._pixel_matrix(x1, x2, h, 1, 0.3, pix=pix)
-    ref_p = _group_engine_matrix(x1, x2, h, 1, 0.3, pix=pix)
     assert fast_p.dtype == np.uint16
-    assert np.array_equal(fast_p, ref_p)
+    from strugatzki_tpu.util.palette import apply_palette
+    np.testing.assert_array_equal(SS._pix_to_rgb(fast_p, False),
+                                  apply_palette(np.maximum(fast, 0.0)))
 
 
 def test_prep_resident_block_padding():

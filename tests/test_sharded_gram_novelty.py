@@ -1,8 +1,16 @@
 """Mesh-sharded self-similarity gram + batched/sharded segmentation
 novelty: the last two reference compute paths to gain a multi-chip story
-(VERDICT r3 item 3).  Sharding the stacked pair/files axis must not change
-a single pixel/curve value vs the single-device path — per-element math is
-identical under the vmap, so equality is pinned EXACTLY."""
+(VERDICT r3 item 3).
+
+The mesh path runs the per-group engine; the single-device default is the
+round-4 fast engine.  The two are DIFFERENT compiled programs, and XLA
+contracts their mul→add/sub chains into FMAs independently, so cross-
+engine sims agree within the plan-invariance budget (≤2e-5; ≤2e-7
+observed) but not bitwise — a 60-config soak found 1–32-ulp scatter at
+some shapes (docs/ROUND4_NOTES.md).  Bitwise claims below are reserved
+for same-program comparisons: the device colorization vs the host
+quantization of the SAME sharded sims, and the streaming PNG vs the
+matrix path on the SAME engine."""
 
 import numpy as np
 
@@ -24,7 +32,7 @@ def _prepared(seed, C=14, T=900):
     return xs
 
 
-def test_sharded_gram_matrix_bitexact():
+def test_sharded_gram_matrix_plan_budget():
     xs = _prepared(0)
     mesh = make_files_mesh()
     m1 = self_similarity_matrix(xs, xs, half_win=40, decim=1,
@@ -32,39 +40,50 @@ def test_sharded_gram_matrix_bitexact():
     m2 = self_similarity_matrix(xs, xs, half_win=40, decim=1,
                                 temp_weight=0.5, mesh=mesh)
     assert m1.shape == m2.shape and m1.shape[0] > 512  # multi-block
-    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(m1, m2, atol=2e-5)
 
 
-def test_sharded_gram_image_pixels_bitexact():
-    """Fused device colorization (uint16 palette indices) sharded over the
-    mesh must produce the identical RGB image."""
+def test_sharded_gram_image_device_colorize_bitexact():
+    """Under a mesh, the device colorization must still be bit-equal to
+    the host quantization of the SAME sharded f32 sims (same gram
+    program feeds both paths), for palette and gray schemes."""
+    from strugatzki_tpu.analysis.self_similarity import render_image
     xs = _prepared(1)
     mesh = make_files_mesh()
-    img1 = self_similarity_image(xs, xs, half_win=30, decim=1,
-                                 temp_weight=0.5, color_ceil=0.9)
+    m = self_similarity_matrix(xs, xs, half_win=30, decim=1,
+                               temp_weight=0.5, mesh=mesh)
     img2 = self_similarity_image(xs, xs, half_win=30, decim=1,
                                  temp_weight=0.5, color_ceil=0.9, mesh=mesh)
-    np.testing.assert_array_equal(img1, img2)
-    g1 = self_similarity_image(xs, xs, half_win=30, decim=1,
-                               temp_weight=0.5,
-                               colors=ColorScheme.GRAY_SCALE)
+    np.testing.assert_array_equal(
+        img2, render_image(m, "psycho", 1.0, 0.9, False))
     g2 = self_similarity_image(xs, xs, half_win=30, decim=1,
                                temp_weight=0.5,
                                colors=ColorScheme.GRAY_SCALE, mesh=mesh)
-    np.testing.assert_array_equal(g1, g2)
+    np.testing.assert_array_equal(
+        g2, render_image(m, ColorScheme.GRAY_SCALE, 1.0, 1.0, False))
 
 
-def test_sharded_streaming_png_bytes_identical(tmp_path):
-    """The stripe-streaming PNG path with a mesh writes byte-identical
-    output (same pixels, same compression stream)."""
+def test_sharded_streaming_png_matches_mesh_matrix(tmp_path):
+    """The stripe-streaming PNG under a mesh is byte-identical to
+    write_png of the mesh matrix path (same engine, same programs);
+    against the single-device fast engine it holds to the plan budget."""
+    import zlib
+
+    from strugatzki_tpu.analysis.self_similarity import (render_image,
+                                                         self_similarity_image)
+    from strugatzki_tpu.util.png import write_png
     xs = _prepared(2, T=760)
     mesh = make_files_mesh()
-    p1 = tmp_path / "single.png"
+    p1 = tmp_path / "mesh_matrix.png"
     p2 = tmp_path / "sharded.png"
-    n1 = self_similarity_to_png(xs, xs, 30, 1, 0.5, p1)
+    img = self_similarity_image(xs, xs, 30, 1, 0.5, mesh=mesh)
+    write_png(p1, img)
     n2 = self_similarity_to_png(xs, xs, 30, 1, 0.5, p2, mesh=mesh)
-    assert n1 == n2 > 512
+    assert n2 == img.shape[0] > 512
     assert p1.read_bytes() == p2.read_bytes()
+    m1 = self_similarity_matrix(xs, xs, 30, 1, 0.5)
+    m2 = self_similarity_matrix(xs, xs, 30, 1, 0.5, mesh=mesh)
+    np.testing.assert_allclose(m1, m2, atol=2e-5)
 
 
 def test_batched_novelty_sharded():
