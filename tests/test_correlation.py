@@ -11,6 +11,19 @@ import pytest
 #: runs a soak (the default keeps the committed CI cost)
 _FUZZ = int(os.environ.get("STRUG_FUZZ_SEEDS", "0"))
 
+
+def _soak_hygiene(seed: int) -> None:
+    """Under a soak, periodically drop compiled executables: every fresh
+    shape key leaves ~hundreds of JIT code mappings in the process, and
+    vm.max_map_count (65530 here) kills churn-heavy processes with an
+    XLA SEGFAULT after ~90 random-shape iterations (measured ~700
+    maps/iteration in the punch fuzz; jax.clear_caches() flattens it).
+    Default runs skip this — clearing would force the rest of the suite
+    to recompile."""
+    if _FUZZ and seed % 16 == 15:
+        import jax
+        jax.clear_caches()
+
 from strugatzki_tpu.analysis.correlation import correlate_database
 from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig, Match,
                                    Punch)
@@ -336,6 +349,7 @@ def test_fuzz_parity_with_transcription(seed):
     reference transcription match-for-match across edge combinations
     (short files, punch-out, normalization, spacing, per-file caps,
     boost gating, degenerate weights)."""
+    _soak_hygiene(seed)
     rng = np.random.default_rng(1000 + seed)
     C = 14
     num_files = int(rng.integers(1, 6))
@@ -409,6 +423,7 @@ def test_fuzz_varying_file_lengths_with_punch_out(seed):
     """Mixed file lengths through the chunked batch path (bucketed padding,
     per-file valid-prefix slicing, the scan < punchInLen zero-tail edge)
     must stay match-for-match with the sequential transcription."""
+    _soak_hygiene(seed)
     rng = np.random.default_rng(seed)
     files = []
     # lengths straddle every regime: shorter than the punch-in template,

@@ -88,9 +88,12 @@ def test_cross_engine_budget_random_configs():
     plan budget everywhere (STRUG_FUZZ_SEEDS=N soaks more configs; a
     120-config soak measured worst |Δ| = 1.2e-7)."""
     import os
+
+    from tests.test_correlation import _soak_hygiene
     trials = int(os.environ.get("STRUG_FUZZ_SEEDS", "0")) or 6
     worst = 0.0
     for trial in range(trials):
+        _soak_hygiene(trial)
         rng = np.random.default_rng(20000 + trial)
         C = int(rng.integers(2, 16))
         T = int(rng.integers(80, 2600))
