@@ -67,10 +67,23 @@ def test_streamed_png_cross_mode_and_gray(tmp_path):
 
 
 _GIANT = r"""
-import resource, struct, sys
+import resource, struct, sys, time
 import numpy as np
+
+def rss():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+def vmhwm():
+    for ln in open("/proc/self/status"):
+        if ln.startswith("VmHWM:"):
+            return int(ln.split()[1]) // 1024
+    return -1
+
+t00 = time.monotonic()
 sys.path.insert(0, {repo!r})
 from strugatzki_tpu.analysis.self_similarity import self_similarity_to_png
+print(f"phase import: rss={{rss()}}MB vmhwm={{vmhwm()}}MB "
+      f"t={{time.monotonic()-t00:.0f}}s", file=sys.stderr)
 
 n = 20001
 half_win = 4
@@ -78,16 +91,25 @@ rng = np.random.default_rng(0)
 x = np.abs(0.5 + 0.1 * rng.standard_normal((2, n + 2 * half_win - 1))) \
     .astype(np.float32)
 out = {out!r}
+print(f"phase data: rss={{rss()}}MB t={{time.monotonic()-t00:.0f}}s",
+      file=sys.stderr)
 got = self_similarity_to_png(x, x, half_win, 1, 0.5, out, colors="gray",
                              png_level=1)
+print(f"phase render: rss={{rss()}}MB vmhwm={{vmhwm()}}MB "
+      f"t={{time.monotonic()-t00:.0f}}s", file=sys.stderr)
 assert got == n, got
 raw = open(out, "rb").read()
 assert raw[:8] == b"\x89PNG\r\n\x1a\n"
 w, h = struct.unpack(">II", raw[16:24])
 assert (w, h) == (n, n), (w, h)
 assert raw[-8:-4] == b"IEND"
-rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-print(f"extent={{n}} rss={{rss_mb:.0f}}MB file={{len(raw)/1e6:.1f}}MB")
+# VmHWM, not ru_maxrss: subprocess forks from the pytest parent, whose
+# COW footprint (>2 GB late in a suite run — in-process jit executables
+# accumulate) is recorded in the child's ru_maxrss before exec; exec
+# installs a fresh mm, so VmHWM reflects only this process's own peak
+rss_mb = vmhwm()
+print(f"extent={{n}} rss={{rss_mb:.0f}}MB file={{len(raw)/1e6:.1f}}MB "
+      f"(ru_maxrss={{rss()}}MB incl. the parent fork footprint)")
 assert rss_mb < 2048, f"peak rss {{rss_mb:.0f}} MB >= 2 GB"
 """
 

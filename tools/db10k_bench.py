@@ -139,8 +139,11 @@ tmpl = InputTemplate(np.asarray(db._raw[{probe}][:, 100:100 + {punch}]).copy())
 t0 = time.perf_counter(); res = db.query(tmpl)
 print(f"loaded-db query (incl. compile): {{time.perf_counter()-t0:.1f}}s "
       f"hit {{res.frames[{probe},0]}} sim={{res.sims[{probe},0]:.4f}}", flush=True)
-rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
-print(f"loader subprocess peak RSS {{rss:.2f}} GiB "
+# VmHWM: ru_maxrss would carry the fork footprint of the multi-GiB
+# bench parent (the subprocess COW-shares its address space pre-exec)
+hwm_kb = next(int(ln.split()[1]) for ln in open("/proc/self/status")
+              if ln.startswith("VmHWM:"))
+print(f"loader subprocess peak RSS {{hwm_kb / 2**20:.2f}} GiB "
       f"(streamed load: no decompressed raw stack was ever resident)",
       flush=True)
 assert res.frames[{probe}, 0] == 100, res.frames[{probe}, 0]
