@@ -140,16 +140,7 @@ def _device_pix(colors: str, color_warp: float, color_ceil: float,
             bool(color_inv))
 
 
-def _group_size(mesh) -> int:
-    """Pairs per dispatch: ``_PAIR_GROUP`` per device.  Each (row-block ×
-    col-block) pair is independent, so the stacked group axis shards
-    cleanly over a ``files`` mesh axis — the gram stripes are the
-    framework's most compute-heavy path (a 46340-extent render is 17.7 min
-    on one chip) and scale embarrassingly."""
-    return _PAIR_GROUP * (mesh.devices.size if mesh is not None else 1)
-
-
-# --- single-device fast engine ---------------------------------------------
+# --- fast engine (single-device and mesh) -----------------------------------
 # The per-group engine above issues ~10 eager stack ops + 1 jit call per
 # 8-pair group; through the relay-attached chip every dispatch pays a
 # command round-trip (~30-40 ms, CLAUDE.md), which tools/gram_dispatch_probe
@@ -163,9 +154,18 @@ def _group_size(mesh) -> int:
 # the two engines are DIFFERENT compiled programs: XLA chooses FMA
 # contractions per program, so cross-engine sims agree within the plan-
 # invariance budget (≤2e-5; ≤2e-7 over a 60-config soak), bitwise at most
-# shapes (tests pin the budget).  The mesh path keeps the per-group
-# engine (operands are device_put per shard there); it is CPU-mesh-only
-# in this environment.
+# shapes (tests pin the budget).
+#
+# Under a ``mesh`` the SAME engine runs SPMD: the window/stat stacks are
+# replicated over the devices (315 MB at the 46340 ceiling — trivial vs
+# HBM, and replication means the per-pair block gather needs no
+# collectives at all), the tiny per-call ``[2, P]`` index upload is
+# sharded over the pairs axis, and the jitted program's output sharding
+# pins one pair slice per device — each chip computes its own
+# ``_PAIRS_PER_CALL`` pairs of the chunk.  The pre-round-4 per-group
+# engine (eager host stacks + per-dispatch device_put — a relay round
+# trip per op) is kept below only as the dispatch-cost A/B baseline for
+# tools/ and the cross-engine parity tests.
 
 _PAIRS_PER_CALL = 32
 
@@ -180,7 +180,7 @@ def _extent(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
 
 def _prep_resident(x1: np.ndarray, x2: np.ndarray, half_win: int,
-                   decim: int, num_temporal: int = 1):
+                   decim: int, num_temporal: int = 1, mesh=None):
     """Fast-engine prep: image extent, block count, and per-input
     ``(win_all [NSp, C, h], stats_all [4, NSp], num_temporal)`` resident
     stacks (``num_temporal`` rides with the stacks so the pair-call
@@ -209,6 +209,13 @@ def _prep_resident(x1: np.ndarray, x2: np.ndarray, half_win: int,
         win_all = K.extract_windows(jnp.asarray(xj), starts_d, half_win)
         stats_all = jnp.stack(K.window_stats(win_all,
                                              num_temporal=num_temporal))
+        if mesh is not None:
+            # replicate the stacks over the mesh so every device gathers
+            # its pair blocks locally (no collectives in the gram program)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            win_all = jax.device_put(win_all, rep)
+            stats_all = jax.device_put(stats_all, rep)
         return win_all, stats_all, num_temporal
 
     res1 = stacks_of(x1)
@@ -244,15 +251,37 @@ def _gram_pairs_core(win1, stats1, win2, stats2, idx, tw,
 _gram_pairs_fast = partial(jax.jit, static_argnames=("num_temporal",))(
     _gram_pairs_core)
 
+#: per-mesh jitted gram program (out_shardings pins one pair slice per
+#: device); keyed on the Mesh so repeated renders reuse the executable
+_gram_pairs_mesh_cache: dict = {}
 
-def _dispatch_pairs_fast(res1, res2, pairs, tw, pix=None):
-    """One gram call (+ staged colorize) for ``_PAIRS_PER_CALL`` (bi, bj)
-    pairs (async)."""
+
+def _gram_pairs_for_mesh(mesh):
+    """SPMD variant of :func:`_gram_pairs_fast`: sims ``[P, B, B]`` sharded
+    over the pairs axis — each device computes the pairs its ``idx`` shard
+    names, gathering blocks from its replicated stacks."""
+    fn = _gram_pairs_mesh_cache.get(mesh)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        fn = jax.jit(_gram_pairs_core, static_argnames=("num_temporal",),
+                     out_shardings=NamedSharding(mesh, P("files")))
+        _gram_pairs_mesh_cache[mesh] = fn
+    return fn
+
+
+def _dispatch_pairs_fast(res1, res2, pairs, tw, pix=None, mesh=None):
+    """One gram call (+ staged colorize) for one chunk of (bi, bj) pairs
+    (async): ``_PAIRS_PER_CALL`` pairs per device."""
     idx = jnp.asarray(np.asarray(pairs, np.int32).T)
+    if mesh is None:
+        gram = _gram_pairs_fast
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        idx = jax.device_put(idx, NamedSharding(mesh, P(None, "files")))
+        gram = _gram_pairs_for_mesh(mesh)
     win1, stats1, nt = res1
     win2, stats2, _ = res2
-    sims = _gram_pairs_fast(win1, stats1, win2, stats2, idx, tw,
-                            num_temporal=nt)
+    sims = gram(win1, stats1, win2, stats2, idx, tw, num_temporal=nt)
     return sims if pix is None else _apply_pix_stages(sims, pix)
 
 
@@ -284,27 +313,21 @@ def _iter_pair_sims(pairs, dispatch_chunk, chunk_size,
             yield p, s
 
 
-def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None, mesh=None):
-    """Stack a group of (block-i, block-j) pairs and dispatch (async) —
-    returns the device array.  With ``pix`` the result is the colorized
-    uint8/uint16 raster; else float32 sims.  With ``mesh`` the stacked
-    pair axis is sharded over the ``files`` axis and the SAME jitted
-    kernels run SPMD; vs the single-device fast engine, results agree
-    within the plan-invariance budget (different compiled programs —
-    see the fast-engine note above; tests pin the budget)."""
+def _dispatch_group(blocks1, blocks2, pairs, tw, pix=None):
+    """Pre-round-4 per-group engine: stack a group of (block-i, block-j)
+    pairs eagerly and dispatch (async) — returns the device array.  With
+    ``pix`` the result is the colorized uint8/uint16 raster; else float32
+    sims.  Not used by any shipped path anymore (both the single-device
+    and the mesh engines run the resident fast formulation); kept as the
+    dispatch-cost A/B baseline (tools/gram_dispatch_probe.py,
+    tools/selfsim_bench.py --group-engine) and the cross-engine parity
+    oracle (tests/test_gram_fast_engine.py)."""
     wi_s = jnp.stack([blocks1[a][0] for a, _ in pairs])
     wj_s = jnp.stack([blocks2[b][0] for _, b in pairs])
     sti = tuple(jnp.stack([blocks1[a][1][t] for a, _ in pairs])
                 for t in range(4))
     stj = tuple(jnp.stack([blocks2[b][1][t] for _, b in pairs])
                 for t in range(4))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        shard = NamedSharding(mesh, P("files"))
-        wi_s = jax.device_put(wi_s, shard)
-        wj_s = jax.device_put(wj_s, shard)
-        sti = tuple(jax.device_put(s, shard) for s in sti)
-        stj = tuple(jax.device_put(s, shard) for s in stj)
     sims = _gram_pair_group(wi_s, wj_s, sti, stj, tw)
     return sims if pix is None else _apply_pix_stages(sims, pix)
 
@@ -320,10 +343,10 @@ def _pix_to_rgb(pix_vals: np.ndarray, gray: bool) -> np.ndarray:
 
 def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
                         decim: int):
-    """Group-engine prep (mesh path): image extent ``n``, block count, and
-    per-block device windows + stats for both inputs (starts padded so
-    every block is full → one jit key for all pairs; padded rows/cols are
-    sliced away on write-back)."""
+    """Group-engine prep (A/B baseline only — see :func:`_dispatch_group`):
+    image extent ``n``, block count, and per-block device windows + stats
+    for both inputs (starts padded so every block is full → one jit key
+    for all pairs; padded rows/cols are sliced away on write-back)."""
     n = _extent(x1, x2, half_win, decim)
     if n == 0:
         return 0, 0, [], []
@@ -345,21 +368,18 @@ def _prep_window_blocks(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
 
 def _make_engine(x1, x2, half_win: int, decim: int, tw, pix, mesh):
-    """Select + prep the gram engine: ``(n, num_blocks, dispatch, chunk)``
+    """Prep the gram fast engine: ``(n, num_blocks, dispatch, chunk)``
     where ``dispatch(padded_pairs)`` asynchronously computes one chunk of
-    (bi, bj) block pairs.  Single device → fast engine (resident stacks,
-    in-jit gather); mesh → per-group engine sharded over ``files``."""
-    if mesh is None:
-        n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim)
-        return (n, num_blocks,
-                lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix),
-                _PAIRS_PER_CALL)
-    n, num_blocks, blocks1, blocks2 = _prep_window_blocks(
-        x1, x2, half_win, decim)
+    (bi, bj) block pairs — resident stacks + in-jit gather, with a
+    ``mesh`` sharding ``_PAIRS_PER_CALL`` pairs per device (replicated
+    stacks, sharded index — see the fast-engine note above)."""
+    n, num_blocks, res1, res2 = _prep_resident(x1, x2, half_win, decim,
+                                               mesh=mesh)
+    chunk = _PAIRS_PER_CALL * (mesh.devices.size if mesh is not None else 1)
     return (n, num_blocks,
-            lambda ps: _dispatch_group(blocks1, blocks2, ps, tw, pix,
-                                       mesh=mesh),
-            _group_size(mesh))
+            lambda ps: _dispatch_pairs_fast(res1, res2, ps, tw, pix,
+                                            mesh=mesh),
+            chunk)
 
 
 def _pixel_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
@@ -407,8 +427,9 @@ def self_similarity_matrix(x1: np.ndarray, x2: np.ndarray, half_win: int,
                            progress=lambda f: None, mesh=None) -> np.ndarray:
     """Similarity matrix ``[n, n]`` over decimated window starts of two
     prepared (normalized, *jointly* shifted) feature matrices.  With a
-    ``mesh`` the stacked pair groups shard over the ``files`` axis
-    (plan-budget results — see :func:`_dispatch_group`)."""
+    ``mesh`` the pair chunks shard over the ``files`` axis (same fast
+    engine run SPMD; a different compiled program than single-device, so
+    plan-budget results — see the fast-engine note)."""
     return _pixel_matrix(x1, x2, half_win, decim, temp_weight,
                          check_aborted=check_aborted, progress=progress,
                          mesh=mesh)
@@ -561,10 +582,11 @@ class SelfSimilarity(ProcessorFactory):
     """``SelfSimilarity.run(config, observer) -> Processor[None]`` (writes PNG).
 
     The classvar ``mesh`` (like the reference-shaped ``verbose``) shards
-    the gram pair groups over a ``files`` mesh axis — one stripe's
-    row-blocks split across chips; sims within the plan-invariance
-    budget of the single-device engine (the config stays
-    XML-serializable; hardware topology is process state, not config).
+    the gram pair chunks over a ``files`` mesh axis — one stripe's
+    row-blocks split across chips, each gathering from its replicated
+    window stacks; sims within the plan-invariance budget of the
+    single-device engine (the config stays XML-serializable; hardware
+    topology is process state, not config).
     """
 
     name = "self similarity"
