@@ -3,8 +3,10 @@
 The single-device default switched to the fast engine in round 4 (the
 per-group engine issues ~10 eager dispatches per 8-pair group — measured
 as the dominant cost of giant renders through the relay,
-tools/gram_dispatch_probe.py).  The mesh path still runs the group
-engine.  The two are different compiled programs, so XLA's independent
+tools/gram_dispatch_probe.py); later in the round the mesh path was
+unified onto the same engine run SPMD, leaving the group engine as the
+A/B baseline exercised here.  The two are different compiled programs,
+so XLA's independent
 FMA-contraction choices can scatter results by a few ulp at some shapes
 (a 60-config soak measured ≤2e-7; docs/ROUND4_NOTES.md) — cross-engine
 equality is therefore pinned to the plan-invariance budget (≤2e-5),

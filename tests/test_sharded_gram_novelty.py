@@ -2,15 +2,16 @@
 novelty: the last two reference compute paths to gain a multi-chip story
 (VERDICT r3 item 3).
 
-The mesh path runs the per-group engine; the single-device default is the
-round-4 fast engine.  The two are DIFFERENT compiled programs, and XLA
-contracts their mul→add/sub chains into FMAs independently, so cross-
-engine sims agree within the plan-invariance budget (≤2e-5; ≤2e-7
-observed) but not bitwise — a 60-config soak found 1–32-ulp scatter at
-some shapes (docs/ROUND4_NOTES.md).  Bitwise claims below are reserved
-for same-program comparisons: the device colorization vs the host
-quantization of the SAME sharded sims, and the streaming PNG vs the
-matrix path on the SAME engine."""
+Both the single-device default and the mesh path run the round-4 fast
+engine (the mesh variant SPMD: replicated window stacks, pair index
+sharded over ``files``).  Single-device and mesh are still DIFFERENT
+compiled programs, and XLA contracts their mul→add/sub chains into FMAs
+independently, so cross-program sims agree within the plan-invariance
+budget (≤2e-5; ≤2e-7 observed) but not bitwise — a 60-config soak found
+1–32-ulp scatter at some shapes (docs/ROUND4_NOTES.md).  Bitwise claims
+below are reserved for same-program comparisons: the device colorization
+vs the host quantization of the SAME sharded sims, and the streaming PNG
+vs the matrix path on the SAME engine."""
 
 import numpy as np
 
@@ -41,6 +42,33 @@ def test_sharded_gram_matrix_plan_budget():
                                 temp_weight=0.5, mesh=mesh)
     assert m1.shape == m2.shape and m1.shape[0] > 512  # multi-block
     np.testing.assert_allclose(m1, m2, atol=2e-5)
+
+
+def test_sharded_gram_output_genuinely_sharded():
+    """The mesh gram program must place one pair slice per device
+    (out sharded over the pairs axis) — a silent fallback to replicated
+    compute would pass the value tests while scaling at 1×."""
+    import jax.numpy as jnp
+
+    import strugatzki_tpu.analysis.self_similarity as SS
+    xs = _prepared(6)
+    mesh = make_files_mesh()
+    ndev = mesh.devices.size
+    assert ndev == 8           # conftest forces 8 virtual devices
+    tw = jnp.float32(0.5)
+    n, nb, res1, res2 = SS._prep_resident(xs, xs, 40, 1, mesh=mesh)
+    assert n > 512 and nb >= 2
+    # the resident stacks are replicated: every device holds the full copy
+    win_all = res1[0]
+    assert len(win_all.sharding.device_set) == ndev
+    assert win_all.sharding.shard_shape(win_all.shape) == win_all.shape
+    pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+    chunk = SS._PAIRS_PER_CALL * ndev
+    padded = (pairs + [pairs[-1]] * chunk)[:chunk]
+    dev = SS._dispatch_pairs_fast(res1, res2, padded, tw, mesh=mesh)
+    shards = dev.addressable_shards
+    assert len(shards) == ndev
+    assert shards[0].data.shape == (SS._PAIRS_PER_CALL, SS._BLOCK, SS._BLOCK)
 
 
 def test_sharded_gram_image_device_colorize_bitexact():
