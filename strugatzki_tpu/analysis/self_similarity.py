@@ -42,6 +42,11 @@ _PAIR_GROUP = 8
 #: Above this extent the [n, n] float32 matrix would pass ~0.5 GB — switch
 #: to the stripe-streaming PNG path (identical pixels, bounded memory).
 _STREAM_EXTENT = 11000
+#: Above this extent the factory's streaming path defaults to deflate
+#: level 1 (raw scanlines pass ~1.2 GB; level 6 costs minutes of extra
+#: single-threaded deflate at the 46340 ceiling for a modestly smaller
+#: file).  Override per process via ``SelfSimilarity.png_level``.
+_FAST_DEFLATE_EXTENT = 20000
 
 
 def _gram_group_core(wi_s, wj_s, stats_i, stats_j, temp_weight,
@@ -251,22 +256,25 @@ def _gram_pairs_core(win1, stats1, win2, stats2, idx, tw,
 _gram_pairs_fast = partial(jax.jit, static_argnames=("num_temporal",))(
     _gram_pairs_core)
 
-#: per-mesh jitted gram program (out_shardings pins one pair slice per
-#: device); keyed on the Mesh so repeated renders reuse the executable
-_gram_pairs_mesh_cache: dict = {}
+#: last (mesh, jitted gram program) pair — out_shardings pins one pair
+#: slice per device.  A single-entry cache: repeated renders on the one
+#: process-wide mesh reuse the executable, while a process that cycles
+#: through many distinct meshes doesn't pin every mesh's device handles
+#: and compiled programs for its lifetime
+_gram_pairs_mesh_cache: list = [None, None]
 
 
 def _gram_pairs_for_mesh(mesh):
     """SPMD variant of :func:`_gram_pairs_fast`: sims ``[P, B, B]`` sharded
     over the pairs axis — each device computes the pairs its ``idx`` shard
     names, gathering blocks from its replicated stacks."""
-    fn = _gram_pairs_mesh_cache.get(mesh)
-    if fn is None:
+    if _gram_pairs_mesh_cache[0] is not mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        fn = jax.jit(_gram_pairs_core, static_argnames=("num_temporal",),
-                     out_shardings=NamedSharding(mesh, P("files")))
-        _gram_pairs_mesh_cache[mesh] = fn
-    return fn
+        _gram_pairs_mesh_cache[0] = mesh
+        _gram_pairs_mesh_cache[1] = jax.jit(
+            _gram_pairs_core, static_argnames=("num_temporal",),
+            out_shardings=NamedSharding(mesh, P("files")))
+    return _gram_pairs_mesh_cache[1]
 
 
 def _dispatch_pairs_fast(res1, res2, pairs, tw, pix=None, mesh=None):
@@ -526,10 +534,9 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
     def dispatch_stripe(bj):
         """Launch every chunk of column-stripe ``bj`` asynchronously.
-        Row-blocks go in chunks of ``gsize`` (one jitted call each on the
-        fast engine; ``_PAIR_GROUP`` per mesh device on the group engine);
-        for bi > bj the cell is the mirrored upper-triangle value →
-        compute (bj, bi), transpose."""
+        Row-blocks go in chunks of ``gsize`` = ``_PAIRS_PER_CALL`` per
+        device (one jitted call each); for bi > bj the cell is the
+        mirrored upper-triangle value → compute (bj, bi), transpose."""
         out = []
         for g0 in range(0, num_blocks, gsize):
             group = list(range(g0, min(g0 + gsize, num_blocks)))
@@ -592,6 +599,11 @@ class SelfSimilarity(ProcessorFactory):
     name = "self similarity"
     Config = SelfSimilarityConfig
     mesh = None
+    #: deflate level for the streaming (giant-extent) path: None = auto
+    #: (6, dropping to 1 above ``_FAST_DEFLATE_EXTENT``); set an int to
+    #: force a level.  Like ``mesh``/``verbose``: process state, not
+    #: config — the XML schema stays reference-compatible.
+    png_level = None
 
     @classmethod
     def _make_body(cls, config: SelfSimilarityConfig):
@@ -666,17 +678,21 @@ class SelfSimilarity(ProcessorFactory):
             if img_ext > _STREAM_EXTENT:
                 # giant image: stream column stripes straight into the PNG
                 # compressor — never materializes [n, n] or the RGB raster.
-                # deflate level 1: at these sizes (6.4 GB of raw scanlines
-                # at the 46340 ceiling) level 6 costs minutes of extra
-                # single-threaded deflate for a modestly smaller file;
-                # pixels are identical either way
+                # deflate level: the classvar wins if set; the auto default
+                # drops to level 1 only at truly giant extents (6.4 GB of
+                # raw scanlines at the 46340 ceiling, where level 6 costs
+                # minutes of extra single-threaded deflate for a modestly
+                # smaller file) and keeps the standard level 6 for merely
+                # stream-sized images; pixels are identical either way
+                level = cls.png_level if cls.png_level is not None else (
+                    1 if img_ext > _FAST_DEFLATE_EXTENT else 6)
                 with proc.sub(0.98):
                     self_similarity_to_png(
                         x1, x2, half_win, decim, cfg.temporal_weight,
                         cfg.image_output, cfg.colors, cfg.color_warp,
                         cfg.color_ceil, cfg.color_inv,
                         check_aborted=proc.check_aborted,
-                        progress=proc.set_progress, png_level=1,
+                        progress=proc.set_progress, png_level=level,
                         mesh=cls.mesh)
             else:
                 with proc.sub(0.95):

@@ -21,3 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+#: scale the committed fuzz sweeps without editing files: STRUG_FUZZ_SEEDS=200
+#: runs a soak (the default keeps the committed CI cost)
+FUZZ_SEEDS = int(os.environ.get("STRUG_FUZZ_SEEDS", "0"))
+
+
+def soak_hygiene(seed: int) -> None:
+    """Under a soak, periodically drop compiled executables: every fresh
+    shape key leaves ~hundreds of JIT code mappings in the process, and
+    vm.max_map_count (65530 here) kills churn-heavy processes with an
+    XLA SEGFAULT after ~90 random-shape iterations (measured ~700
+    maps/iteration in the punch fuzz; jax.clear_caches() flattens it).
+    Default runs skip this — clearing would force the rest of the suite
+    to recompile.  Lives in conftest so every consumer imports the ONE
+    module instance pytest already loaded (``from tests.test_x import``
+    re-executes the file under a second module name — tests/ has no
+    __init__.py)."""
+    if FUZZ_SEEDS and seed % 16 == 15:
+        jax.clear_caches()

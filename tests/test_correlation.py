@@ -2,27 +2,10 @@
 transcription of FeatureCorrelationImpl.scala's selection logic (dense
 indexing, float64 math), in both no-punch-out and punch-out modes."""
 
-import os
-
 import numpy as np
 import pytest
 
-#: scale the fuzz sweeps without editing the file: STRUG_FUZZ_SEEDS=200
-#: runs a soak (the default keeps the committed CI cost)
-_FUZZ = int(os.environ.get("STRUG_FUZZ_SEEDS", "0"))
-
-
-def _soak_hygiene(seed: int) -> None:
-    """Under a soak, periodically drop compiled executables: every fresh
-    shape key leaves ~hundreds of JIT code mappings in the process, and
-    vm.max_map_count (65530 here) kills churn-heavy processes with an
-    XLA SEGFAULT after ~90 random-shape iterations (measured ~700
-    maps/iteration in the punch fuzz; jax.clear_caches() flattens it).
-    Default runs skip this — clearing would force the rest of the suite
-    to recompile."""
-    if _FUZZ and seed % 16 == 15:
-        import jax
-        jax.clear_caches()
+from conftest import FUZZ_SEEDS as _FUZZ, soak_hygiene as _soak_hygiene
 
 from strugatzki_tpu.analysis.correlation import correlate_database
 from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig, Match,

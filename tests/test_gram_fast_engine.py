@@ -89,13 +89,11 @@ def test_cross_engine_budget_random_configs():
     """Randomized shapes/weights/modes: the engines must agree within the
     plan budget everywhere (STRUG_FUZZ_SEEDS=N soaks more configs; a
     120-config soak measured worst |Δ| = 1.2e-7)."""
-    import os
-
-    from tests.test_correlation import _soak_hygiene
-    trials = int(os.environ.get("STRUG_FUZZ_SEEDS", "0")) or 6
+    from conftest import FUZZ_SEEDS, soak_hygiene
+    trials = FUZZ_SEEDS or 6
     worst = 0.0
     for trial in range(trials):
-        _soak_hygiene(trial)
+        soak_hygiene(trial)
         rng = np.random.default_rng(20000 + trial)
         C = int(rng.integers(2, 16))
         T = int(rng.integers(80, 2600))
@@ -107,6 +105,10 @@ def test_cross_engine_budget_random_configs():
             continue
         fast = SS._pixel_matrix(x, x, h, decim, tw)
         ref = _group_engine_matrix(x, x, h, decim, tw)
+        # NaNs must agree cell-for-cell (a NaN-vs-finite divergence is the
+        # failure class this guards — nanmax alone would silently drop it)
+        assert np.array_equal(np.isnan(fast), np.isnan(ref)), \
+            (trial, C, T, h, decim, tw, "NaN mask mismatch")
         d = float(np.nanmax(np.abs(fast - ref))) if fast.size else 0.0
         worst = max(worst, d)
         assert d <= 2e-5, (trial, C, T, h, decim, tw, d)

@@ -374,10 +374,9 @@ def test_query_punch_batch_fuzz_seeds():
     pair shapes/bands (bucketed arbitrarily), random storage mode — every
     pair must equal its sequential query_punch (STRUG_FUZZ_SEEDS=N runs a
     longer soak)."""
-    import os
-    from tests.test_correlation import _soak_hygiene
-    for seed in range(int(os.environ.get("STRUG_FUZZ_SEEDS", "0")) or 8):
-        _soak_hygiene(seed)
+    from conftest import FUZZ_SEEDS, soak_hygiene
+    for seed in range(FUZZ_SEEDS or 8):
+        soak_hygiene(seed)
         rng = np.random.default_rng(100 + seed)
         n_files = int(rng.integers(3, 7))
         files = []

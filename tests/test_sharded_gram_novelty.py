@@ -95,10 +95,7 @@ def test_sharded_streaming_png_matches_mesh_matrix(tmp_path):
     """The stripe-streaming PNG under a mesh is byte-identical to
     write_png of the mesh matrix path (same engine, same programs);
     against the single-device fast engine it holds to the plan budget."""
-    import zlib
-
-    from strugatzki_tpu.analysis.self_similarity import (render_image,
-                                                         self_similarity_image)
+    from strugatzki_tpu.analysis.self_similarity import self_similarity_image
     from strugatzki_tpu.util.png import write_png
     xs = _prepared(2, T=760)
     mesh = make_files_mesh()

@@ -429,8 +429,9 @@ def test_selfsim_processor_mesh_bitexact_png(tmp_path):
 
 def test_selfsim_factory_streaming_branch(tmp_path, monkeypatch):
     """Above _STREAM_EXTENT the factory streams stripes straight to the
-    PNG (round-4 wiring: progress sub-scope, deflate level 1, engine via
-    _make_engine) — pixels must equal the matrix branch's exactly."""
+    PNG (round-4 wiring: progress sub-scope, extent-scaled deflate level,
+    engine via _make_engine) — pixels must equal the matrix branch's
+    exactly."""
     import strugatzki_tpu.analysis.self_similarity as SS
     from strugatzki_tpu.config import SelfSimilarityConfig
 
@@ -460,3 +461,41 @@ def test_selfsim_factory_streaming_branch(tmp_path, monkeypatch):
 
     assert pixels(tmp_path / "str.png") == pixels(tmp_path / "mat.png")
     assert progress   # observer saw streaming progress events
+
+
+def test_selfsim_factory_png_level_policy(tmp_path, monkeypatch):
+    """The streaming branch's deflate level: auto = 6 for merely
+    stream-sized extents, 1 above _FAST_DEFLATE_EXTENT; the
+    ``SelfSimilarity.png_level`` classvar forces a level."""
+    import strugatzki_tpu.analysis.self_similarity as SS
+    from strugatzki_tpu.config import SelfSimilarityConfig
+
+    rng = np.random.default_rng(12)
+    a = np.abs(0.5 + 0.1 * rng.standard_normal((14, 160))).astype(np.float32)
+    fa, ma = tmp_path / "a_feat.aif", tmp_path / "a_feat.xml"
+    _write_feat(fa, a)
+    _write_meta(ma, tmp_path / "a.aif", fa)
+    cfg = dict(meta_input=str(ma), corr_len=15 * 512, decimation=1,
+               normalize=False, colors="psycho")
+
+    seen = []
+
+    def stub(x1, x2, half_win, decim, tw, path, *args, **kw):
+        seen.append(kw.get("png_level"))
+        from strugatzki_tpu.util.png import write_png
+        write_png(path, np.zeros((1, 1, 3), np.uint8))
+        return 1
+
+    monkeypatch.setattr(SS, "self_similarity_to_png", stub)
+    monkeypatch.setattr(SS, "_STREAM_EXTENT", 50)   # extent 131 > 50
+
+    def run():
+        SelfSimilarity.run(SelfSimilarityConfig(
+            image_output=str(tmp_path / "o.png"), **cfg)).result(timeout=300)
+
+    run()                                                   # auto, small
+    monkeypatch.setattr(SS, "_FAST_DEFLATE_EXTENT", 100)    # extent 131 >
+    run()                                                   # auto, giant
+    monkeypatch.setattr(SelfSimilarity, "png_level", 3)     # forced
+    run()
+    assert seen == [6, 1, 3]
