@@ -47,10 +47,20 @@ def _open_span(extr: ExtractionConfig, span: Span, num_frames: int):
 
 class CrossSimilarity(ProcessorFactory):
     """``CrossSimilarity.run(config, observer) -> Processor[None]``
-    (writes the similarity audio file)."""
+    (writes the similarity audio file).
+
+    The classvar ``mesh`` (like ``SelfSimilarity.mesh``) runs the sliding
+    trace sequence-parallel: the longer file's time axis splits into
+    per-chip slabs with an ``L − 1``-frame halo
+    (:func:`strugatzki_tpu.parallel.sweep.sharded_long_file_trace`) — the
+    natural scaling axis here, since a cross-similarity run is ONE very
+    long trace, not a batch.  Sims match the single-device trace within
+    the plan budget (different FFT lengths per shard; tests budget 3e-5).
+    """
 
     name = "cross similarity"
     Config = CrossSimilarityConfig
+    mesh = None
 
     @classmethod
     def _make_body(cls, config: CrossSimilarityConfig):
@@ -98,9 +108,18 @@ class CrossSimilarity(ProcessorFactory):
             # trace in one dispatch, so stage the fractions around it
             proc.set_progress(0.1)
 
-            sims, _boosts = sliding_traces(
-                xs, shift_t, shift_s, template, sig_src.shape[1],
-                cfg.temporal_weight, cfg.max_boost)
+            # sequence-parallel only when there is a real multi-window
+            # trace to split (the scan_len < L single-zero-padded-window
+            # edge keeps the exact single-device semantics)
+            if cls.mesh is not None and sig_src.shape[1] >= len1:
+                from ..parallel.sweep import sharded_long_file_trace
+                sims, _boosts = sharded_long_file_trace(
+                    xs, shift_t, template, cfg.temporal_weight,
+                    cfg.max_boost, cls.mesh)
+            else:
+                sims, _boosts = sliding_traces(
+                    xs, shift_t, shift_s, template, sig_src.shape[1],
+                    cfg.temporal_weight, cfg.max_boost)
             proc.check_aborted()
             proc.set_progress(0.9)
 

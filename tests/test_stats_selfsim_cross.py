@@ -198,6 +198,43 @@ def test_cross_similarity_detects_template(tmp_path):
     assert sims[0, 250] > 0.999
 
 
+def test_cross_similarity_mesh_sequence_parallel(tmp_path):
+    """With ``CrossSimilarity.mesh`` set the sliding trace runs
+    sequence-parallel (time-axis slabs + halo over the mesh) and must
+    match the single-device output within the sequence-parallel budget
+    (per-shard FFT lengths differ → not bitwise; 3e-5 like the
+    sharded_long_file_trace tests)."""
+    from strugatzki_tpu.parallel.sweep import make_files_mesh
+
+    rng = np.random.default_rng(6)
+    long = np.abs(0.5 + 0.12 * rng.standard_normal((14, 500))
+                  ).astype(np.float32)
+    tmpl = long[:, 310:350].copy()
+    fl, ml = tmp_path / "long_feat.aif", tmp_path / "long_feat.xml"
+    ft, mt = tmp_path / "tmpl_feat.aif", tmp_path / "tmpl_feat.xml"
+    _write_feat(fl, long)
+    _write_feat(ft, tmpl)
+    _write_meta(ml, tmp_path / "long.aif", fl)
+    _write_meta(mt, tmp_path / "tmpl.aif", ft)
+
+    def run(out):
+        cfg = CrossSimilarityConfig(meta_input1=str(mt), meta_input2=str(ml),
+                                    normalize=False)
+        cfg.set_audio_output(str(out))
+        CrossSimilarity.run(cfg).result(timeout=120)
+        return af.read(out)[0][0]
+
+    s_single = run(tmp_path / "single.aif")
+    CrossSimilarity.mesh = make_files_mesh()
+    try:
+        s_mesh = run(tmp_path / "mesh.aif")
+    finally:
+        CrossSimilarity.mesh = None
+    assert s_mesh.shape == s_single.shape == (500 - 40 + 1,)
+    np.testing.assert_allclose(s_mesh, s_single, rtol=0, atol=3e-5)
+    assert int(np.argmax(s_mesh)) == 310
+
+
 def test_selfsim_cross_mode_two_files(tmp_path):
     """input2 switches to cross-mode: matrix cell (i,j) correlates file-1's
     window i against file-2's window j over min(len1, len2) frames."""
