@@ -72,15 +72,27 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
                                template, temp_weight: float, max_boost: float,
                                mesh: Optional[Mesh] = None):
     """Dense traces for a whole padded batch, optionally sharded over
-    ``mesh`` axis ``files``.  ``template`` is an
+    ``mesh`` axis ``files`` (a batch that doesn't divide the device count
+    is zero-padded to a mesh multiple and the pad rows trimmed, like
+    :func:`batched_novelty_traces`).  ``template`` is an
     ``analysis.correlation.InputTemplate``."""
+    xs_b = np.asarray(xs_b)
+    shifts_np = np.asarray(shifts_t, dtype=np.float32)
+    b = xs_b.shape[0]
+    if mesh is not None:
+        pad_rows = -b % mesh.devices.size
+        if pad_rows:
+            xs_b = np.concatenate(
+                [xs_b, np.zeros((pad_rows,) + xs_b.shape[1:], xs_b.dtype)])
+            shifts_np = np.concatenate(
+                [shifts_np, np.zeros(pad_rows, np.float32)])
     # device_temporal/device_spectral are the per-template upload caches
     # (each fresh host→device constant costs a ~40 ms relay round-trip)
     args = (template.device_temporal(), template.device_spectral(),
             jnp.float32(template.temporal_std),
             jnp.float32(template.spectral_std),
             jnp.float32(template.ln_avg_loudness),
-            jnp.asarray(shifts_t, dtype=jnp.float32),
+            jnp.asarray(shifts_np),
             jnp.float32(temp_weight), jnp.float32(max_boost))
     if mesh is None:
         sims, boosts = _batched_traces(jnp.asarray(xs_b), *args,
@@ -88,13 +100,15 @@ def batched_correlation_traces(xs_b: np.ndarray, shifts_t: np.ndarray,
     else:
         fn = _sharded_traces_fn(mesh)
         # shard straight from host memory — an eager jnp.asarray would
-        # commit the whole stack to device 0 first
-        xs_s = jax.device_put(np.asarray(xs_b),
-                              NamedSharding(mesh, P("files")))
+        # commit the whole stack to device 0 first; shifts match the
+        # wrapper's sharded in_sharding the same way
+        xs_s = jax.device_put(xs_b, NamedSharding(mesh, P("files")))
+        args = args[:5] + (jax.device_put(
+            shifts_np, NamedSharding(mesh, P("files"))),) + args[6:]
         # positional: pjit rejects kwargs when in_shardings is specified
         # (num_temporal is static, so it is not part of the shardings tuple)
         sims, boosts = fn(xs_s, *args, template.num_temporal)
-    return np.asarray(sims), np.asarray(boosts)
+    return np.asarray(sims)[:b], np.asarray(boosts)[:b]
 
 
 _SHARDED_TRACES_CACHE: dict = {}
@@ -160,14 +174,18 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
         jax.device_put(shifts, shard),
         jnp.float32(temp_weight), jnp.float32(max_boost),
         num_temporal=template.num_temporal)
-    sims = np.asarray(sims).reshape(-1)[:n_dev * per]
-    boosts = np.asarray(boosts).reshape(-1)[:n_dev * per]
-    return sims[:W].copy(), boosts[:W].copy()
+    # per-shard W' = slab − L + 1 = per, so the flattened traces are
+    # exactly [n_dev · per]; trim the tail shard's overhang past W
+    sims = np.asarray(sims).reshape(-1)[:W].copy()
+    boosts = np.asarray(boosts).reshape(-1)[:W].copy()
+    return sims, boosts
 
 
 def sharded_extract_long(audio: np.ndarray, sample_rate: float,
                          mesh: Mesh, num_coeffs: int = 13,
-                         fft_size: int = 1024, fft_overlap: int = 2):
+                         fft_size: int = 1024, fft_overlap: int = 2,
+                         smask: Optional[float] = None,
+                         tmask: Optional[float] = None):
     """Feature extraction of ONE very long file, time axis sharded over the
     mesh — context parallelism for the DSP front-end.
 
@@ -180,12 +198,28 @@ def sharded_extract_long(audio: np.ndarray, sample_rate: float,
     fetch).  Shard 0's halo frame is the zero-padded pre-signal window, the
     same silence the sequential carry encodes.
 
-    ``audio``: mono float32 (±1) or raw int16.  Returns ``[C, F]`` features,
+    ``audio``: mono float32 (±1) or raw int16.  ``smask``/``tmask``
+    default to the front-end's mask factors.  Returns ``[C, F]`` features,
     ``F = ceil(len(audio)/step) − 1``, equal to
     ``dsp.frontend.extract_features`` within f32 plan tolerance (≤2e-5).
     """
     from ..dsp import frontend as FE
     from ..dsp.ml_tables import ERB_BANDS
+
+    # the one-halo-frame trick is an invariant of the shipped prev_frame
+    # masking form; the 'feedback' hypothesis form is recursive across all
+    # history, which no finite halo can reconstruct — fail loud rather
+    # than silently diverge from the sequential path
+    if FE.C.TMASK_FORM != "prev_frame":
+        raise NotImplementedError(
+            f"sharded_extract_long requires TMASK_FORM == 'prev_frame' "
+            f"(got {FE.C.TMASK_FORM!r}): the recursive feedback form "
+            "cannot be seeded from one halo frame — use "
+            "dsp.frontend.extract_features")
+    if smask is None:
+        smask = FE.C.SPECTRAL_MASK_DEFAULT
+    if tmask is None:
+        tmask = FE.C.TEMPORAL_MASK_DEFAULT
 
     audio = np.asarray(audio)
     if audio.dtype != np.int16:
@@ -216,13 +250,15 @@ def sharded_extract_long(audio: np.ndarray, sample_rate: float,
         slabs[d, :len(src)] = src
 
     consts = FE._device_consts(float(sample_rate), fft_size, num_coeffs,
-                               FE.C.SPECTRAL_MASK_DEFAULT,
-                               FE.C.TEMPORAL_MASK_DEFAULT)
+                               float(smask), float(tmask))
     shard = NamedSharding(mesh, P("files"))
-    carry0 = jnp.zeros((n_dev, ERB_BANDS), jnp.float32)
+    # shard straight from host memory (np arrays) — an eager jnp.asarray
+    # would commit the whole long-file stack to device 0 and pay the
+    # transfer twice (the rule batched_correlation_traces documents)
     feats, _ = FE._extract_scan_batch(
-        jax.device_put(jnp.asarray(slabs), shard),
-        jax.device_put(carry0, shard), *consts,
+        jax.device_put(slabs, shard),
+        jax.device_put(np.zeros((n_dev, ERB_BANDS), np.float32), shard),
+        *consts,
         num_blocks=nb, block=block, fft_size=fft_size, step=step)
     out = np.asarray(feats)                  # [n_dev, nb, C, block]
     out = out.transpose(0, 2, 1, 3).reshape(n_dev, C, -1)
@@ -264,6 +300,9 @@ def batched_novelty_traces(xs_b: np.ndarray, half_win: int,
     return np.asarray(_batched_novelty(xs_s, half_win, tw))[:b]
 
 
+_SWEEP_STEP_CACHE: dict = {}
+
+
 def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):
     """Build the jitted full sweep step over a mesh: batched extraction-style
     feature prep is assumed done; the step takes a sharded feature batch and
@@ -272,7 +311,16 @@ def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):
 
     The files axis is sharded; templates are replicated; ``jnp.top_k`` runs
     shard-local and results gather over ICI on fetch.
+
+    Cached per (mesh devices, num_temporal) like :func:`_sharded_traces_fn`:
+    a fresh ``jax.jit`` closure per call would recompile the large
+    correlation program on every rebuild (minutes per remote compile,
+    CLAUDE.md).
     """
+    key = (tuple(d.id for d in mesh.devices.flat), num_temporal)
+    cached = _SWEEP_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
     shard = NamedSharding(mesh, P("files"))
     repl = NamedSharding(mesh, P())
 
@@ -295,4 +343,5 @@ def sharded_sweep_step(mesh: Mesh, num_temporal: int = 1):
         vals, idx = jax.lax.top_k(sims, k)
         return vals, idx
 
+    _SWEEP_STEP_CACHE[key] = step
     return step

@@ -195,10 +195,16 @@ class Processor(Generic[T]):
         self._dispatch(Progress(self, f))
 
     def sub(self, weight: float):
-        """Context manager scaling nested progress into ``weight`` of the remainder.
-
-        Mirrors reference ``await(childProcessor, weight)`` progress weighting
-        (NonRealtimeProcessor.scala:158: NRT render = 80%, stitch = 20%).
+        """Context manager scaling nested progress into ``weight`` of the
+        WHOLE (of the enclosing scope's weight), anchored at the current
+        progress — exactly the reference's ``await(childProcessor, weight)``
+        weighting (NonRealtimeProcessor.scala:158: NRT render = 80% then
+        stitch = 20%, each a fraction of the whole, entered sequentially).
+        Weights must therefore tile the remaining progress budget: a body
+        at progress 0.5 entering ``sub(0.8)`` would report up to 1.3 —
+        like the reference, nothing clamps to 1 (its segmentation progress
+        famously runs backwards, SURVEY §5); callers pick weights that sum
+        with the progress already reported.
         """
         proc = self
 

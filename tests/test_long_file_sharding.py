@@ -66,3 +66,38 @@ def test_sharded_extract_long_matches_sequential():
     f_seq = extract_features(xi, 44100.0)
     assert f_sp.shape == f_seq.shape
     np.testing.assert_allclose(f_sp, f_seq, atol=2e-5)
+
+
+def test_sharded_extract_long_threads_masks():
+    """Non-default smask/tmask must thread through to the device consts
+    (regression: the sharded path hardcoded the defaults, silently
+    diverging from extract_features(smask=, tmask=))."""
+    from strugatzki_tpu.dsp.frontend import extract_features
+    from strugatzki_tpu.parallel.sweep import (make_files_mesh,
+                                               sharded_extract_long)
+
+    rng = np.random.default_rng(4)
+    mesh = make_files_mesh()
+    x = (0.3 * rng.standard_normal(44100 * 2)).astype(np.float32)
+    f_sp = sharded_extract_long(x, 44100.0, mesh, smask=0.5, tmask=0.7)
+    f_seq = extract_features(x, 44100.0, smask=0.5, tmask=0.7)
+    assert f_sp.shape == f_seq.shape
+    np.testing.assert_allclose(f_sp, f_seq, atol=2e-5)
+    f_def = extract_features(x, 44100.0)
+    assert not np.allclose(f_sp, f_def, atol=2e-5)   # the masks must matter
+
+
+def test_sharded_extract_long_rejects_feedback_form(monkeypatch):
+    """The one-halo-frame carry trick is only valid for the shipped
+    prev_frame masking form; the recursive feedback hypothesis form must
+    fail loud instead of silently diverging after each shard boundary."""
+    import pytest
+
+    import strugatzki_tpu.dsp.frontend as FE
+    from strugatzki_tpu.parallel.sweep import (make_files_mesh,
+                                               sharded_extract_long)
+
+    monkeypatch.setattr(FE.C, "TMASK_FORM", "feedback")
+    with pytest.raises(NotImplementedError, match="prev_frame"):
+        sharded_extract_long(np.zeros(44100, np.float32), 44100.0,
+                             make_files_mesh())

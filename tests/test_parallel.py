@@ -42,6 +42,31 @@ def test_sharded_traces_match_unsharded(db):
     np.testing.assert_allclose(b0, b1, rtol=1e-6)
 
 
+def test_sharded_traces_uneven_batch(db):
+    """A batch that doesn't divide the device count must pad-and-trim
+    like batched_novelty_traces, not crash in device_put (regression:
+    B=6 over 8 devices raised 'should be divisible by 8')."""
+    files, tmpl, xs_b, shifts, lens = db
+    s0, b0 = batched_correlation_traces(xs_b[:6], shifts[:6], tmpl,
+                                        0.5, 8.0, mesh=None)
+    s1, b1 = batched_correlation_traces(xs_b[:6], shifts[:6], tmpl,
+                                        0.5, 8.0, mesh=make_files_mesh())
+    assert s1.shape == s0.shape and s1.shape[0] == 6
+    np.testing.assert_allclose(s0, s1, atol=2e-5)
+    np.testing.assert_allclose(b0, b1, rtol=2e-5)
+
+
+def test_sharded_sweep_step_cached():
+    """Rebuilding the step for the same (mesh devices, num_temporal) must
+    return the SAME jitted callable — a fresh jax.jit closure per call
+    would recompile the large correlation program every rebuild."""
+    mesh = make_files_mesh()
+    assert sharded_sweep_step(mesh) is sharded_sweep_step(mesh)
+    assert sharded_sweep_step(mesh) is not sharded_sweep_step(
+        mesh, num_temporal=2)
+    assert sharded_sweep_step(mesh) is sharded_sweep_step(make_files_mesh())
+
+
 def test_batched_matches_per_file_trace(db):
     files, tmpl, xs_b, shifts, lens = db
     sims_b, boosts_b = batched_correlation_traces(xs_b, shifts, tmpl,
