@@ -29,6 +29,13 @@ def _to_int_java(x: np.ndarray) -> np.ndarray:
     return np.trunc(out).astype(np.int64)
 
 
+#: frames per accumulation chunk — bounds the f64 temporaries to
+#: O(C·_CHUNK) instead of O(C·T)·5 (full f64 copy + cumsum + per-channel
+#: pow/bin arrays), the reference's own streaming discipline (it reads 8K
+#: frames at a time, FeatureStatsImpl.scala:70-84)
+_CHUNK = 1 << 16
+
+
 def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
     """(p01, p99) arrays per channel for one feature file
     (impl/FeatureStatsImpl.scala:56-140)."""
@@ -45,11 +52,18 @@ def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
     mins32 = data.min(axis=1)                                # f32
     maxs32 = data.max(axis=1)                                # f32
     d32 = (maxs32 - mins32).astype(np.float32)               # f32 subtract
-    # sequential left-to-right f64 accumulation (cumsum, not np.sum's
-    # pairwise reassociation) — the reference adds each Float into a
-    # Double strictly in frame order (:79) and a ULP-different mean can
-    # flip a histogram bin at a pow boundary
-    means = data.astype(np.float64).cumsum(axis=1)[:, -1] / n
+    # sequential left-to-right f64 accumulation — the reference adds each
+    # Float into a Double strictly in frame order (:79) and a ULP-different
+    # mean can flip a histogram bin at a pow boundary.  Chunked cumsum
+    # SEEDED with the running sums (the carry rides as the cumsum's first
+    # column) keeps the association exactly ((s + x₁) + x₂) + … — bit-equal
+    # to one full-length cumsum — while bounding the f64 temporary
+    sums = np.zeros((num_ch, 1), np.float64)
+    for o in range(0, n, _CHUNK):
+        seeded = np.concatenate(
+            [sums, data[:, o:o + _CHUNK].astype(np.float64)], axis=1)
+        sums = seeded.cumsum(axis=1)[:, -1:]
+    means = sums[:, 0] / n
     mins = mins32.astype(np.float64)
     d = d32.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -61,11 +75,16 @@ def stats_for_file(path) -> Tuple[np.ndarray, np.ndarray]:
     p01n = int(n * 0.01)
     p99n = int(n * 0.99)
     for ch in range(num_ch):
-        with np.errstate(divide="ignore", invalid="ignore"):
-            q32 = ((data[ch] - mins32[ch]) / d32[ch]).astype(np.float32)
-            norm = np.power(q32.astype(np.float64), skews[ch]) * 2047 + 0.5
-        bins = _to_int_java(norm)
-        counts = np.bincount(np.clip(bins, 0, 2047), minlength=2048)
+        # histogram accumulation is associative — chunking is exact
+        counts = np.zeros(2048, np.int64)
+        for o in range(0, n, _CHUNK):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q32 = ((data[ch, o:o + _CHUNK] - mins32[ch])
+                       / d32[ch]).astype(np.float32)
+                norm = np.power(q32.astype(np.float64),
+                                skews[ch]) * 2047 + 0.5
+            bins = _to_int_java(norm)
+            counts += np.bincount(np.clip(bins, 0, 2047), minlength=2048)
         # walk the histogram exactly like the reference (:123-132): advance
         # i while the running count is below the target — the final i is one
         # past the bin that crossed the threshold; value = unskewed i/2048
@@ -102,25 +121,35 @@ class FeatureStats(ProcessorFactory):
                 raise ValueError("no feature files given")
             # files are independent and the element-wise min/max merge is
             # order-invariant, so fan the IO+histogram work over a thread
-            # pool (the reference is strictly sequential, README.md:83)
-            from concurrent.futures import ThreadPoolExecutor
+            # pool (the reference is strictly sequential, README.md:83).
+            # Explicit futures + cancel_futures on the way out: ex.map
+            # queues EVERY file up front and a plain `with` exit waits for
+            # all of them, so an abort (or one bad file) over a 10k-file
+            # database would block until the whole queue had been read and
+            # histogrammed — cancelling bounds the exit to the ≤8 in-flight
+            # files (the reference aborts at one-file granularity)
+            from concurrent.futures import ThreadPoolExecutor, as_completed
 
             all_mins = all_maxs = None
             done = 0
-            with ThreadPoolExecutor(max_workers=min(8, max(len(paths), 1))) as ex:
-                for path, (mins, maxs) in zip(paths,
-                                              ex.map(stats_for_file, paths)):
+            ex = ThreadPoolExecutor(max_workers=min(8, max(len(paths), 1)))
+            try:
+                futs = {ex.submit(stats_for_file, p): p for p in paths}
+                for fut in as_completed(futs):
                     proc.check_aborted()
+                    mins, maxs = fut.result()
                     if all_mins is None:
                         all_mins, all_maxs = mins, maxs
                     else:
                         if len(mins) != len(all_mins):
                             raise ValueError(
-                                f"channel count mismatch in {path}")
+                                f"channel count mismatch in {futs[fut]}")
                         all_mins = np.minimum(all_mins, mins)
                         all_maxs = np.maximum(all_maxs, maxs)
                     done += 1
                     proc.set_progress(done / len(paths))
+            finally:
+                ex.shutdown(wait=True, cancel_futures=True)
             return list(zip(all_mins.tolist(), all_maxs.tolist()))
 
         return body

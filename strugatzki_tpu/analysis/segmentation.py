@@ -118,7 +118,9 @@ def segment_features_batch(feature_mats, norm, step_size: int,
             f"{sorted({m.shape[0] for m in mats})}")
     preps = [_novelty_prep(f, norm, step_size, config) for f in mats]
     live = [(i, p) for i, p in enumerate(preps) if p is not None]
-    results: List[List[Break]] = [[] for _ in feature_mats]
+    # sized from mats, not feature_mats — a generator input is already
+    # exhausted by the list comprehension above
+    results: List[List[Break]] = [[] for _ in mats]
     if not live:
         return results
     half_win = live[0][1][3]

@@ -63,7 +63,11 @@ class _ParallelDeflate:
 
     def __init__(self, level: int, workers: int):
         self.level = level
-        self.pool = ThreadPoolExecutor(max_workers=workers)
+        # one worker would only add handoff latency on top of a serial
+        # compression order — compress inline instead (identical bytes:
+        # same block/dictionary/flush sequence either way)
+        self.pool = ThreadPoolExecutor(max_workers=workers) \
+            if workers > 1 else None
         self.limit = workers + 2
         self.jobs = deque()
         self.buf = bytearray()
@@ -73,8 +77,11 @@ class _ParallelDeflate:
 
     def _submit(self, data: bytes, final: bool) -> None:
         self.adler = zlib.adler32(data, self.adler)
-        self.jobs.append(self.pool.submit(
-            _deflate_block, data, self.tail, self.level, final))
+        if self.pool is None:
+            self.out += _deflate_block(data, self.tail, self.level, final)
+        else:
+            self.jobs.append(self.pool.submit(
+                _deflate_block, data, self.tail, self.level, final))
         self.tail = data[-_DICT:]
 
     def _reap(self, drain: bool) -> None:
@@ -102,7 +109,8 @@ class _ParallelDeflate:
         self._submit(bytes(self.buf), final=True)
         self.buf.clear()
         self._reap(drain=True)
-        self.pool.shutdown()
+        if self.pool is not None:
+            self.pool.shutdown()
         self.out += struct.pack(">I", self.adler & 0xFFFFFFFF)
         out = bytes(self.out)
         self.out.clear()
@@ -127,7 +135,8 @@ def write_png_rows(path, height: int, width: int, rows_iter,
     finally:
         # rows_iter may raise mid-stream (e.g. a processor abort inside a
         # stripe generator) — never strand the worker threads
-        comp.pool.shutdown(wait=False, cancel_futures=True)
+        if comp.pool is not None:
+            comp.pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _write_png_rows(path, height, width, rows_iter, ihdr, comp) -> None:

@@ -49,6 +49,22 @@ def test_roundtrip_thread_counts(tmp_path, threads, shape):
     np.testing.assert_array_equal(_decode(p), rgb)
 
 
+def test_inline_serial_path_byte_identical(tmp_path):
+    """threads=1 compresses inline (no pool thread) and must produce
+    byte-identical files to the pooled encoder — same block/dictionary/
+    flush sequence either way."""
+    rng = np.random.default_rng(7)
+    h, w = 900, 800                           # ~2.2 MB: 3 blocks
+    rgb = (np.linspace(0, 255, w)[None, :, None]
+           + rng.integers(0, 9, (h, w, 3))).astype(np.uint8)
+    p1 = tmp_path / "serial.png"
+    p4 = tmp_path / "pooled.png"
+    PNG.write_png_rows(p1, h, w, iter([rgb]), threads=1)
+    PNG.write_png_rows(p4, h, w, iter([rgb]), threads=4)
+    assert PNG._ParallelDeflate(6, 1).pool is None       # truly inline
+    assert p1.read_bytes() == p4.read_bytes()
+
+
 def test_block_exact_multiple(tmp_path):
     """Data length an exact multiple of the job block: the BFINAL block is
     the empty finisher."""

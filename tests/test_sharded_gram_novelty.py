@@ -155,6 +155,20 @@ def test_segment_batch_matches_per_file():
         _breaks_close(got, want)
 
 
+def test_segment_batch_accepts_generator():
+    """A generator input must work: the results list used to be sized by
+    re-iterating the (exhausted) input, crashing with IndexError."""
+    rng = np.random.default_rng(9)
+    cfg = SegmentationConfig(corr_len=44100, num_breaks=3,
+                             min_spacing=0, temporal_weight=0.5,
+                             span=Span()).build()
+    feats = [np.abs(0.5 + 0.2 * rng.standard_normal((14, 900))
+                    ).astype(np.float32) for _ in range(3)]
+    from_list = segment_features_batch(feats, None, 512, cfg)
+    from_gen = segment_features_batch((f for f in feats), None, 512, cfg)
+    assert from_gen == from_list and len(from_gen) == 3
+
+
 def test_segment_batch_empty_and_short_entries():
     """Entries whose span is empty yield []; afLen < winLen yields the
     single zero-padded window, matching segment_features."""

@@ -84,6 +84,71 @@ def test_stats_matches_transcription(tmp_path):
         assert p99[ch] >= np.percentile(data[ch], 97)
 
 
+def test_stats_chunked_accumulation_bit_equal(tmp_path, monkeypatch):
+    """The chunked mean/histogram passes (bounding RAM to O(chunk)) must be
+    BIT-equal to the unchunked computation: the running f64 sum rides as
+    the seeded cumsum's first column, preserving the exact left-to-right
+    association, and histogram counts are associative."""
+    import strugatzki_tpu.analysis.feature_stats as FS
+
+    rng = np.random.default_rng(17)
+    data = np.abs(0.5 + 0.2 * rng.standard_normal((3, 5000))
+                  ).astype(np.float32)
+    p = tmp_path / "c_feat.aif"
+    _write_feat(p, data)
+    big01, big99 = stats_for_file(p)        # one chunk covers everything
+    monkeypatch.setattr(FS, "_CHUNK", 257)  # ragged many-chunk split
+    small01, small99 = stats_for_file(p)
+    np.testing.assert_array_equal(big01, small01)
+    np.testing.assert_array_equal(big99, small99)
+
+
+def test_stats_abort_cancels_queued_files(tmp_path, monkeypatch):
+    """An abort must not wait for the whole queued database: queued
+    futures are cancelled, so only the in-flight files finish (the old
+    ex.map exit waited for every one of the queued files)."""
+    import threading
+
+    import strugatzki_tpu.analysis.feature_stats as FS
+    from strugatzki_tpu.runtime.processor import Aborted
+
+    n_files = 40
+    processed = []
+    first_done = threading.Event()
+    abort_sent = threading.Event()      # deterministic: after the first
+    # completion every in-flight worker parks here until the test has
+    # called abort(), so the queued bulk can never race past the abort
+
+    real = FS.stats_for_file
+
+    def slow(path):
+        if first_done.is_set():
+            abort_sent.wait(timeout=30)
+        out = real(path)
+        processed.append(path)
+        first_done.set()
+        return out
+
+    monkeypatch.setattr(FS, "stats_for_file", slow)
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(n_files):
+        d = np.abs(0.5 + 0.1 * rng.standard_normal((2, 400))
+                   ).astype(np.float32)
+        p = tmp_path / f"f{i}_feat.aif"
+        _write_feat(p, d)
+        paths.append(str(p))
+
+    proc = FeatureStats.run(paths)
+    assert first_done.wait(timeout=60)
+    proc.abort()
+    abort_sent.set()
+    res = proc.ready(timeout=60)
+    assert isinstance(res.failure, Aborted)
+    # in-flight work (≤ pool width) may finish; the queued bulk must not
+    assert len(processed) < n_files
+
+
 def test_stats_across_files(tmp_path):
     rng = np.random.default_rng(1)
     d1 = np.abs(0.5 + 0.1 * rng.standard_normal((3, 2000))).astype(np.float32)
