@@ -33,9 +33,24 @@ __all__ = ["FeatureExtraction", "fix_nans"]
 #: files longer than this many samples stream through bounded-memory chunks
 STREAMING_THRESHOLD = 1 << 24  # ~6.3 min mono at 44.1k
 #: grouped CLI extraction: flush a group at this many files or this many
-#: upload bytes, whichever first (one fused dispatch + one fetch per group)
+#: PROJECTED STAGED bytes, whichever first (one fused dispatch + one fetch
+#: per group).  The staged batch is power-of-two-padded B × longest-row
+#: (dsp/frontend.stage_resident_batch), so the budget must count that
+#: padded allocation — raw payload bytes would let one long file after
+#: many short ones balloon the host buffer ~B× past the budget
 _GROUP_MAX_FILES = 64
 _GROUP_MAX_BYTES = 32 << 20
+
+
+def _group_staged_bytes(group) -> int:
+    """Projected host/upload bytes for a pending group: next-pow2 batch ×
+    longest padded row × the staged itemsize (int16 rows stay 2 B only
+    when the WHOLE batch is int16 — mixed batches widen to f32, matching
+    stage_resident_batch's dtype rule)."""
+    b_pad = 1 << max(0, (len(group) - 1).bit_length())
+    max_len = max(len(t[3]) for t in group)
+    item = 2 if all(t[3].dtype == np.int16 for t in group) else 4
+    return b_pad * max_len * item
 
 
 def fix_nans(features: np.ndarray, chunk: int = 1024) -> np.ndarray:
@@ -124,10 +139,10 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
     sequential chain (Strugatzki.scala:495-511, :610-631):
     ``Starting extraction…`` / 25-# bar + ``  Success.`` /
     ``success = … - tail? …`` — in grouped mode the first file's
-    ``Starting`` line prints before the device dispatch, the group computes
-    asynchronously, and each file's results are fetched and reported in
-    order while the rest of the group is still in flight.  The chain aborts
-    on the first failure.
+    ``Starting`` line prints before the async device dispatch (overlapping
+    the group's compute), then ONE blocking d2h fetch brings the whole
+    group back and the per-file lines print from host memory.  The chain
+    aborts on the first failure.
     """
     import os
     import traceback
@@ -164,7 +179,15 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
             # 1-sample silence, sliced away below
             b_pad = 1 << max(0, (len(audios) - 1).bit_length())
             audios += [np.zeros(1, audios[0].dtype)] * (b_pad - len(audios))
-            feats_dev, _ = extract_features_batch(audios, sr, as_device=True)
+            # thread the group's extraction parameters explicitly — the
+            # frontend defaults happen to equal ExtractionConfig's today,
+            # but the write path below uses cfg.step_size/num_features and
+            # a silent mismatch would produce wrong frame counts
+            head_cfg = pending[0][2]
+            feats_dev, _ = extract_features_batch(
+                audios, sr, num_coeffs=head_cfg.num_coeffs,
+                fft_size=head_cfg.fft_size,
+                fft_overlap=head_cfg.fft_overlap, as_device=True)
         except Exception as e:  # noqa: BLE001 - first file carries the failure
             print("  Failed: ")
             traceback.print_exception(type(e), e, e.__traceback__)
@@ -215,15 +238,25 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
                 continue
             audio, spec = af_.read(head)
             mono = _collapse_mono(audio, spec, cfg)
+            entry = (idx, head, cfg, mono, spec.sample_rate)
             if group and group[0][4] != spec.sample_rate:
                 if not flush_group():
                     ok = False
                     break
-            group.append((idx, head, cfg, mono, spec.sample_rate))
-            # flush on a file-count or upload-byte budget: bigger groups
-            # amortize the relay's per-dispatch latency over more files
+            # flush BEFORE appending a file that would blow the projected
+            # padded-batch budget (e.g. one near-threshold file after many
+            # short ones would otherwise pad every row to its length)
+            if group and _group_staged_bytes(group + [entry]) \
+                    >= _GROUP_MAX_BYTES:
+                if not flush_group():
+                    ok = False
+                    break
+            group.append(entry)
+            # flush on a file-count or projected staged-byte budget: bigger
+            # groups amortize the relay's per-dispatch latency over more
+            # files
             if (len(group) >= _GROUP_MAX_FILES
-                    or sum(t[3].nbytes for t in group) >= _GROUP_MAX_BYTES):
+                    or _group_staged_bytes(group) >= _GROUP_MAX_BYTES):
                 if not flush_group():
                     ok = False
                     break
@@ -265,6 +298,12 @@ class FeatureExtraction(ProcessorFactory):
             feat_rate = spec.sample_rate / step
 
             with proc.sub(0.8):
+                # one fused dispatch: progress fires once at 1.0 and the
+                # abort lands after the device round-trip (there is no
+                # host boundary inside the render to poll; the streaming
+                # path above is the chunk-granular one).  The reference's
+                # incremental 0..0.8 render progress becomes one jump —
+                # same terminal weighting (NonRealtimeProcessor.scala:158)
                 feats = extract_features(
                     mono, spec.sample_rate,
                     num_coeffs=cfg.num_coeffs, fft_size=cfg.fft_size,

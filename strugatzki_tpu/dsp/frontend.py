@@ -189,6 +189,15 @@ def _block_pipeline(audio: jnp.ndarray, carry: jnp.ndarray,
     unaffected either way (the recursion is forward-only).
     """
     _hi = jax.lax.Precision.HIGHEST
+    # raw-int16 shipping is a pipeline-wide property (module docstring), so
+    # the dequantize must live at every device entry: without this, int16
+    # fed straight to the jitted _extract_block (the driver compile-check /
+    # hypothesis entry) would promote UN-normalized into the hann multiply
+    # — features ~90 dB hot with no error.  _extract_scan dequantizes the
+    # whole padded buffer up front (cheaper: overlaps dequantize once), so
+    # this is a no-op on that path.
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     frames = _frame_block(audio, num_frames, fft_size, step) * hann[None, :]
     if use_fft:
         spec = jnp.fft.rfft(frames, axis=1)
@@ -473,8 +482,12 @@ def extract_features(audio: np.ndarray, sample_rate: float,
     MFCC) from a mono float32 signal.
 
     ``F = ceil(len(audio)/step) − 1`` with the reference's frame alignment
-    (see module docstring).  ``progress`` is an optional callable fed the
-    fraction of blocks done.
+    (see module docstring).  ``progress`` is an optional callable invoked
+    ONCE with 1.0 after the fetch completes — the whole file is one fused
+    dispatch, so there is no intermediate granularity to report (and no
+    host involvement an abort could interrupt mid-render; callers needing
+    incremental progress/abort use :func:`extract_features_streaming`,
+    which reports per chunk).
 
     ``audio`` may be float32 (values in ±1) or int16 (raw PCM16 samples) —
     the int16 path halves the host→device transfer and dequantizes by
@@ -504,9 +517,13 @@ def extract_features(audio: np.ndarray, sample_rate: float,
     # fft_size − step so window j = padded[j·step : j·step + fft_size]
     left_pad = fft_size - step
     padded_len = num_blocks * block * step + fft_size - step
-    padded = np.zeros(padded_len, audio.dtype)
-    padded[left_pad:left_pad + min(len(audio), padded_len - left_pad)] = \
-        audio[:padded_len - left_pad]
+    # np.empty + explicit pad-region zeroing (stage_resident_batch's rule:
+    # zeroing the whole buffer first doubles host memory traffic)
+    padded = np.empty(padded_len, audio.dtype)
+    padded[:left_pad] = 0
+    n_copy = min(len(audio), padded_len - left_pad)
+    padded[left_pad:left_pad + n_copy] = audio[:n_copy]
+    padded[left_pad + n_copy:] = 0
 
     feats, carry_out = _extract_scan(
         _staged_put(padded), carry, *consts,
@@ -617,9 +634,13 @@ def extract_features_streaming(read_samples, num_samples: int,
 
         block, num_blocks = _plan_shapes(nc, chunk_frames)
         padded_len = num_blocks * block * step + fft_size - step
-        padded = np.zeros(padded_len, tail.dtype)
+        # np.empty + tail-region zeroing: a full np.zeros memset per 16384-
+        # frame chunk doubles host memory traffic on an arbitrarily long
+        # stream (stage_resident_batch's rule)
+        padded = np.empty(padded_len, tail.dtype)
         padded[:overlap] = tail
         padded[overlap:overlap + len(fresh)] = fresh
+        padded[overlap + len(fresh):] = 0
 
         feats, carry = _extract_scan(
             _staged_put(padded), carry, *consts,
@@ -628,13 +649,22 @@ def extract_features_streaming(read_samples, num_samples: int,
         emit(finalize_features(feats, nc))
 
         # next chunk's first window needs the last `overlap` samples before
-        # need_to; the joined stream starts at done·step − overlap, so
-        # zero-extend to exactly need_to when EOF cut the read short
+        # need_to.  In the steady state those all sit inside `fresh`
+        # (nc·step ≥ overlap because step·1 = overlap) — slice them out
+        # directly instead of re-concatenating the whole ~nc·step chunk
+        # just to keep 2 KB; only an EOF short read rebuilds the small
+        # zero-extended join (the stream starts at done·step − overlap)
         span = nc * step + overlap
-        joined = np.concatenate(
-            [tail, fresh, np.zeros(max(0, span - len(tail) - len(fresh)),
-                                   tail.dtype)])
-        tail = joined[span - overlap:span]
+        if len(fresh) >= nc * step and nc * step >= overlap:
+            # (the second guard matters for fft_overlap > 2, where a short
+            # final chunk can have nc·step < overlap — a negative slice
+            # start would silently wrap)
+            tail = fresh[nc * step - overlap:nc * step].copy()
+        else:
+            joined = np.concatenate(
+                [tail, fresh, np.zeros(max(0, span - len(tail) - len(fresh)),
+                                       tail.dtype)])
+            tail = joined[span - overlap:span].copy()
         done += nc
         if progress is not None:
             progress(done / total)

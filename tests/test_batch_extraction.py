@@ -109,3 +109,45 @@ def test_batch_cli_failure_aborts_chain(tmp_path, capsys):
     assert (db / "a_feat.aif").exists()
     assert not (db / "b_feat.aif").exists()
     assert not (db / "c_feat.aif").exists()
+
+
+def test_group_staged_bytes_budget(tmp_path, monkeypatch, capsys):
+    """The grouping budget must count the PROJECTED padded batch (pow2 B ×
+    longest row × staged itemsize), and a disproportionately long file must
+    flush the pending short group BEFORE being appended — the old raw-byte
+    sum let one near-threshold file pad 60 short rows to its length."""
+    import strugatzki_tpu.analysis.extraction as EX
+
+    # pure-function checks
+    mk = lambda n, dt=np.float32: (0, "f", None, np.zeros(n, dt), 44100.0)
+    g = [mk(1000)] * 3
+    assert EX._group_staged_bytes(g) == 4 * 1000 * 4          # pow2(3)=4
+    assert EX._group_staged_bytes([mk(1000, np.int16)]) == 1000 * 2
+    # one long row dominates the whole padded batch
+    assert EX._group_staged_bytes(g + [mk(10_000_000)]) \
+        == 4 * 10_000_000 * 4
+
+    # end-to-end: shrink the budget so the third (longer) file must flush
+    # the two short ones first — observable as two dispatch groups via the
+    # transcript order (file 1 announced, then 1+2 succeed, then file 3)
+    from strugatzki_tpu.io import audiofile as af
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, n in enumerate([4000, 4000, 60000]):
+        p = tmp_path / f"s{i}.aif"
+        af.write(p, (0.2 * rng.standard_normal((1, n))).astype(np.float32),
+                 af.AudioFileSpec(sample_format=af.SampleFormat.FLOAT,
+                                  num_channels=1, sample_rate=44100.0))
+        paths.append(str(p))
+    monkeypatch.setattr(EX, "_GROUP_MAX_BYTES", 100_000)
+    out = tmp_path / "db"
+    out.mkdir()
+    assert EX.extract_batch_cli(paths, str(out), 0) == 0
+    transcript = capsys.readouterr().out
+    # all three extracted
+    for i in range(3):
+        assert (out / f"s{i}_feat.aif").exists()
+    # the long file was NOT in the short files' group: its Starting line
+    # comes after both short files' Success lines
+    s2 = transcript.index("s2.aif")
+    assert transcript[:s2].count("Success.") == 2

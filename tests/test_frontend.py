@@ -149,6 +149,31 @@ def test_gemm_dft_path_matches_fft():
                                atol=3e-4)
 
 
+def test_extract_block_dequantizes_int16():
+    """Raw-int16 shipping is a pipeline-wide property: the jitted block
+    entry (the driver compile-check / hypothesis entry) must dequantize
+    int16 itself — un-normalized promotion would score ~90 dB hot with no
+    error (regression: only _extract_scan dequantized)."""
+    import jax.numpy as jnp
+    from strugatzki_tpu.dsp.frontend import _device_consts, _extract_block
+    from strugatzki_tpu.dsp.ml_tables import ERB_BANDS
+
+    rng = np.random.default_rng(8)
+    nb, fft, step = 256, 1024, 512
+    f32 = (0.3 * rng.standard_normal((nb - 1) * step + fft)
+           ).astype(np.float32)
+    i16 = np.round(np.clip(f32, -1, 1) * 32768.0).astype(np.int16)
+    f32q = i16.astype(np.float32) / 32768.0     # what i16 encodes, exactly
+    carry = jnp.zeros((ERB_BANDS,), jnp.float32)
+    consts = _device_consts(44100.0, fft, 13, 0.25, 1.0)
+    fi, ci = _extract_block(jnp.asarray(i16), carry, *consts, num_frames=nb,
+                            fft_size=fft, step=step)
+    ff, cf = _extract_block(jnp.asarray(f32q), carry, *consts, num_frames=nb,
+                            fft_size=fft, step=step)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ff))
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(cf))
+
+
 @pytest.mark.parametrize("fft_size,overlap", [(1024, 4), (512, 2), (2048, 2)])
 def test_nondefault_fft_configs_match_numpy_reference(fft_size, overlap):
     """Independent NumPy implementation of the documented spec (window j

@@ -54,6 +54,32 @@ def test_streaming_matches_whole_file():
     np.testing.assert_allclose(streamed[1:], whole[1:], atol=2e-5)
 
 
+def test_streaming_overlap4_short_final_chunk():
+    """fft_overlap=4 makes overlap (768) exceed one short final chunk's
+    nc·step — the steady-state tail fast-path must fall back to the
+    joined rebuild there (a negative slice start would silently wrap)."""
+    rng = np.random.default_rng(6)
+    sr = 44100.0
+    # total frames ≡ 1 (mod 1024) → final chunk nc = 1, nc·step = 256 < 768
+    n_samples = 256 * (1024 * 2 + 2)
+    audio = (0.3 * rng.standard_normal(n_samples)).astype(np.float32)
+    whole = extract_features(audio, sr, fft_overlap=4)
+    chunks = []
+    pos = [0]
+
+    def read_samples(n):
+        out = audio[pos[0]:pos[0] + n]
+        pos[0] += n
+        return out
+
+    total = extract_features_streaming(
+        read_samples, len(audio), sr, lambda f: chunks.append(f),
+        fft_overlap=4, chunk_frames=1024)
+    streamed = np.concatenate(chunks, axis=1)
+    assert streamed.shape == whole.shape and total == whole.shape[1]
+    np.testing.assert_allclose(streamed, whole, atol=2e-5)
+
+
 def test_streaming_processor_end_to_end(tmp_path, monkeypatch):
     """Force the streaming path in the extraction processor and compare the
     written feature file against the in-memory path."""
