@@ -26,6 +26,11 @@ jax.config.update("jax_platforms", "cpu")
 #: runs a soak (the default keeps the committed CI cost)
 FUZZ_SEEDS = int(os.environ.get("STRUG_FUZZ_SEEDS", "0"))
 
+#: shift the soak's seed window (STRUG_FUZZ_BASE=1000 explores seeds the
+#: committed runs and earlier soaks never visited; default 0 keeps CI
+#: deterministic and identical to the historical runs)
+FUZZ_BASE = int(os.environ.get("STRUG_FUZZ_BASE", "0"))
+
 
 def soak_hygiene(seed: int) -> None:
     """Under a soak, periodically drop compiled executables: every fresh

@@ -5,7 +5,8 @@ indexing, float64 math), in both no-punch-out and punch-out modes."""
 import numpy as np
 import pytest
 
-from conftest import FUZZ_SEEDS as _FUZZ, soak_hygiene as _soak_hygiene
+from conftest import FUZZ_SEEDS as _FUZZ, FUZZ_BASE as _FBASE, \
+    soak_hygiene as _soak_hygiene
 
 from strugatzki_tpu.analysis.correlation import correlate_database
 from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig, Match,
@@ -326,7 +327,7 @@ def test_max_boost_gating():
     assert all(m.file != "db0.aif" for m in ours)
 
 
-@pytest.mark.parametrize("seed", range(_FUZZ or 20))
+@pytest.mark.parametrize("seed", range(_FBASE, _FBASE + (_FUZZ or 20)))
 def test_fuzz_parity_with_transcription(seed):
     """Randomized configs and databases: the framework must agree with the
     reference transcription match-for-match across edge combinations
@@ -401,7 +402,7 @@ def test_punch_out_tiny_file_zero_tail():
 
 
 @pytest.mark.parametrize("seed",
-                         range(31, 31 + (_FUZZ or 3)))
+                         range(31 + _FBASE, 31 + _FBASE + (_FUZZ or 3)))
 def test_fuzz_varying_file_lengths_with_punch_out(seed):
     """Mixed file lengths through the chunked batch path (bucketed padding,
     per-file valid-prefix slicing, the scan < punchInLen zero-tail edge)

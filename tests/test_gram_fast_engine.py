@@ -89,10 +89,10 @@ def test_cross_engine_budget_random_configs():
     """Randomized shapes/weights/modes: the engines must agree within the
     plan budget everywhere (STRUG_FUZZ_SEEDS=N soaks more configs; a
     120-config soak measured worst |Δ| = 1.2e-7)."""
-    from conftest import FUZZ_SEEDS, soak_hygiene
+    from conftest import FUZZ_SEEDS, FUZZ_BASE, soak_hygiene
     trials = FUZZ_SEEDS or 6
     worst = 0.0
-    for trial in range(trials):
+    for trial in range(FUZZ_BASE, FUZZ_BASE + trials):
         soak_hygiene(trial)
         rng = np.random.default_rng(20000 + trial)
         C = int(rng.integers(2, 16))

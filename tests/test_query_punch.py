@@ -374,8 +374,8 @@ def test_query_punch_batch_fuzz_seeds():
     pair shapes/bands (bucketed arbitrarily), random storage mode — every
     pair must equal its sequential query_punch (STRUG_FUZZ_SEEDS=N runs a
     longer soak)."""
-    from conftest import FUZZ_SEEDS, soak_hygiene
-    for seed in range(FUZZ_SEEDS or 8):
+    from conftest import FUZZ_SEEDS, FUZZ_BASE, soak_hygiene
+    for seed in range(FUZZ_BASE, FUZZ_BASE + (FUZZ_SEEDS or 8)):
         soak_hygiene(seed)
         rng = np.random.default_rng(100 + seed)
         n_files = int(rng.integers(3, 7))
