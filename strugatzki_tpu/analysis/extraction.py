@@ -154,6 +154,19 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
     in_files = list(in_files)
     group: list = []           # (index, head, cfg, mono, sr)
 
+    # opt-in multi-chip sweep: STRUGATZKI_MESH=1 shards each grouped
+    # dispatch over all local devices (data parallel over files).  Off by
+    # default: the reference CLI is single-process, and on a one-chip host
+    # a 1-device mesh would only change jit keys (CLAUDE.md: every new key
+    # costs real compile minutes through a relay).
+    mesh = None
+    if os.environ.get("STRUGATZKI_MESH"):
+        import jax
+
+        from ..parallel.sweep import make_files_mesh
+        if len(jax.devices()) > 1:
+            mesh = make_files_mesh()
+
     def report(idx: int, success: bool) -> None:
         # the reference's whenDone debug line (Strugatzki.scala:507)
         tail = idx + 1 < len(in_files)
@@ -187,7 +200,8 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
             feats_dev, _ = extract_features_batch(
                 audios, sr, num_coeffs=head_cfg.num_coeffs,
                 fft_size=head_cfg.fft_size,
-                fft_overlap=head_cfg.fft_overlap, as_device=True)
+                fft_overlap=head_cfg.fft_overlap, as_device=True,
+                mesh=mesh)
         except Exception as e:  # noqa: BLE001 - first file carries the failure
             print("  Failed: ")
             traceback.print_exception(type(e), e, e.__traceback__)

@@ -357,15 +357,27 @@ def stage_resident_batch(audios, sample_rate: float, num_coeffs: int = 13,
                          fft_size: int = 1024, fft_overlap: int = 2,
                          smask: float = C.SPECTRAL_MASK_DEFAULT,
                          tmask: float = C.TEMPORAL_MASK_DEFAULT,
-                         block_frames: int = BLOCK_FRAMES):
+                         block_frames: int = BLOCK_FRAMES,
+                         mesh=None):
     """Stage a batch for :func:`_extract_scan_batch` on the PRODUCTION
     layout: padded rows uploaded (staged chunked puts), zero carries, device
     constants, and the shape plan — ``(x_dev, carry0, consts, block,
     num_blocks)``.  :func:`extract_features_batch` runs through this, and
     the resident-compute benches (bench.py, tools/linkbench.py) stage with
-    it so they always time the exact layout production compiles."""
+    it so they always time the exact layout production compiles.
+
+    With ``mesh`` (a ``files``-axis :class:`jax.sharding.Mesh`) the batch
+    is padded with 1-sample silent rows to a device-count multiple and the
+    rows/carries are placed sharded over the mesh — the returned batch
+    dimension is then the PADDED count (callers slice their real rows)."""
     step = fft_size // fft_overlap
     audios = [np.asarray(a) for a in audios]
+    if mesh is not None:
+        pad_b = (-len(audios)) % mesh.devices.size
+        if pad_b:
+            pad_dtype = np.int16 if all(
+                a.dtype == np.int16 for a in audios) else np.float32
+            audios += [np.zeros(1, pad_dtype)] * pad_b
     total_max = max(num_output_frames(len(a), step) for a in audios)
     consts = _device_consts(float(sample_rate), fft_size, num_coeffs,
                             float(smask), float(tmask))
@@ -385,6 +397,12 @@ def stage_resident_batch(audios, sample_rate: float, num_coeffs: int = 13,
         padded[i, left_pad:left_pad + n] = a[:n]
         padded[i, left_pad + n:] = 0
     carry0 = jnp.zeros((len(audios), T.ERB_BANDS), dtype=jnp.float32)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P("files"))
+        return (jax.device_put(padded, shard), jax.device_put(carry0, shard),
+                consts, block, num_blocks)
     return _staged_put(padded), carry0, consts, block, num_blocks
 
 
@@ -393,7 +411,7 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
                            smask: float = C.SPECTRAL_MASK_DEFAULT,
                            tmask: float = C.TEMPORAL_MASK_DEFAULT,
                            block_frames: int = BLOCK_FRAMES,
-                           as_device: bool = False):
+                           as_device: bool = False, mesh=None):
     """Batch extraction: list of equal-rate mono signals → ``[B, C, F_max]``
     features (each file's valid length is ``num_output_frames(len_i, step)``;
     the tail beyond it holds silence features).  One device dispatch for the
@@ -402,7 +420,15 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     With ``as_device=True`` returns the async device handle
     ``([B, nb, C, block], per-file frame totals)`` so callers can overlap
     host work (e.g. a live per-file transcript) with the device compute and
-    fetch per-file slices via :func:`finalize_features`."""
+    fetch per-file slices via :func:`finalize_features`.
+
+    With ``mesh`` (a ``files``-axis mesh, :func:`parallel.sweep.
+    make_files_mesh`) the files axis shards over the devices (data
+    parallel — SURVEY §2.3); the batch is internally padded with silent
+    rows to a device-count multiple.  The host-path result is trimmed back
+    to ``len(audios)`` rows; the ``as_device`` handle keeps the padded
+    rows (like the callers' own power-of-two batch padding) while
+    ``totals`` stays one entry per REAL file."""
     step = fft_size // fft_overlap
     audios = [np.asarray(a) for a in audios]
     if not audios:
@@ -419,15 +445,15 @@ def extract_features_batch(audios, sample_rate: float, num_coeffs: int = 13,
     x_dev, carry0, consts, block, num_blocks = stage_resident_batch(
         audios, sample_rate, num_coeffs=num_coeffs, fft_size=fft_size,
         fft_overlap=fft_overlap, smask=smask, tmask=tmask,
-        block_frames=block_frames)
+        block_frames=block_frames, mesh=mesh)
     feats, _ = _extract_scan_batch(
         x_dev, carry0, *consts,
         num_blocks=num_blocks, block=block, fft_size=fft_size, step=step)
     if as_device:
         return feats, totals
-    out = np.asarray(feats)  # [B, nb, C, block]
-    out = out.transpose(0, 2, 1, 3).reshape(len(audios), num_coeffs + 1, -1)
-    return out[:, :, :total_max].copy()
+    out = np.asarray(feats)  # [Bp, nb, C, block]
+    out = out.transpose(0, 2, 1, 3).reshape(out.shape[0], num_coeffs + 1, -1)
+    return out[:len(audios), :, :total_max].copy()
 
 
 def _bucket_blocks(n: int) -> int:

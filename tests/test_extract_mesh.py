@@ -1,0 +1,87 @@
+"""Mesh-sharded batch extraction: the public ``extract_features_batch
+(mesh=)`` API and the CLI's ``STRUGATZKI_MESH`` opt-in gate.
+
+The sharded program and the single-device program are different compiled
+programs (XLA chooses FMA contractions per program), so equality is pinned
+to the framework's standing plan-invariance budget (2e-5), not bitwise —
+same policy as the sharded gram/novelty paths (tests/test_sharded_gram_
+novelty.py, docs/ROUND4_NOTES.md)."""
+
+import numpy as np
+
+from strugatzki_tpu.dsp.frontend import extract_features_batch
+from strugatzki_tpu.parallel.sweep import make_files_mesh
+
+ATOL = 2e-5
+
+
+def _batch(rng, n):
+    # mixed lengths, none a multiple of the step
+    lens = [3000 + 517 * i for i in range(n)]
+    return [(0.1 * rng.standard_normal(L)).astype(np.float32) for L in lens]
+
+
+def test_mesh_batch_matches_unsharded_nondivisible():
+    rng = np.random.default_rng(42)
+    audios = _batch(rng, 13)          # 13 rows over 8 devices: pad + trim
+    base = extract_features_batch(audios, 44100.0, block_frames=256)
+    out = extract_features_batch(audios, 44100.0, block_frames=256,
+                                 mesh=make_files_mesh())
+    assert out.shape == base.shape
+    np.testing.assert_allclose(out, base, rtol=0.0, atol=ATOL)
+
+
+def test_mesh_batch_int16_rows():
+    """All-int16 batches keep the int16 upload path under a mesh (the
+    silent pad rows must adopt the batch dtype, not flip it to f32)."""
+    rng = np.random.default_rng(7)
+    audios = [rng.integers(-2000, 2000, 4096 + 777 * i).astype(np.int16)
+              for i in range(5)]
+    base = extract_features_batch(audios, 44100.0, block_frames=256)
+    out = extract_features_batch(audios, 44100.0, block_frames=256,
+                                 mesh=make_files_mesh())
+    assert out.shape == base.shape
+    np.testing.assert_allclose(out, base, rtol=0.0, atol=ATOL)
+
+
+def test_mesh_as_device_keeps_padded_rows_and_real_totals():
+    rng = np.random.default_rng(3)
+    audios = _batch(rng, 3)
+    feats, totals = extract_features_batch(
+        audios, 44100.0, block_frames=256, as_device=True,
+        mesh=make_files_mesh())
+    assert feats.shape[0] == 8, feats.shape   # padded to the device count
+    assert len(totals) == 3                   # one per REAL file
+
+
+def test_cli_env_gate(tmp_path, monkeypatch):
+    """STRUGATZKI_MESH=1 shards the CLI -f grouped dispatch; the written
+    feature files must match the unsharded run within the plan budget."""
+    from strugatzki_tpu.analysis.extraction import extract_batch_cli
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+    from strugatzki_tpu.io.formats import AIFF
+
+    snd = tmp_path / "snd"
+    snd.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        x = (0.2 * rng.standard_normal(20000 + 3000 * i)).astype(np.float32)
+        p = snd / f"s{i}.aif"
+        af.write(p, x[None],
+                 AudioFileSpec(AIFF, SampleFormat.INT16, 1, 44100.0))
+        paths.append(str(p))
+    db0 = tmp_path / "db0"
+    db0.mkdir()
+    db1 = tmp_path / "db1"
+    db1.mkdir()
+    monkeypatch.delenv("STRUGATZKI_MESH", raising=False)
+    assert extract_batch_cli(paths, str(db0), 0) == 0
+    monkeypatch.setenv("STRUGATZKI_MESH", "1")
+    assert extract_batch_cli(paths, str(db1), 0) == 0
+    for i in range(3):
+        a, _ = af.read(db0 / f"s{i}_feat.aif")
+        b, _ = af.read(db1 / f"s{i}_feat.aif")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=0.0, atol=ATOL)
