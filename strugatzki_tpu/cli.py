@@ -103,6 +103,22 @@ def _secs_to_frames(s: float, sample_rate: float) -> int:
     return int(s * sample_rate + 0.5)
 
 
+def _env_mesh():
+    """``STRUGATZKI_MESH=1``: a ``files`` mesh over all attached devices
+    when more than one exists — the same knob the ``-f`` sweep honors
+    (analysis/extraction.extract_batch_cli).  ``None`` (the default, and
+    always on a one-chip host) keeps the single-device programs and their
+    compile cache untouched."""
+    if not os.environ.get("STRUGATZKI_MESH"):
+        return None
+    import jax
+
+    from .parallel.sweep import make_files_mesh
+    if len(jax.devices()) <= 1:
+        return None
+    return make_files_mesh()
+
+
 def _mk_span(start, stop, sr) -> Span:
     if start is not None and stop is not None:
         s0, s1 = _secs_to_frames(start, sr), _secs_to_frames(stop, sr)
@@ -337,6 +353,9 @@ def feature_self(args) -> int:
 
     from .analysis.self_similarity import SelfSimilarity
     SelfSimilarity.verbose = ns.verbose
+    m = _env_mesh()
+    if m is not None:
+        SelfSimilarity.mesh = m   # shard gram pair chunks over the mesh
     cfg = SelfSimilarityConfig(
         database_folder=ns.dir or "database", meta_input=ns.input,
         meta_input2=ns.input2, image_output=ns.output, span=span,
@@ -383,6 +402,9 @@ def feature_cross(args) -> int:
 
     from .analysis.cross_similarity import CrossSimilarity
     CrossSimilarity.verbose = ns.verbose
+    m = _env_mesh()
+    if m is not None:
+        CrossSimilarity.mesh = m  # time-sharded sliding trace (halo kernel)
     cfg = CrossSimilarityConfig(
         database_folder=ns.dir or "database",
         meta_input1=ns.input1, meta_input2=ns.input2,

@@ -54,6 +54,46 @@ def test_mesh_as_device_keeps_padded_rows_and_real_totals():
     assert len(totals) == 3                   # one per REAL file
 
 
+def test_cli_env_gate_selfsim_cross(tmp_path, monkeypatch):
+    """STRUGATZKI_MESH=1 routes -x through the mesh gram engine and -y
+    through the time-sharded trace (classvar wiring; numeric equality of
+    the sharded engines is pinned in test_sharded_gram_novelty /
+    test_long_file_sharding)."""
+    from strugatzki_tpu import cli
+    from strugatzki_tpu.analysis.cross_similarity import CrossSimilarity
+    from strugatzki_tpu.analysis.extraction import extract_batch_cli
+    from strugatzki_tpu.analysis.self_similarity import SelfSimilarity
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+    from strugatzki_tpu.io.formats import AIFF
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for name in ("xa", "xb"):
+        x = (0.2 * rng.standard_normal(24000)).astype(np.float32)
+        p = tmp_path / f"{name}.aif"
+        af.write(p, x[None],
+                 AudioFileSpec(AIFF, SampleFormat.INT16, 1, 44100.0))
+        paths.append(str(p))
+    db = tmp_path / "db"
+    db.mkdir()
+    assert extract_batch_cli(paths, str(db), 0) == 0
+
+    monkeypatch.setattr(SelfSimilarity, "mesh", None)
+    monkeypatch.setattr(CrossSimilarity, "mesh", None)
+    monkeypatch.setenv("STRUGATZKI_MESH", "1")
+    png = tmp_path / "xa.png"
+    assert cli.feature_self(["--no-norm", "--length", "0.05",
+                             str(db / "xa_feat.xml"), str(png)]) == 0
+    assert SelfSimilarity.mesh is not None     # the gate engaged
+    assert png.stat().st_size > 0
+    out_aif = tmp_path / "xab.aif"
+    assert cli.feature_cross(["--no-norm", str(db / "xa_feat.xml"),
+                              str(db / "xb_feat.xml"), str(out_aif)]) == 0
+    assert CrossSimilarity.mesh is not None
+    assert out_aif.stat().st_size > 0
+
+
 def test_cli_env_gate(tmp_path, monkeypatch):
     """STRUGATZKI_MESH=1 shards the CLI -f grouped dispatch; the written
     feature files must match the unsharded run within the plan budget."""
