@@ -142,28 +142,47 @@ def segment_features_batch(feature_mats, norm, step_size: int,
 
 
 def segment_features(features: np.ndarray, norm, step_size: int,
-                     config: SegmentationConfig,
+                     config: SegmentationConfig, mesh=None,
                      check_aborted=lambda: None,
                      progress=lambda f: None) -> List[Break]:
-    """Core segmentation on an in-memory feature matrix ``[C, T]``."""
+    """Core segmentation on an in-memory feature matrix ``[C, T]``.
+
+    With ``mesh`` (and enough windows to give every device at least one)
+    the novelty curve computes time-sharded — sequence/context parallelism
+    for one long file (parallel/sweep.sharded_long_novelty_trace); sims
+    carry the plan-invariance budget vs the single-device trace, so break
+    positions match while near-tie sims could reorder at ~1e-7."""
     prep = _novelty_prep(features, norm, step_size, config)
     if prep is None:
         return []
     xs, num_windows, af_start, half_win = prep
     check_aborted()
-    sims = np.asarray(K.novelty_trace(jnp.asarray(xs), half_win,
-                                      jnp.float32(config.temporal_weight))
-                      )[:num_windows]
+    if mesh is not None and num_windows >= mesh.devices.size:
+        from ..parallel.sweep import sharded_long_novelty_trace
+        # slice off the jit-bucket tail: the sharded path plans its own
+        # per-shard widths from the exact window span
+        sims = sharded_long_novelty_trace(
+            xs[:, :num_windows - 1 + 2 * half_win], half_win,
+            config.temporal_weight, mesh)
+    else:
+        sims = np.asarray(K.novelty_trace(
+            jnp.asarray(xs), half_win,
+            jnp.float32(config.temporal_weight)))[:num_windows]
     check_aborted()
     return _select_breaks(sims, af_start, half_win, step_size, config,
                           check_aborted=check_aborted, progress=progress)
 
 
 class FeatureSegmentation(ProcessorFactory):
-    """``FeatureSegmentation.run(config, observer) -> Processor[list[Break]]``."""
+    """``FeatureSegmentation.run(config, observer) -> Processor[list[Break]]``.
+
+    The classvar ``mesh`` (like ``SelfSimilarity.mesh``) time-shards the
+    novelty curve over the devices — process state, not config, so the
+    XML schema stays reference-compatible."""
 
     name = "segmentation"
     Config = SegmentationConfig
+    mesh = None
 
     @classmethod
     def _make_body(cls, config: SegmentationConfig):
@@ -174,7 +193,7 @@ class FeatureSegmentation(ProcessorFactory):
             norm = load_norm(cfg.database_folder, src.meta.num_coeffs) \
                 if cfg.normalize else None
             return segment_features(
-                src.features, norm, src.step_size, cfg,
+                src.features, norm, src.step_size, cfg, mesh=cls.mesh,
                 check_aborted=proc.check_aborted,
                 progress=proc.set_progress)
 

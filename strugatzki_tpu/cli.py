@@ -293,6 +293,9 @@ def feature_segm(args) -> int:
 
     from .analysis.segmentation import FeatureSegmentation
     FeatureSegmentation.verbose = ns.verbose
+    m = _env_mesh()
+    if m is not None:
+        FeatureSegmentation.mesh = m  # time-sharded novelty curve
     cfg = SegmentationConfig(
         database_folder=ns.dir or "database", meta_input=ns.input, span=span,
         corr_len=corr_frames, temporal_weight=ns.temp, normalize=normalize,

@@ -29,7 +29,8 @@ from ..kernels import corr as K
 
 __all__ = ["make_files_mesh", "batched_correlation_traces",
            "sharded_sweep_step", "pad_stack", "sharded_long_file_trace",
-           "sharded_extract_long", "batched_novelty_traces"]
+           "sharded_extract_long", "batched_novelty_traces",
+           "sharded_long_novelty_trace"]
 
 
 def make_files_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -298,6 +299,40 @@ def batched_novelty_traces(xs_b: np.ndarray, half_win: int,
             [xs_b, np.zeros((pad_rows,) + xs_b.shape[1:], xs_b.dtype)])
     xs_s = jax.device_put(xs_b, NamedSharding(mesh, P("files")))
     return np.asarray(_batched_novelty(xs_s, half_win, tw))[:b]
+
+
+def sharded_long_novelty_trace(xs: np.ndarray, half_win: int,
+                               temp_weight: float, mesh: Mesh) -> np.ndarray:
+    """Novelty curve of ONE very long file, time axis sharded over the
+    mesh — :func:`sharded_long_file_trace`'s analog for the segmentation
+    window (correlateHalf, FeatureSegmentationImpl.scala:107-133).
+
+    Window starts split into contiguous per-chip ranges; each shard
+    receives its slab plus the ``2·half_win − 1``-frame halo so every
+    window computes locally (no collectives in the hot path).  Per-shard
+    FFT lengths differ from the full-file plan, so values carry the
+    plan-invariance budget (≤2e-5; ~1e-7 observed) vs
+    :func:`kernels.corr.novelty_trace` on the same input.
+
+    ``xs``: prepared (normalized, group-shifted) features ``[C, T]``.
+    Returns ``sims[W]``, ``W = T − 2·half_win + 1``.
+    """
+    n_dev = mesh.devices.size
+    C, T = xs.shape
+    win = 2 * half_win
+    W = T - win + 1
+    if W <= 0:
+        return np.zeros(0, np.float32)
+    per = -(-W // n_dev)                     # window starts per shard
+    slab = per + win - 1                     # frames per shard incl. halo
+    slabs = np.zeros((n_dev, C, slab), np.float32)
+    for d in range(n_dev):
+        src = xs[:, d * per:d * per + slab]
+        slabs[d, :, :src.shape[1]] = src
+    # per-shard W' = slab − win + 1 = per → flattened trace is [n_dev·per];
+    # the tail shard's overhang past W (zero-pad windows) is trimmed
+    sims = batched_novelty_traces(slabs, half_win, temp_weight, mesh=mesh)
+    return sims.reshape(-1)[:W].copy()
 
 
 _SWEEP_STEP_CACHE: dict = {}

@@ -79,9 +79,14 @@ def test_cli_env_gate_selfsim_cross(tmp_path, monkeypatch):
     db.mkdir()
     assert extract_batch_cli(paths, str(db), 0) == 0
 
+    from strugatzki_tpu.analysis.segmentation import FeatureSegmentation
     monkeypatch.setattr(SelfSimilarity, "mesh", None)
     monkeypatch.setattr(CrossSimilarity, "mesh", None)
+    monkeypatch.setattr(FeatureSegmentation, "mesh", None)
     monkeypatch.setenv("STRUGATZKI_MESH", "1")
+    assert cli.feature_segm(["--no-norm", "--length", "0.05", "-m", "2",
+                             str(db / "xa_feat.xml")]) == 0
+    assert FeatureSegmentation.mesh is not None
     png = tmp_path / "xa.png"
     assert cli.feature_self(["--no-norm", "--length", "0.05",
                              str(db / "xa_feat.xml"), str(png)]) == 0

@@ -42,6 +42,52 @@ def test_uneven_split():
     assert int(np.argmax(s)) == 30
 
 
+def test_sharded_novelty_matches_single_chip():
+    """Time-sharded novelty curve (segmentation's sequence parallelism)
+    vs the single-device trace: plan budget, breaks at the same frames."""
+    from strugatzki_tpu.parallel.sweep import sharded_long_novelty_trace
+
+    rng = np.random.default_rng(2)
+    x = np.abs(0.5 + 0.1 * rng.standard_normal((14, 2500))).astype(np.float32)
+    xs, _, _ = K.shift_per_group(x)
+    h = 43
+    single = np.asarray(K.novelty_trace(jnp.asarray(xs), h,
+                                        jnp.float32(0.5)))
+    s = sharded_long_novelty_trace(xs, h, 0.5, make_files_mesh())
+    assert s.shape == single.shape
+    np.testing.assert_allclose(s, single, atol=3e-5)
+    assert int(np.argmin(s)) == int(np.argmin(single))
+
+    # uneven split: W = 2500 − 2·43 + 1 = 2415 isn't divisible by 8; also
+    # exercise a tiny W < devices edge through the high-level wrapper
+    s_small = sharded_long_novelty_trace(xs[:, :90], h, 0.5,
+                                         make_files_mesh())
+    single_small = np.asarray(K.novelty_trace(jnp.asarray(xs[:, :90]), h,
+                                              jnp.float32(0.5)))
+    assert s_small.shape == single_small.shape == (90 - 86 + 1,)
+    np.testing.assert_allclose(s_small, single_small, atol=3e-5)
+
+
+def test_segment_features_mesh_matches_breaks():
+    """segment_features(mesh=) must return the same break positions as the
+    single-device path (sims within the plan budget)."""
+    from strugatzki_tpu.analysis.segmentation import segment_features
+    from strugatzki_tpu.config import SegmentationConfig
+
+    rng = np.random.default_rng(5)
+    f = np.abs(0.5 + 0.1 * rng.standard_normal((14, 1800))).astype(np.float32)
+    # plant two novelty discontinuities
+    f[:, 600:] += 0.4
+    f[:, 1200:] -= 0.35
+    cfg = SegmentationConfig(meta_input="x", corr_len=22050, num_breaks=4,
+                             min_spacing=22050, normalize=False).build()
+    base = segment_features(f, None, 512, cfg)
+    sharded = segment_features(f, None, 512, cfg, mesh=make_files_mesh())
+    assert [b.pos for b in sharded] == [b.pos for b in base]
+    for a, b in zip(sharded, base):
+        assert abs(a.sim - b.sim) < 2e-5
+
+
 def test_sharded_extract_long_matches_sequential():
     """Time-sharded extraction (context parallelism for the DSP front-end)
     must reproduce the sequential pipeline: the one-frame excitation halo
