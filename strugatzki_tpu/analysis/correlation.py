@@ -198,9 +198,14 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                        check_aborted=lambda: None,
                        progress=lambda f: None,
                        verbose: bool = False,
-                       skip_nan: bool = False) -> List[Match]:
+                       skip_nan: bool = False, mesh=None) -> List[Match]:
     """Run the full search.  ``db_entries`` is a list of
     ``(ExtractionConfig, features_loader)`` pairs.
+
+    With ``mesh`` each chunk's prep + trace dispatch runs SPMD over the
+    ``files`` axis (the chunk size rounds up to a device multiple); the
+    host replay is unchanged, so selection semantics are identical while
+    sims carry the plan-invariance budget vs the single-device program.
 
     ``skip_nan`` is a framework extension (off by default for faithful
     reference behavior): in the reference, a NaN similarity — e.g.
@@ -248,6 +253,16 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
     from ..parallel.sweep import _batched_traces, pad_stack
 
     chunk_size = 32
+    chunk_shard = None
+    traces_fn = _batched_traces
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sweep import _sharded_traces_fn
+        n_dev = mesh.devices.size
+        chunk_size = -(-chunk_size // n_dev) * n_dev
+        chunk_shard = NamedSharding(mesh, P("files"))
+        traces_fn = _sharded_traces_fn(mesh)
 
     # per-search scalar constants staged on device ONCE: each eager
     # jnp.float32 is a host→device upload (~40 ms relay RTT), and a 10k-file
@@ -263,7 +278,7 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
                   jnp_.float32(template.ln_avg_loudness),
                   jnp_.float32(temp_weight), jnp_.float32(cfg.max_boost))
             _scal_cache[id(template)] = sc
-        sims, boosts = _batched_traces(
+        sims, boosts = traces_fn(
             xs_dev,
             template.device_temporal(), template.device_spectral(),
             sc[0], sc[1], sc[2], shifts_dev, sc[3], sc[4])
@@ -294,7 +309,8 @@ def correlate_database(meta_in: ExtractionConfig, db_entries, norm,
             import sys as _sys
             print(f"  chunk: {len(chunk_entries)} files dispatched "
                   f"(device width {t_pad})", file=_sys.stderr)
-        xs_dev, shifts_dev = prepare_database(raw, norm, lens_arr)
+        xs_dev, shifts_dev = prepare_database(raw, norm, lens_arr,
+                                              sharding=chunk_shard)
         in_b = _trace_batch(xs_dev, shifts_dev, matrix_in, in_temp_weight)
         out_b = None
         if matrix_out is not None:
@@ -508,6 +524,9 @@ class FeatureCorrelation(ProcessorFactory):
     #: extension: reject NaN similarities instead of the reference's
     #: NaN-ranks-first-and-poisons-gates behavior (see correlate_database)
     skip_nan = False
+    #: like ``SelfSimilarity.mesh``: shard each chunk's trace dispatch
+    #: over a ``files`` mesh axis (process state, not config)
+    mesh = None
 
     @classmethod
     def _make_body(cls, config: CorrelationConfig):
@@ -544,6 +563,6 @@ class FeatureCorrelation(ProcessorFactory):
                 check_aborted=proc.check_aborted,
                 progress=proc.set_progress,
                 verbose=cls.verbose,
-                skip_nan=cls.skip_nan)
+                skip_nan=cls.skip_nan, mesh=cls.mesh)
 
         return body

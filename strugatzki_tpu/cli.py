@@ -231,6 +231,9 @@ def feature_corr(args) -> int:
 
     from .analysis.correlation import FeatureCorrelation
     FeatureCorrelation.verbose = ns.verbose
+    m = _env_mesh()
+    if m is not None:
+        FeatureCorrelation.mesh = m  # chunk traces shard over the mesh
     cfg = CorrelationConfig(
         database_folder=ns.dir, meta_input=ns.input,
         punch_in=Punch(in_span, ns.in_temp), punch_out=punch_out,

@@ -123,12 +123,17 @@ def prepare_database_xla(feats: jnp.ndarray, norm: jnp.ndarray,
 
 
 def prepare_database(feats, norm, lens, num_temporal: int = 1,
-                     interpret: bool = False):
+                     interpret: bool = False, sharding=None):
     """[B, C, T] raw features (+[C,2] norm, [B] lengths) → (prepared [B,C,T],
     temporal shifts [B]), all on device.  ``norm`` may be None (identity).
 
     ``interpret=True`` forces the Pallas kernel in interpreter mode (used by
-    CPU tests to validate the kernel itself)."""
+    CPU tests to validate the kernel itself).
+
+    ``sharding`` (a files-axis :class:`NamedSharding`; ``B`` must divide
+    evenly) places the batch sharded over a mesh and routes through the
+    XLA formulation — the vmapped prep partitions SPMD, whereas the Pallas
+    grid is a single-device program."""
     feats = jnp.asarray(feats, dtype=jnp.float32)
     B, C, T = feats.shape
     if norm is None:
@@ -138,6 +143,11 @@ def prepare_database(feats, norm, lens, num_temporal: int = 1,
     else:
         norm_arr = jnp.asarray(norm, dtype=jnp.float32)
     lens = jnp.asarray(lens, dtype=jnp.int32)
+    if sharding is not None:
+        feats = jax.device_put(feats, sharding)
+        lens = jax.device_put(lens, sharding)
+        return prepare_database_xla(feats, norm_arr, lens,
+                                    num_temporal=num_temporal)
 
     # pallas path needs the per-file block resident in VMEM (~16 MB/core;
     # the pipelined grid double-buffers input AND output blocks plus a few

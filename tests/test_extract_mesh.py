@@ -54,6 +54,55 @@ def test_mesh_as_device_keeps_padded_rows_and_real_totals():
     assert len(totals) == 3                   # one per REAL file
 
 
+def test_correlate_database_mesh_matches(monkeypatch):
+    """correlate_database(mesh=) shards each chunk's prep + trace dispatch;
+    the host replay must select the same matches (sims within the plan
+    budget) as the single-device path — punch-in only and punch-in×out."""
+    from strugatzki_tpu.analysis import correlation as corr_mod
+    from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig,
+                                       Punch)
+    from strugatzki_tpu.span import Span
+
+    STEP = 512
+    rng = np.random.default_rng(11)
+    C, T = 14, 400
+    files = []
+    for i in range(10):    # chunk of 10 over 8 devices: padded rows live
+        base = rng.uniform(0.3, 0.7, size=(C, 1))
+        x = np.abs(base + 0.1 * rng.standard_normal((C, T))).astype(np.float32)
+        files.append((f"db{i}.aif", x))
+    inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, 200))).astype(np.float32)
+    files[3][1][:, 120:160] = inp[:, 20:60]    # planted punch-in
+    files[3][1][:, 200:230] = inp[:, 100:130]  # planted punch-out
+
+    meta = ExtractionConfig(audio_input="in.aif", feature_output="mem",
+                            num_coeffs=13, fft_size=1024, fft_overlap=2)
+    entries = [(ExtractionConfig(audio_input=n, feature_output=n),
+                (lambda f_=f: f_)) for n, f in files]
+    monkeypatch.setattr(corr_mod, "read_features", lambda m: inp)
+
+    for punch_out in (None, Punch(Span(100 * STEP, 130 * STEP), 0.5)):
+        cfg = CorrelationConfig(
+            database_folder="db", meta_input="in_feat.xml",
+            punch_in=Punch(Span(20 * STEP, 60 * STEP), 0.5),
+            punch_out=punch_out, min_punch=30 * STEP, max_punch=120 * STEP,
+            num_matches=4, num_per_file=2, normalize=False).build()
+        base = corr_mod.correlate_database(meta, entries, None, cfg)
+        sharded = corr_mod.correlate_database(meta, entries, None, cfg,
+                                              mesh=make_files_mesh())
+        assert [(m.file, m.punch) for m in sharded] == \
+            [(m.file, m.punch) for m in base]
+        for a, b in zip(sharded, base):
+            if np.isnan(b.sim):   # the reference's own √(neg·product) NaN
+                assert np.isnan(a.sim), (a, b)
+            else:
+                assert abs(a.sim - b.sim) < 3e-5, (a, b)
+        if punch_out is None:
+            assert base and base[0].file == "db3.aif"
+        # (with punch-out the faithful replay lets a NaN √(neg·product)
+        # rank first — reference Float.compare order; both paths agree)
+
+
 def test_cli_env_gate_selfsim_cross(tmp_path, monkeypatch):
     """STRUGATZKI_MESH=1 routes -x through the mesh gram engine and -y
     through the time-sharded trace (classvar wiring; numeric equality of
