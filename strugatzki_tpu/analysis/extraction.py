@@ -155,17 +155,9 @@ def extract_batch_cli(in_files, target_dir: str, chan_mode: int) -> int:
     group: list = []           # (index, head, cfg, mono, sr)
 
     # opt-in multi-chip sweep: STRUGATZKI_MESH=1 shards each grouped
-    # dispatch over all local devices (data parallel over files).  Off by
-    # default: the reference CLI is single-process, and on a one-chip host
-    # a 1-device mesh would only change jit keys (CLAUDE.md: every new key
-    # costs real compile minutes through a relay).
-    mesh = None
-    if os.environ.get("STRUGATZKI_MESH"):
-        import jax
-
-        from ..parallel.sweep import make_files_mesh
-        if len(jax.devices()) > 1:
-            mesh = make_files_mesh()
+    # dispatch over all local devices (data parallel over files)
+    from ..parallel.sweep import env_mesh
+    mesh = env_mesh()
 
     def report(idx: int, success: bool) -> None:
         # the reference's whenDone debug line (Strugatzki.scala:507)

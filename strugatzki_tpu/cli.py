@@ -104,19 +104,9 @@ def _secs_to_frames(s: float, sample_rate: float) -> int:
 
 
 def _env_mesh():
-    """``STRUGATZKI_MESH=1``: a ``files`` mesh over all attached devices
-    when more than one exists — the same knob the ``-f`` sweep honors
-    (analysis/extraction.extract_batch_cli).  ``None`` (the default, and
-    always on a one-chip host) keeps the single-device programs and their
-    compile cache untouched."""
-    if not os.environ.get("STRUGATZKI_MESH"):
-        return None
-    import jax
-
-    from .parallel.sweep import make_files_mesh
-    if len(jax.devices()) <= 1:
-        return None
-    return make_files_mesh()
+    """The CLI's ``STRUGATZKI_MESH`` opt-in (parallel/sweep.env_mesh)."""
+    from .parallel.sweep import env_mesh
+    return env_mesh()
 
 
 def _mk_span(start, stop, sr) -> Span:

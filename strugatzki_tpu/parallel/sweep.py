@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels import corr as K
 
-__all__ = ["make_files_mesh", "batched_correlation_traces",
+__all__ = ["make_files_mesh", "env_mesh", "batched_correlation_traces",
            "sharded_sweep_step", "pad_stack", "sharded_long_file_trace",
            "sharded_extract_long", "batched_novelty_traces",
            "sharded_long_novelty_trace"]
@@ -37,6 +37,20 @@ def make_files_mesh(devices: Optional[Sequence] = None) -> Mesh:
     """1-D mesh over all (or the given) devices, axis name ``files``."""
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), axis_names=("files",))
+
+
+def env_mesh() -> Optional[Mesh]:
+    """``STRUGATZKI_MESH=1``: a files mesh over all attached devices when
+    more than one exists — the CLI's opt-in multi-chip gate.  ``None``
+    (the default, and always on a one-chip host) keeps the single-device
+    programs and their compile cache untouched (CLAUDE.md: every new jit
+    key costs real compile minutes through a relay)."""
+    import os
+    if not os.environ.get("STRUGATZKI_MESH"):
+        return None
+    if len(jax.devices()) <= 1:
+        return None
+    return make_files_mesh()
 
 
 def pad_stack(mats: Sequence[np.ndarray], pad_value: float = 0.0,
