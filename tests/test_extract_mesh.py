@@ -103,6 +103,89 @@ def test_correlate_database_mesh_matches(monkeypatch):
         # rank first — reference Float.compare order; both paths agree)
 
 
+def test_mesh_vs_single_fuzz():
+    """Randomized differential soak over the round-4 mesh paths: batch
+    extraction, the time-sharded novelty curve, and the sharded
+    correlation-search chunk — each at random shapes vs its single-device
+    program, plan budget.  STRUG_FUZZ_SEEDS=N scales it; STRUG_FUZZ_BASE
+    shifts the window (tests/conftest.py)."""
+    import jax.numpy as jnp
+
+    from conftest import FUZZ_BASE, FUZZ_SEEDS, soak_hygiene
+    from strugatzki_tpu.analysis import correlation as corr_mod
+    from strugatzki_tpu.config import (CorrelationConfig, ExtractionConfig,
+                                       Punch)
+    from strugatzki_tpu.kernels import corr as K
+    from strugatzki_tpu.parallel.sweep import sharded_long_novelty_trace
+    from strugatzki_tpu.span import Span
+
+    mesh = make_files_mesh()
+    for seed in range(FUZZ_BASE, FUZZ_BASE + (FUZZ_SEEDS or 3)):
+        soak_hygiene(seed)
+        rng = np.random.default_rng(seed)
+
+        # --- batch extraction ------------------------------------------
+        n = int(rng.integers(1, 14))
+        audios = [(0.2 * rng.standard_normal(int(rng.integers(600, 9000))))
+                  .astype(np.float32) for _ in range(n)]
+        base = extract_features_batch(audios, 44100.0, block_frames=256)
+        out = extract_features_batch(audios, 44100.0, block_frames=256,
+                                     mesh=mesh)
+        np.testing.assert_allclose(out, base, rtol=0.0, atol=ATOL,
+                                   err_msg=f"extraction seed {seed}")
+
+        # --- time-sharded novelty --------------------------------------
+        C = int(rng.integers(2, 15))
+        h = int(rng.integers(2, 60))
+        T = 2 * h + int(rng.integers(1, 900))
+        x = np.abs(0.5 + 0.1 * rng.standard_normal((C, T))).astype(np.float32)
+        xs, _, _ = K.shift_per_group(x)
+        single = np.asarray(K.novelty_trace(jnp.asarray(xs), h,
+                                            jnp.float32(0.5)))
+        sharded = sharded_long_novelty_trace(xs, h, 0.5, mesh)
+        np.testing.assert_allclose(sharded, single, rtol=0.0, atol=3e-5,
+                                   err_msg=f"novelty seed {seed}")
+
+        # --- sharded correlation-search chunk --------------------------
+        STEP = 512
+        nf = int(rng.integers(2, 12))
+        Tf = int(rng.integers(120, 400))
+        L = int(rng.integers(8, min(60, Tf // 2)))
+        files = []
+        for i in range(nf):
+            b0 = rng.uniform(0.3, 0.7, size=(C, 1))
+            files.append((f"db{i}.aif", np.abs(
+                b0 + 0.1 * rng.standard_normal((C, Tf))).astype(np.float32)))
+        inp = np.abs(0.5 + 0.1 * rng.standard_normal((C, 3 * L))) \
+            .astype(np.float32)
+        pos = int(rng.integers(0, Tf - L))
+        files[int(rng.integers(0, nf))][1][:, pos:pos + L] = inp[:, L:2 * L]
+        meta = ExtractionConfig(audio_input="in.aif", feature_output="mem",
+                                num_coeffs=C - 1, fft_size=1024,
+                                fft_overlap=2)
+        entries = [(ExtractionConfig(audio_input=nm, feature_output=nm),
+                    (lambda f_=f: f_)) for nm, f in files]
+        cfg = CorrelationConfig(
+            database_folder="db", meta_input="in_feat.xml",
+            punch_in=Punch(Span(L * STEP, 2 * L * STEP), 0.5),
+            num_matches=3, num_per_file=2, normalize=False).build()
+        orig = corr_mod.read_features
+        corr_mod.read_features = lambda m: inp
+        try:
+            base_m = corr_mod.correlate_database(meta, entries, None, cfg)
+            shard_m = corr_mod.correlate_database(meta, entries, None, cfg,
+                                                  mesh=mesh)
+        finally:
+            corr_mod.read_features = orig
+        assert [(m.file, m.punch) for m in shard_m] == \
+            [(m.file, m.punch) for m in base_m], f"correlation seed {seed}"
+        for a, b in zip(shard_m, base_m):
+            if np.isnan(b.sim):
+                assert np.isnan(a.sim), (seed, a, b)
+            else:
+                assert abs(a.sim - b.sim) < 3e-5, (seed, a, b)
+
+
 def test_cli_env_gate_selfsim_cross(tmp_path, monkeypatch):
     """STRUGATZKI_MESH=1 routes -x through the mesh gram engine and -y
     through the time-sharded trace (classvar wiring; numeric equality of
