@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["prepare_database", "prepare_database_xla"]
 
@@ -134,7 +135,14 @@ def prepare_database(feats, norm, lens, num_temporal: int = 1,
     evenly) places the batch sharded over a mesh and routes through the
     XLA formulation — the vmapped prep partitions SPMD, whereas the Pallas
     grid is a single-device program."""
-    feats = jnp.asarray(feats, dtype=jnp.float32)
+    if sharding is not None:
+        # shard straight from host memory — an eager jnp.asarray would
+        # commit the whole stack to device 0 first and pay a device→device
+        # reshard on top of the upload (parallel/sweep.py keeps the same
+        # discipline for its trace operands)
+        feats = jax.device_put(np.asarray(feats, dtype=np.float32), sharding)
+    else:
+        feats = jnp.asarray(feats, dtype=jnp.float32)
     B, C, T = feats.shape
     if norm is None:
         norm_arr = jnp.concatenate(
@@ -142,12 +150,11 @@ def prepare_database(feats, norm, lens, num_temporal: int = 1,
             axis=1)
     else:
         norm_arr = jnp.asarray(norm, dtype=jnp.float32)
-    lens = jnp.asarray(lens, dtype=jnp.int32)
     if sharding is not None:
-        feats = jax.device_put(feats, sharding)
-        lens = jax.device_put(lens, sharding)
+        lens = jax.device_put(np.asarray(lens, dtype=np.int32), sharding)
         return prepare_database_xla(feats, norm_arr, lens,
                                     num_temporal=num_temporal)
+    lens = jnp.asarray(lens, dtype=jnp.int32)
 
     # pallas path needs the per-file block resident in VMEM (~16 MB/core;
     # the pipelined grid double-buffers input AND output blocks plus a few
