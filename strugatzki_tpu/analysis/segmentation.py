@@ -159,8 +159,8 @@ def segment_features(features: np.ndarray, norm, step_size: int,
     check_aborted()
     if mesh is not None and num_windows >= mesh.devices.size:
         from ..parallel.sweep import sharded_long_novelty_trace
-        # slice off the jit-bucket tail: the sharded path plans its own
-        # per-shard widths from the exact window span
+        # slice off the whole-file jit-bucket tail: the sharded path
+        # re-buckets at the (much smaller) per-shard slab width
         sims = sharded_long_novelty_trace(
             xs[:, :num_windows - 1 + 2 * half_win], half_win,
             config.temporal_weight, mesh)

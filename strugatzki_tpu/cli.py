@@ -221,9 +221,9 @@ def feature_corr(args) -> int:
 
     from .analysis.correlation import FeatureCorrelation
     FeatureCorrelation.verbose = ns.verbose
-    m = _env_mesh()
-    if m is not None:
-        FeatureCorrelation.mesh = m  # chunk traces shard over the mesh
+    # authoritative per invocation (None clears a previous run's mesh —
+    # the classvar is process state, not config)
+    FeatureCorrelation.mesh = _env_mesh()  # chunk traces shard over the mesh
     cfg = CorrelationConfig(
         database_folder=ns.dir, meta_input=ns.input,
         punch_in=Punch(in_span, ns.in_temp), punch_out=punch_out,
@@ -286,9 +286,7 @@ def feature_segm(args) -> int:
 
     from .analysis.segmentation import FeatureSegmentation
     FeatureSegmentation.verbose = ns.verbose
-    m = _env_mesh()
-    if m is not None:
-        FeatureSegmentation.mesh = m  # time-sharded novelty curve
+    FeatureSegmentation.mesh = _env_mesh()  # time-sharded novelty curve
     cfg = SegmentationConfig(
         database_folder=ns.dir or "database", meta_input=ns.input, span=span,
         corr_len=corr_frames, temporal_weight=ns.temp, normalize=normalize,
@@ -349,9 +347,7 @@ def feature_self(args) -> int:
 
     from .analysis.self_similarity import SelfSimilarity
     SelfSimilarity.verbose = ns.verbose
-    m = _env_mesh()
-    if m is not None:
-        SelfSimilarity.mesh = m   # shard gram pair chunks over the mesh
+    SelfSimilarity.mesh = _env_mesh()   # shard gram pair chunks over the mesh
     cfg = SelfSimilarityConfig(
         database_folder=ns.dir or "database", meta_input=ns.input,
         meta_input2=ns.input2, image_output=ns.output, span=span,
@@ -398,9 +394,7 @@ def feature_cross(args) -> int:
 
     from .analysis.cross_similarity import CrossSimilarity
     CrossSimilarity.verbose = ns.verbose
-    m = _env_mesh()
-    if m is not None:
-        CrossSimilarity.mesh = m  # time-sharded sliding trace (halo kernel)
+    CrossSimilarity.mesh = _env_mesh()  # time-sharded sliding trace (halo kernel)
     cfg = CrossSimilarityConfig(
         database_folder=ns.dir or "database",
         meta_input1=ns.input1, meta_input2=ns.input2,

@@ -46,7 +46,10 @@ def env_mesh() -> Optional[Mesh]:
     programs and their compile cache untouched (CLAUDE.md: every new jit
     key costs real compile minutes through a relay)."""
     import os
-    if not os.environ.get("STRUGATZKI_MESH"):
+    # conventional "off" spellings disable too: a user exporting
+    # STRUGATZKI_MESH=0 must get the single-device programs
+    if os.environ.get("STRUGATZKI_MESH", "").strip().lower() in (
+            "", "0", "false", "no", "off"):
         return None
     if len(jax.devices()) <= 1:
         return None
@@ -172,7 +175,11 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
     if W <= 0:
         return np.zeros(0, np.float32), np.zeros(0, np.float32)
     per = -(-W // n_dev)                     # window starts per shard
-    slab = per + L - 1                       # samples per shard incl. halo
+    # bucket the slab width so sweeps over many file lengths reuse a
+    # handful of jit keys (CLAUDE.md: every fresh key costs real compile
+    # minutes through the relay); the pad windows are trimmed below
+    from ..analysis.correlation import _bucket
+    slab = _bucket(per + L - 1)              # samples per shard incl. halo
     slabs = np.zeros((n_dev, C, slab), np.float32)
     for d in range(n_dev):
         s0 = d * per
@@ -189,10 +196,11 @@ def sharded_long_file_trace(xs: np.ndarray, shift_t: float, template,
         jax.device_put(shifts, shard),
         jnp.float32(temp_weight), jnp.float32(max_boost),
         num_temporal=template.num_temporal)
-    # per-shard W' = slab − L + 1 = per, so the flattened traces are
-    # exactly [n_dev · per]; trim the tail shard's overhang past W
-    sims = np.asarray(sims).reshape(-1)[:W].copy()
-    boosts = np.asarray(boosts).reshape(-1)[:W].copy()
+    # per-shard W' = slab − L + 1 ≥ per: keep each shard's first `per`
+    # window starts (the rest are bucket-pad windows), then trim the tail
+    # shard's overhang past W
+    sims = np.asarray(sims)[:, :per].reshape(-1)[:W].copy()
+    boosts = np.asarray(boosts)[:, :per].reshape(-1)[:W].copy()
     return sims, boosts
 
 
@@ -338,15 +346,19 @@ def sharded_long_novelty_trace(xs: np.ndarray, half_win: int,
     if W <= 0:
         return np.zeros(0, np.float32)
     per = -(-W // n_dev)                     # window starts per shard
-    slab = per + win - 1                     # frames per shard incl. halo
+    # bucketed slab width: one jit key serves a range of file lengths
+    # (same rationale as sharded_long_file_trace)
+    from ..analysis.correlation import _bucket
+    slab = _bucket(per + win - 1)            # frames per shard incl. halo
     slabs = np.zeros((n_dev, C, slab), np.float32)
     for d in range(n_dev):
         src = xs[:, d * per:d * per + slab]
         slabs[d, :, :src.shape[1]] = src
-    # per-shard W' = slab − win + 1 = per → flattened trace is [n_dev·per];
-    # the tail shard's overhang past W (zero-pad windows) is trimmed
+    # per-shard W' = slab − win + 1 ≥ per: keep each shard's first `per`
+    # window starts (bucket-pad windows dropped), trim the tail shard's
+    # overhang past W
     sims = batched_novelty_traces(slabs, half_win, temp_weight, mesh=mesh)
-    return sims.reshape(-1)[:W].copy()
+    return sims[:, :per].reshape(-1)[:W].copy()
 
 
 _SWEEP_STEP_CACHE: dict = {}

@@ -262,3 +262,92 @@ def test_cli_env_gate(tmp_path, monkeypatch):
         b, _ = af.read(db1 / f"s{i}_feat.aif")
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=0.0, atol=ATOL)
+
+
+def test_env_mesh_off_spellings(monkeypatch):
+    """Conventional 'off' values must DISABLE the gate — a user exporting
+    STRUGATZKI_MESH=0 asked for the single-device programs (review fix:
+    any non-empty string used to enable)."""
+    from strugatzki_tpu.parallel.sweep import env_mesh
+
+    for off in ("", "0", "false", "False", "no", "off", "  0  "):
+        monkeypatch.setenv("STRUGATZKI_MESH", off)
+        assert env_mesh() is None, repr(off)
+    monkeypatch.delenv("STRUGATZKI_MESH")
+    assert env_mesh() is None
+    for on in ("1", "true", "2", "yes"):
+        monkeypatch.setenv("STRUGATZKI_MESH", on)
+        assert env_mesh() is not None, repr(on)
+
+
+def test_cli_env_gate_clears(tmp_path, monkeypatch):
+    """The CLI mesh gate is authoritative per invocation: a run WITHOUT
+    STRUGATZKI_MESH clears a previous run's classvar instead of silently
+    keeping the process sharded (review fix: the gate only ever set)."""
+    from strugatzki_tpu import cli
+    from strugatzki_tpu.analysis.extraction import extract_batch_cli
+    from strugatzki_tpu.analysis.segmentation import FeatureSegmentation
+    from strugatzki_tpu.io import audiofile as af
+    from strugatzki_tpu.io.audiofile import AudioFileSpec, SampleFormat
+    from strugatzki_tpu.io.formats import AIFF
+
+    rng = np.random.default_rng(7)
+    x = (0.2 * rng.standard_normal(24000)).astype(np.float32)
+    p = tmp_path / "g.aif"
+    af.write(p, x[None], AudioFileSpec(AIFF, SampleFormat.INT16, 1, 44100.0))
+    db = tmp_path / "db"
+    db.mkdir()
+    assert extract_batch_cli([str(p)], str(db), 0) == 0
+
+    monkeypatch.setattr(FeatureSegmentation, "mesh", None)
+    args = ["--no-norm", "--length", "0.05", "-m", "2",
+            str(db / "g_feat.xml")]
+    monkeypatch.setenv("STRUGATZKI_MESH", "1")
+    assert cli.feature_segm(args) == 0
+    assert FeatureSegmentation.mesh is not None
+    monkeypatch.delenv("STRUGATZKI_MESH")
+    assert cli.feature_segm(args) == 0
+    assert FeatureSegmentation.mesh is None
+
+
+def test_sharded_long_traces_bucket_jit_keys():
+    """The time-sharded trace slabs are bucketed: nearby input lengths
+    must reuse one compiled program (CLAUDE.md: fresh jit keys cost real
+    compile minutes through the relay), and values still match the
+    single-device trace within the plan budget."""
+    import jax.numpy as jnp
+
+    from strugatzki_tpu.analysis.correlation import InputTemplate
+    from strugatzki_tpu.kernels import corr as K
+    from strugatzki_tpu.parallel import sweep as SW
+
+    mesh = make_files_mesh()
+    rng = np.random.default_rng(3)
+    C, h = 6, 9
+
+    def novelty_single(xs):
+        return np.asarray(K.novelty_trace(jnp.asarray(xs), h,
+                                          jnp.float32(0.5)))
+
+    sizes_before = SW._batched_novelty._cache_size()
+    outs = []
+    for T in (700, 740, 780):   # same per-shard bucket
+        x = np.abs(0.5 + 0.1 * rng.standard_normal((C, T))).astype(np.float32)
+        xs, _, _ = K.shift_per_group(x)
+        sp = SW.sharded_long_novelty_trace(xs, h, 0.5, mesh)
+        np.testing.assert_allclose(sp, novelty_single(xs)[:T - 2 * h + 1],
+                                   rtol=0.0, atol=ATOL)
+        outs.append(sp)
+    assert SW._batched_novelty._cache_size() - sizes_before <= 1, \
+        "nearby lengths must share one bucketed jit key"
+
+    # the correlation-trace analog: same bucket → at most one new key
+    tmpl = InputTemplate(np.abs(
+        0.5 + 0.1 * rng.standard_normal((C, 16))).astype(np.float32))
+    before = SW._batched_traces._cache_size()
+    for T in (700, 760):
+        x = np.abs(0.5 + 0.1 * rng.standard_normal((C, T))).astype(np.float32)
+        xs, sh_t, _ = K.shift_per_group(x)
+        sims, _ = SW.sharded_long_file_trace(xs, sh_t, tmpl, 0.5, 8.0, mesh)
+        assert sims.shape == (T - 16 + 1,)
+    assert SW._batched_traces._cache_size() - before <= 1
