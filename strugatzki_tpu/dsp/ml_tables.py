@@ -21,14 +21,22 @@ per-constant confidence are documented in docs/ML_DERIVATION.md; in brief:
   to other sample rates / FFT sizes the way ML.cpp cannot.
 * ``PHONS`` — the 11 loudness levels at which ML.cpp tabulates its
   equal-loudness contours (``static float phons[11]``).
-* The contour *values* (``contours[42][11]`` in ML.cpp) are rebuilt from
-  the ISO 226:2003 equal-loudness standard evaluated at the 42 band-centre
-  frequencies — the exact numbers in ML.cpp are not recoverable in this
-  sandbox, but ISO-226 is the published data the model tabulates, it is
-  anchored the same way (phon ≡ dB SPL at 1 kHz, which the reference's
-  boost estimator measurably relies on: notes/BoostFactor.txt reports 0%
-  error at 1 kHz), and any residual difference is a few dB of band-level
-  shading at extreme levels.
+* The contour *values* (``contours[42][11]`` in ML.cpp) are not
+  recoverable in this sandbox; two reconstructions ship, selected by
+  :func:`set_contour_model`.  The DEFAULT is ``"rd1987"``: pre-2003
+  (Robinson–Dadson era) contours built from ISO 226:1987's analytic
+  loudness-level form, with per-band slopes fitted so the full extraction
+  pipeline reproduces ALL NINE of the reference author's measured
+  boost-error anchors to ≤0.3 percentage points
+  (notes/BoostFactor.txt:20-29; fit: tools/fit_contours.py, residual
+  table in docs/ML_DERIVATION.md).  The alternative ``"iso2003"`` rebuild
+  evaluates the ISO 226:2003 standard at the band centres — it matches
+  the 200–1000 Hz and 5–10 kHz anchors but measurably lacks the UGen's
+  28–30% error bump at 3–4 kHz, which is why it is not the default.
+  Both are anchored phon ≡ dB SPL at 1 kHz (BoostFactor.txt reports 0%
+  error there).  A verbatim ML.cpp table, once probed from a scsynth
+  install, drops in via :func:`load_contour_table` /
+  ``STRUGATZKI_CONTOURS`` and overrides either model.
 """
 
 from __future__ import annotations
