@@ -44,6 +44,65 @@ def test_await_backend_outage_exits_nonzero(bench_mod, monkeypatch, capsys):
     assert "backend unavailable" in err
 
 
+def test_await_backend_hung_init_exits_nonzero(bench_mod, monkeypatch,
+                                               capsys):
+    """A HANGING ``jax.devices()`` (not an error: the init lock is held
+    forever) must still exit 1 without JSON once the budget expires; the
+    relay state is tracked by fresh-process probes, not by relaunching
+    in-process threads (they would only queue on the held lock)."""
+    import threading
+
+    import jax
+
+    release = threading.Event()
+    probes = {"n": 0}
+
+    def hang():
+        release.wait(timeout=30.0)
+        return ["dev"]
+
+    def probe_down(timeout_s):
+        probes["n"] += 1
+        return False
+
+    monkeypatch.setattr(jax, "devices", hang)
+    monkeypatch.setattr(bench_mod, "_subprocess_probe", probe_down)
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    try:
+        with pytest.raises(SystemExit) as exc:
+            bench_mod._await_backend(total_s=0.2)
+        assert exc.value.code == 1
+        assert probes["n"] >= 1
+        out, err = capsys.readouterr()
+        assert "{" not in out
+        assert "backend unavailable" in err
+    finally:
+        release.set()
+
+
+def test_await_backend_hung_init_recovers(bench_mod, monkeypatch):
+    """When a fresh-process probe reports the relay back UP, the parent's
+    blocked init completes and its device list is returned."""
+    import threading
+
+    import jax
+
+    release = threading.Event()
+
+    def hang_until_released():
+        release.wait(timeout=30.0)
+        return ["dev-after-recovery"]
+
+    def probe_up(timeout_s):
+        release.set()          # "the relay came back"
+        return True
+
+    monkeypatch.setattr(jax, "devices", hang_until_released)
+    monkeypatch.setattr(bench_mod, "_subprocess_probe", probe_up)
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    assert bench_mod._await_backend(total_s=20.0) == ["dev-after-recovery"]
+
+
 def test_await_backend_retries_until_recovery(bench_mod, monkeypatch):
     """A flapping backend (fail, fail, up) must be retried within the
     budget rather than aborting on the first error."""
