@@ -255,6 +255,28 @@ def main() -> None:
         "vs_baseline": round(rt / 1000.0, 3),
     }), flush=True)
 
+    # ---- standing batched-kernel canary (after the JSON line: its small
+    # compiles can't cost the metric).  Plants exact matches through the
+    # production chunked query/punch batch kernels and asserts sim 1.0 —
+    # the round-4 backend fault (silently deflated sims at power-of-two
+    # >= 2048 fused trace lanes) would flip this line to FAIL in the
+    # recorded stderr tail.  BENCH_CANARY=0 skips.
+    if os.environ.get("BENCH_CANARY", "1") not in ("0", "false", "no",
+                                                   "off"):
+        try:
+            from strugatzki_tpu.parallel.canary import (format_report,
+                                                        run_batch_canary)
+            t0 = time.perf_counter()
+            report = run_batch_canary()
+            print(f"{format_report(report)} "
+                  f"[{time.perf_counter() - t0:.1f}s incl. compiles]",
+                  file=sys.stderr)
+        except Exception as e:  # diagnostics only; metric already printed
+            print(f"batch-kernel canary ERRORED: {e}", file=sys.stderr)
+    else:
+        print("batch-kernel canary skipped (BENCH_CANARY=0)",
+              file=sys.stderr)
+
     # ---- correlation sweep diagnostic (north star: 10s punch vs 10k-file
     # DB < 1s). Off by default: axon remote compiles don't hit the
     # persistent cache, and each extra program risks minutes of compile.

@@ -1,0 +1,75 @@
+"""The standing planted-match canary for the batched kernels (round-4
+TPU-backend deflation fault detector — strugatzki_tpu/parallel/canary.py).
+
+CPU is exact at every shape, so the canary must PASS here with rounding-
+level deviations; a simulated deflation must flip it to FAIL.  The shape
+maths is pinned so the canary keeps exercising the CHUNKED kernel path
+(the production mitigation) rather than degenerating to a plain vmap.
+"""
+
+import numpy as np
+import pytest
+
+from strugatzki_tpu.parallel import canary
+from strugatzki_tpu.parallel import database as DBM
+
+
+@pytest.fixture(scope="module")
+def report():
+    return canary.run_batch_canary()
+
+
+def test_canary_passes_on_cpu(report):
+    assert report["pass"], canary.format_report(report)
+    assert report["frames_ok"]
+    # rounding-level only: orders of magnitude inside the verdict tolerance
+    assert report["worst"] < 1e-5
+    assert set(report["families"]) == {
+        "query_batch", "query_punch_batch", "query", "query_punch"}
+
+
+def test_canary_shapes_take_the_chunked_path():
+    """The canary exists to validate the chunked kernels at the per-step
+    lane budget; if a default drifts (shape, pad multiple, budget) until
+    the whole batch fits one step, it would silently stop testing the
+    mitigation."""
+    B = 512                       # 256 files padded to pad_multiple=512
+    for lanes in (8, 16):         # Q (query), 2·Q (punch)
+        bc = max(1, DBM._VALIDATED_QB_BATCH // lanes)
+        bc = 1 << (bc.bit_length() - 1)
+        assert bc < B, (lanes, bc, B)
+        assert lanes * bc <= DBM._VALIDATED_QB_BATCH
+
+
+def test_canary_fails_on_deflated_sims(monkeypatch):
+    """Scale every batched-query sim by the observed fault factor and the
+    canary must FAIL."""
+    orig = DBM.FeatureDatabase.query_batch
+
+    def deflated(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        for r in out:
+            r.sims = np.asarray(r.sims) * 0.95
+        return out
+
+    monkeypatch.setattr(DBM.FeatureDatabase, "query_batch", deflated)
+    report = canary.run_batch_canary()
+    assert not report["pass"]
+    assert report["families"]["query_batch"] > canary.TOLERANCE
+    # the untouched families still read clean
+    assert report["families"]["query_punch_batch"] < 1e-5
+
+
+def test_canary_fails_on_wrong_frames(monkeypatch):
+    orig = DBM.FeatureDatabase.query_punch_batch
+
+    def shifted(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        for r in out:
+            r.frames = np.asarray(r.frames) + 1
+        return out
+
+    monkeypatch.setattr(DBM.FeatureDatabase, "query_punch_batch", shifted)
+    report = canary.run_batch_canary()
+    assert not report["pass"]
+    assert not report["frames_ok"]
