@@ -785,27 +785,11 @@ def _rerank_bucket(m: int) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("num_temporal",))
-def _rerank_window_kernel(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
-                          a_std_t, a_std_s, ln_avg, temp_weight, max_boost,
-                          num_temporal: int = 1):
-    """Exact re-scoring of candidate windows ON DEVICE.
-
-    Gathers the ``[M, C, L]`` windows at ``(file_idx[m], frames[m])`` from
-    the resident float32 features and scores each with the same
-    cancellation-free algebra as the trace kernels (pre-centered template
-    dot / shifted window stats — measured ≤3e-8 vs the f64 mirror on
-    hardware, docs/BENCHMARKS.md).  This replaces the host-side f64 numpy
-    pass (``_exact_window_scores``, kept as the bit-level test oracle)
-    that cost 2–4 s per 10k-scale reduced-precision query on a 1-vCPU
-    serving host.  The prepared features' padded tail holds the
-    shift-consistent constant (kernels/pallas_prep.py), so any defensive
-    zero-tail window reads reproduce the host semantics exactly.
-
-    Mirrors FeatureCorrelationImpl.scala:414-421 (the math being
-    re-scored) with the gates of :func:`~..kernels.corr.correlation_trace`.
-    Returns ``(sims[M], boosts[M])`` float32.
-    """
+def _rerank_window_math(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
+                        a_std_t, a_std_s, ln_avg, temp_weight, max_boost,
+                        num_temporal: int = 1):
+    """Body of :func:`_rerank_window_kernel` (unjitted so the mesh path
+    can reuse it inside a ``shard_map`` — :func:`_sharded_rerank_fn`)."""
     nt = num_temporal
     L = tmpl_t.shape[1]
     C = xs_b.shape[1]
@@ -843,6 +827,81 @@ def _rerank_window_kernel(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
     boost = jnp.exp((ln_avg - jnp.log(loud_mean)) / 0.6)
     sim = jnp.where(boost <= max_boost, sim, 0.0)
     return sim.astype(jnp.float32), boost.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("num_temporal",))
+def _rerank_window_kernel(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
+                          a_std_t, a_std_s, ln_avg, temp_weight, max_boost,
+                          num_temporal: int = 1):
+    """Exact re-scoring of candidate windows ON DEVICE.
+
+    Gathers the ``[M, C, L]`` windows at ``(file_idx[m], frames[m])`` from
+    the resident float32 features and scores each with the same
+    cancellation-free algebra as the trace kernels (pre-centered template
+    dot / shifted window stats — measured ≤3e-8 vs the f64 mirror on
+    hardware, docs/BENCHMARKS.md).  This replaces the host-side f64 numpy
+    pass (``_exact_window_scores``, kept as the bit-level test oracle)
+    that cost 2–4 s per 10k-scale reduced-precision query on a 1-vCPU
+    serving host.  The prepared features' padded tail holds the
+    shift-consistent constant (kernels/pallas_prep.py), so any defensive
+    zero-tail window reads reproduce the host semantics exactly.
+
+    Mirrors FeatureCorrelationImpl.scala:414-421 (the math being
+    re-scored) with the gates of :func:`~..kernels.corr.correlation_trace`.
+    Returns ``(sims[M], boosts[M])`` float32.
+    """
+    return _rerank_window_math(
+        xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s, a_std_t,
+        a_std_s, ln_avg, temp_weight, max_boost, num_temporal=num_temporal)
+
+
+_SHARDED_RERANK_CACHE: dict = {}
+
+
+def _sharded_rerank_fn(mesh, num_temporal: int):
+    """Build-once cached SPMD re-rank program per (mesh, channel split).
+
+    Under a mesh the resident features are sharded over ``files``, and a
+    per-candidate gather through GSPMD would all-gather the whole feature
+    stack onto every chip (the capacity the mesh exists to exceed).
+    ``shard_map`` makes the partitioning deterministic instead: every chip
+    receives the full (tiny) candidate index vectors, scores the
+    candidates whose rows live in its local shard with the SAME math as
+    the single-device kernel (:func:`_rerank_window_math`), masks the
+    rest to 0, and one ``psum`` over the mesh assembles the ``[M]`` score
+    vectors — each candidate is owned by exactly one shard, so the sum
+    adds zeros around the one real value (exact in f32; NaN sims from
+    degenerate windows propagate like the single-device kernel because
+    the masking is a select, not an arithmetic product).
+    """
+    key = (tuple(d.id for d in mesh.devices.flat), num_temporal)
+    fn = _SHARDED_RERANK_CACHE.get(key)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def body(xs_l, shifts_l, file_idx, frames, tmpl_t, tmpl_s,
+                 a_std_t, a_std_s, ln_avg, temp_weight, max_boost):
+            bs = xs_l.shape[0]
+            base = jax.lax.axis_index("files") * bs
+            li = file_idx - base
+            valid = (li >= 0) & (li < bs)
+            sims, boosts = _rerank_window_math(
+                xs_l, shifts_l, jnp.clip(li, 0, bs - 1), frames,
+                tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg, temp_weight,
+                max_boost, num_temporal=num_temporal)
+            sims = jnp.where(valid, sims, 0.0)
+            boosts = jnp.where(valid, boosts, 0.0)
+            return (jax.lax.psum(sims, "files"),
+                    jax.lax.psum(boosts, "files"))
+
+        spec_f, spec_r = P("files"), P()
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_f, spec_f) + (spec_r,) * 9,
+            out_specs=(spec_r, spec_r))
+        fn = jax.jit(mapped)
+        _SHARDED_RERANK_CACHE[key] = fn
+    return fn
 
 
 class FeatureDatabase:
@@ -1040,19 +1099,19 @@ class FeatureDatabase:
         else:
             self._spectra = None
         # exact re-rank backend: candidate windows re-score on device
-        # (_rerank_window_kernel) whenever the resident features are f32 on
-        # a single device; otherwise the host f64 mirror runs.  Explicit
-        # ``rerank_device=True`` on an ineligible configuration is an error
-        # (a silent bf16 "exact" re-rank would not be exact).
-        eligible = mesh is None and self._xs.dtype == jnp.float32
+        # (_rerank_window_kernel single-chip; _sharded_rerank_fn SPMD under
+        # a mesh) whenever the resident features are f32; otherwise the
+        # host f64 mirror runs.  Explicit ``rerank_device=True`` on an
+        # ineligible configuration is an error (a silent bf16 "exact"
+        # re-rank would not be exact).
+        eligible = self._xs.dtype == jnp.float32
         if rerank_device is None:
             self._rerank_device = eligible
         else:
             if rerank_device and not eligible:
                 raise ValueError(
-                    "rerank_device=True needs float32 features on a "
-                    "single device (got dtype "
-                    f"{self._xs.dtype}, mesh={'yes' if mesh else 'no'})")
+                    "rerank_device=True needs float32 features "
+                    f"(got dtype {self._xs.dtype})")
             self._rerank_device = bool(rerank_device)
         # block so construction reports staging errors here, not at query time
         jax.block_until_ready(self._xs)
@@ -1462,21 +1521,28 @@ class FeatureDatabase:
     def _device_window_scores(self, file_idx: np.ndarray, frames: np.ndarray,
                               template: InputTemplate, temp_weight: float,
                               max_boost: float):
-        """:func:`_rerank_window_kernel` over bucket-padded candidates."""
+        """:func:`_rerank_window_kernel` over bucket-padded candidates
+        (the SPMD :func:`_sharded_rerank_fn` program under a mesh — each
+        shard scores its local candidates, one psum merges the tiny [M]
+        vectors)."""
         m = len(file_idx)
         mp = _rerank_bucket(m)
         fi = np.zeros(mp, np.int32)
         fi[:m] = file_idx
         fr = np.zeros(mp, np.int32)
         fr[:m] = frames
-        sims, boosts = _rerank_window_kernel(
-            self._xs, self._shifts, jnp.asarray(fi), jnp.asarray(fr),
-            template.device_temporal(), template.device_spectral(),
-            jnp.float32(template.temporal_std),
-            jnp.float32(template.spectral_std),
-            jnp.float32(template.ln_avg_loudness),
-            jnp.float32(temp_weight), jnp.float32(max_boost),
-            num_temporal=self._num_temporal)
+        args = (self._xs, self._shifts, jnp.asarray(fi), jnp.asarray(fr),
+                template.device_temporal(), template.device_spectral(),
+                jnp.float32(template.temporal_std),
+                jnp.float32(template.spectral_std),
+                jnp.float32(template.ln_avg_loudness),
+                jnp.float32(temp_weight), jnp.float32(max_boost))
+        if self._mesh is None:
+            sims, boosts = _rerank_window_kernel(
+                *args, num_temporal=self._num_temporal)
+        else:
+            sims, boosts = _sharded_rerank_fn(
+                self._mesh, self._num_temporal)(*args)
         sims, boosts = jax.device_get((sims, boosts))
         return sims[:m].copy(), boosts[:m].copy()
 
