@@ -321,6 +321,17 @@ def _split_buckets(buckets: dict):
             yield key, sub + [sub[-1]] * (q - len(sub))
 
 
+def _files_chunk(lanes_per_file: int, shards: int = 1) -> int:
+    """Files-axis chunk size (a power of two) keeping every fused step at
+    ≤ :data:`_VALIDATED_QB_BATCH` trace lanes PER CHIP.  Deliberately
+    independent of ``shards`` — see :func:`_chunked_files_vmap`'s
+    docstring for the GSPMD-tiling evidence that made the shard-scaled
+    budget unsafe (tests pin this equality)."""
+    del shards
+    bc = max(1, _VALIDATED_QB_BATCH // max(1, lanes_per_file))
+    return 1 << (bc.bit_length() - 1)        # round down to a power of two
+
+
 def _chunked_files_vmap(fn, mapped, lanes_per_file: int, shards: int = 1):
     """``jax.vmap(fn)`` over the leading files axis of every leaf in
     ``mapped`` (a tuple pytree), chunking the axis with ``lax.map`` so the
@@ -339,16 +350,28 @@ def _chunked_files_vmap(fn, mapped, lanes_per_file: int, shards: int = 1):
     batches evenly); a ragged tail is zero-padded and the pad rows sliced
     off the outputs (callers mask padded files via ``lens`` anyway).
 
-    ``shards``: under a mesh the files axis is sharded, the whole
-    (global) axis arrives in one call, and each chip's per-step slice is
-    ``bc / shards`` files — so the budget scales by the shard count to
-    keep every chip at the validated per-program lane count without
-    serializing the mesh by the same factor."""
+    ``shards``: under a mesh the files axis is sharded and the whole
+    (global) axis arrives in one call.  The budget is NOT scaled by the
+    shard count: an earlier round scaled it (``bc·shards``) assuming
+    GSPMD would split each step's ``bc``-row slice evenly over the mesh,
+    but inspecting the partitioned program (round 5, virtual 8-device
+    mesh) showed GSPMD tiles the ``(nc, bc)`` reshape TWO-dimensionally
+    — e.g. ``[2, 4]`` over 8 devices — putting ``bc/4`` files on a chip
+    per fused step; at the scaled budget that is ``2·_VALIDATED_QB_BATCH
+    = 2048`` trace lanes, exactly the silently-deflating power-of-two
+    regime the chunking exists to avoid (round-4 advisor finding).  With
+    the unscaled budget every chip sees at most the global ``bc`` rows
+    per step under ANY partitioning choice (replication included), so
+    the per-chip lane count is ≤ the validated budget by construction.
+    Cost: ``shards×`` more (proportionally smaller) chunk steps in the
+    mesh+chunked case — which today arises only on virtual-CPU meshes;
+    a real multi-chip deployment can restore the scaled budget behind a
+    planted-match hardware validation (tools/batch_canary.py --mesh N).
+    The argument is retained for that calibration and for jit-key
+    compatibility."""
     leaves = jax.tree_util.tree_leaves(mapped)
     B = leaves[0].shape[0]
-    bc = max(1, _VALIDATED_QB_BATCH * max(1, shards)
-             // max(1, lanes_per_file))
-    bc = 1 << (bc.bit_length() - 1)          # round down to a power of two
+    bc = _files_chunk(lanes_per_file, shards)
     if bc >= B:
         return jax.vmap(fn)(*mapped)
     nc = -(-B // bc)

@@ -24,12 +24,21 @@ __all__ = ["initialize", "global_files_mesh"]
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None, **kwargs) -> None:
     """Join the JAX process group (no-op when single-process).
 
     Arguments default to the standard ``JAX_COORDINATOR_ADDRESS`` /
     ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` environment variables; on
     Cloud TPU pods, calling with no arguments lets JAX auto-detect.
+
+    Extra keyword arguments pass through to
+    ``jax.distributed.initialize`` — most usefully
+    ``initialization_timeout`` (seconds): a worker that never arrives
+    (crashed before joining, wrong address) then surfaces as a CLEAN
+    timeout error on every waiting process instead of JAX's long default
+    wait (failure-surface test: tests/test_multihost.py).  Per-process
+    device counts may differ — the ``files`` mesh is built from
+    ``jax.devices()``, whatever each host contributes.
     """
     import jax
 
@@ -53,7 +62,7 @@ def initialize(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
-        process_id=process_id)
+        process_id=process_id, **kwargs)
 
 
 def global_files_mesh():

@@ -460,6 +460,61 @@ def test_batched_kernels_chunked_files_path(monkeypatch):
                                           ref_p[q].punch_lens)
 
 
+def test_files_chunk_budget_is_not_shard_scaled():
+    """Round-5 fix of a round-4 advisor finding: the chunk budget used to
+    scale by the mesh shard count, assuming GSPMD splits each chunk step
+    evenly over the mesh.  Inspecting the partitioned program showed
+    GSPMD tiles the (nc, bc) reshape two-dimensionally (e.g. [2, 4] over
+    8 devices), putting bc/4 files on a chip per step — at the scaled
+    budget that is 2·_VALIDATED_QB_BATCH = 2048 trace lanes, exactly the
+    silently-deflating regime.  The unscaled budget bounds per-chip lanes
+    under ANY partitioning; pin it."""
+    from strugatzki_tpu.parallel import database as D
+
+    for lanes in (1, 2, 8, 16, 100):
+        base = D._files_chunk(lanes, shards=1)
+        assert D._files_chunk(lanes, shards=8) == base
+        assert lanes * base <= D._VALIDATED_QB_BATCH
+        assert base & (base - 1) == 0        # power of two
+
+
+def test_mesh_chunked_batches_match_single_device(monkeypatch):
+    """The mesh × chunked-files combination (previously only reachable at
+    10k scale): with a downscaled budget forcing chunking, the sharded
+    batched kernels must equal the single-device batch."""
+    from strugatzki_tpu.parallel import database as D
+    from strugatzki_tpu.parallel.sweep import make_files_mesh
+
+    inp, files = _make_db(9, num_files=7)
+    tmpls = [InputTemplate(files[i][1][:, 30 + i:60 + i].copy())
+             for i in range(3)]
+    pairs = [(InputTemplate(inp[:, 20:50].copy()),
+              InputTemplate(inp[:, 160:185].copy()), 80, 100)]
+    db1 = FeatureDatabase(files, norm=None, pad_multiple=64)
+    ref_q = db1.query_batch(tmpls, k=3)
+    ref_p = db1.query_punch_batch(pairs, k=3)
+    kernels = (D._multi_query_kernel, D._multi_query_kernel_spectra,
+               D._multi_punch_kernel, D._multi_punch_kernel_spectra)
+    for kern in kernels:
+        kern.clear_cache()
+    monkeypatch.setattr(D, "_VALIDATED_QB_BATCH", 8)
+    try:
+        db2 = FeatureDatabase(files, norm=None, pad_multiple=64,
+                              mesh=make_files_mesh())
+        got_q = db2.query_batch(tmpls, k=3)
+        got_p = db2.query_punch_batch(pairs, k=3)
+    finally:
+        monkeypatch.undo()
+        for kern in kernels:
+            kern.clear_cache()
+    for q in range(len(tmpls)):
+        np.testing.assert_array_equal(got_q[q].frames, ref_q[q].frames)
+        np.testing.assert_allclose(got_q[q].sims, ref_q[q].sims, atol=2e-5)
+    np.testing.assert_array_equal(got_p[0].frames, ref_p[0].frames)
+    np.testing.assert_allclose(got_p[0].sims, ref_p[0].sims, atol=2e-5)
+    np.testing.assert_array_equal(got_p[0].punch_lens, ref_p[0].punch_lens)
+
+
 def test_batch_bucket_splitting(monkeypatch):
     """Oversized same-shape buckets split into _MAX_BATCH_QUERIES-sized
     sub-dispatches (the files-chunking cannot bound the fused step once
