@@ -522,6 +522,10 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
 
     Returns the image extent ``n``.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     tw = jnp.float32(temp_weight)
     pix = _device_pix(colors, color_warp, color_ceil, color_inv)
     dtype = np.float32 if pix is None else (
@@ -531,18 +535,30 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
     if n == 0:
         write_png(path, np.zeros((0, 0, 3), np.uint8))
         return 0
+    # STRUGATZKI_RENDER_TIMING=1: per-stage wall decomposition of the
+    # giant render (the number that decides whether the ceiling is
+    # device-, fetch-, or deflate-bound — VERDICT r4 item 6); "fetch" is
+    # the np.asarray wait on device results (includes any device compute
+    # not hidden by the stripe-ahead), "raster" the host flip+colorize,
+    # "png" = total − the in-generator stages ≈ filter+deflate+write.
+    timing = ({"dispatch": 0.0, "fetch": 0.0, "raster": 0.0}
+              if _os.environ.get("STRUGATZKI_RENDER_TIMING") else None)
+    t_start = _time.perf_counter()
 
     def dispatch_stripe(bj):
         """Launch every chunk of column-stripe ``bj`` asynchronously.
         Row-blocks go in chunks of ``gsize`` = ``_PAIRS_PER_CALL`` per
         device (one jitted call each); for bi > bj the cell is the
         mirrored upper-triangle value → compute (bj, bi), transpose."""
+        t0 = _time.perf_counter() if timing else 0.0
         out = []
         for g0 in range(0, num_blocks, gsize):
             group = list(range(g0, min(g0 + gsize, num_blocks)))
             padded = group + [group[-1]] * (gsize - len(group))
             lo_hi = [(min(bi, bj), max(bi, bj)) for bi in padded]
             out.append((group, dispatch(lo_hi)))
+        if timing:
+            timing["dispatch"] += _time.perf_counter() - t0
         return out
 
     def collect_stripe(bj, dispatched):
@@ -550,7 +566,10 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
         c1 = min(c0 + _BLOCK, n)
         stripe = np.empty((n, c1 - c0), dtype)
         for group, dev in dispatched:
+            t0 = _time.perf_counter() if timing else 0.0
             sims_g = np.asarray(dev)
+            if timing:
+                timing["fetch"] += _time.perf_counter() - t0
             for bi, sims in zip(group, sims_g):
                 r0 = bi * _BLOCK
                 r1 = min(r0 + _BLOCK, n)
@@ -574,14 +593,25 @@ def self_similarity_to_png(x1: np.ndarray, x2: np.ndarray, half_win: int,
                 dispatch_stripe(bj - 1) if bj > 0 else None)
             stripe = collect_stripe(bj, current)
             # stripe columns j = c0..c1−1 → PNG rows y = n−1−j (descending)
+            t0 = _time.perf_counter() if timing else 0.0
             flipped = stripe.T[::-1]
             rgb = _pix_to_rgb(flipped, pix[2]) if pix is not None else \
                 _colorize(flipped, colors, color_warp, color_ceil, color_inv)
+            if timing:
+                timing["raster"] += _time.perf_counter() - t0
             done += 1
             progress(done / num_blocks)
             yield rgb
 
     write_png_rows(path, n, n, stripes(), level=png_level)
+    if timing:
+        total = _time.perf_counter() - t_start
+        png_s = total - sum(timing.values())
+        print(f"render timing (extent {n}, level {png_level}): "
+              f"total {total:.1f}s = dispatch {timing['dispatch']:.1f}s "
+              f"+ fetch-wait {timing['fetch']:.1f}s + raster "
+              f"{timing['raster']:.1f}s + png(filter+deflate+io) "
+              f"{png_s:.1f}s", file=_sys.stderr)
     return n
 
 

@@ -1541,13 +1541,17 @@ class FeatureDatabase:
         return self._exact_window_scores(file_idx, frames, template,
                                          temp_weight, max_boost)
 
-    def _device_window_scores(self, file_idx: np.ndarray, frames: np.ndarray,
-                              template: InputTemplate, temp_weight: float,
-                              max_boost: float):
-        """:func:`_rerank_window_kernel` over bucket-padded candidates
-        (the SPMD :func:`_sharded_rerank_fn` program under a mesh — each
-        shard scores its local candidates, one psum merges the tiny [M]
-        vectors)."""
+    def _device_window_scores_async(self, file_idx: np.ndarray,
+                                    frames: np.ndarray,
+                                    template: InputTemplate,
+                                    temp_weight: float, max_boost: float):
+        """Dispatch the device re-rank over bucket-padded candidates and
+        return the DEVICE ``(sims, boosts)`` arrays without fetching —
+        callers with several independent re-ranks (the punch in+out pair)
+        launch them all, then fetch once, so the relay round trips
+        overlap instead of serializing.  Under a mesh this is the SPMD
+        :func:`_sharded_rerank_fn` program (each shard scores its local
+        candidates, one psum merges the tiny [M] vectors)."""
         m = len(file_idx)
         mp = _rerank_bucket(m)
         fi = np.zeros(mp, np.int32)
@@ -1561,12 +1565,17 @@ class FeatureDatabase:
                 jnp.float32(template.ln_avg_loudness),
                 jnp.float32(temp_weight), jnp.float32(max_boost))
         if self._mesh is None:
-            sims, boosts = _rerank_window_kernel(
+            return _rerank_window_kernel(
                 *args, num_temporal=self._num_temporal)
-        else:
-            sims, boosts = _sharded_rerank_fn(
-                self._mesh, self._num_temporal)(*args)
-        sims, boosts = jax.device_get((sims, boosts))
+        return _sharded_rerank_fn(self._mesh, self._num_temporal)(*args)
+
+    def _device_window_scores(self, file_idx: np.ndarray, frames: np.ndarray,
+                              template: InputTemplate, temp_weight: float,
+                              max_boost: float):
+        """:meth:`_device_window_scores_async` + fetch + pad-trim."""
+        m = len(file_idx)
+        sims, boosts = jax.device_get(self._device_window_scores_async(
+            file_idx, frames, template, temp_weight, max_boost))
         return sims[:m].copy(), boosts[:m].copy()
 
     def _exact_window_scores(self, file_idx: np.ndarray,
@@ -1658,11 +1667,26 @@ class FeatureDatabase:
         if cand.size:
             fi, fj = cand[:, 0], cand[:, 1]
             t_in = res.frames[fi, fj]
-            in_sims, b_in = self._window_scores(
-                fi, t_in, punch_in, tw_in, max_boost)
             t_out = t_in + res.min_punch + res.punch_lens[fi, fj]
-            out_sims, b_out = self._window_scores(
-                fi, t_out, punch_out, tw_out, max_boost)
+            if self._rerank_device:
+                # dispatch BOTH window kernels before fetching either:
+                # serializing them paid two full relay round trips per
+                # punch query (~40 ms each measured — part of the gap
+                # between the compact punch and the <1 s target)
+                m = len(fi)
+                d_in = self._device_window_scores_async(
+                    fi, t_in, punch_in, tw_in, max_boost)
+                d_out = self._device_window_scores_async(
+                    fi, t_out, punch_out, tw_out, max_boost)
+                (in_sims, b_in), (out_sims, b_out) = jax.device_get(
+                    (d_in, d_out))
+                in_sims, b_in = in_sims[:m].copy(), b_in[:m].copy()
+                out_sims, b_out = out_sims[:m].copy(), b_out[:m].copy()
+            else:
+                in_sims, b_in = self._window_scores(
+                    fi, t_in, punch_in, tw_in, max_boost)
+                out_sims, b_out = self._window_scores(
+                    fi, t_out, punch_out, tw_out, max_boost)
             # the reference's inSim * outSim is a Java Float multiply —
             # round the product to f32 BEFORE the sqrt (an f64 product can
             # land 1 ulp away and flip downstream selection gates)

@@ -77,3 +77,46 @@ print(f"re-rank kernel alone ({m} windows): best {t_rr*1e3:.0f} ms {all_rr}",
 
 res = db.query(tmpl, k=4)
 print(f"hit: {res.frames[hit_i,0]} sim={res.sims[hit_i,0]:.4f}", flush=True)
+
+# ---- punch decomposition (--punch): where do the ~1000 ms go? ----------
+# The k=16 device punch program is shared between
+# query_punch(k=16, exact_rerank=False) and query_punch(k=4) (automatic
+# 4x inflation on reduced spectra), so the re-rank toggle costs no extra
+# compile; the punch BAND is traced (min_punch / band width are runtime
+# values), so the wide-vs-narrow A/B reuses the same program too.
+if "--punch" in sys.argv:
+    l_out = 430
+    o_out = 3100
+    out_tmpl = InputTemplate(
+        feats[hit_i][:, o_out:o_out + l_out].copy())
+
+    def punch(mp, xp, **kw):
+        return db.query_punch(tmpl, out_tmpl, min_punch=mp, max_punch=xp,
+                              k=kw.pop("k", 4), **kw)
+
+    t0 = time.perf_counter()
+    punch(2000, 3500, k=16, exact_rerank=False)
+    print(f"punch compile {time.perf_counter()-t0:.0f}s", flush=True)
+
+    t_pd, all_pd = best(lambda: punch(2000, 3500, k=16, exact_rerank=False))
+    print(f"device punch only (k=16, band 1501, no re-rank): best "
+          f"{t_pd*1e3:.0f} ms {all_pd}", flush=True)
+    t_pf, all_pf = best(lambda: punch(2000, 3500))
+    print(f"punch + DEVICE re-rank (k=4 -> k_dev=16): best "
+          f"{t_pf*1e3:.0f} ms {all_pf}  [re-rank share "
+          f"{(t_pf - t_pd)*1e3:.0f} ms]", flush=True)
+    t_pn, all_pn = best(lambda: punch(2950, 3050, k=16, exact_rerank=False))
+    print(f"device punch narrow band 101 (same program): best "
+          f"{t_pn*1e3:.0f} ms {all_pn}  [band share "
+          f"{(t_pd - t_pn)*1e3:.0f} ms]", flush=True)
+    db._rerank_device = False
+    t_ph, all_ph = best(lambda: punch(2000, 3500), n=2)
+    db._rerank_device = True
+    print(f"punch + HOST re-rank: best {t_ph*1e3:.0f} ms {all_ph}",
+          flush=True)
+    pres = punch(2000, 3500)
+    print(f"punch hit: frame {pres.frames[hit_i,0]} len "
+          f"{pres.min_punch + pres.punch_lens[hit_i,0]} "
+          f"sim={pres.sims[hit_i,0]:.4f}", flush=True)
+    assert abs(float(pres.sims[hit_i, 0]) - 1.0) < 1e-3, \
+        "planted punch hit deflated"
