@@ -174,3 +174,57 @@ if "--punch" in sys.argv:
     # (in at 100, out at 3000 -> punch length 2900 inside the band)
     assert m.file == f"f{probe}.aif" and m.punch.start // 512 == 100, m
     assert m.sim > 0.999, m.sim
+
+if "--punchbatch" in sys.argv:
+    # VERDICT r4 item 5: batched serving at database scale — Q mixed-
+    # length punch pairs against the staged DB, amortized per-query
+    # latency + planted-hit correctness (the "10 s punch vs 10k DB"
+    # north star, amortized).  Four (l_in, l_out) buckets of q_per pairs
+    # each; every pair is cut from a distinct file with its true punch
+    # distance inside the band, so each has exactly one exact hit.
+    q_per = int(os.environ.get("STRUG_PUNCHBATCH_QPER", "8"))
+    buckets = [(861, 430), (689, 345), (517, 258), (345, 172)]
+    pairs, planted = [], []
+    for b, (li, lo) in enumerate(buckets):
+        for q in range(q_per):
+            fi = (13 * (b * q_per + q) + 5) % n_files
+            src = synth(fi) if memmap else feats[fi]
+            o_in = 100 + q
+            o_out = o_in + 2900
+            pairs.append((InputTemplate(src[:, o_in:o_in + li].copy()),
+                          InputTemplate(src[:, o_out:o_out + lo].copy()),
+                          2000, 3500))
+            planted.append((fi, o_in))
+    t0 = time.perf_counter()
+    db.query_punch_batch(pairs[:1], k=2)     # bucket-1 compile
+    print(f"punch-batch first-bucket compile {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    bres = db.query_punch_batch(pairs, k=2)  # remaining bucket compiles
+    print(f"punch-batch all-bucket compile+run {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bres = db.query_punch_batch(pairs, k=2)
+        ts.append(time.perf_counter() - t0)
+        print(f"  punch batch ({len(pairs)} pairs): {ts[-1]*1e3:.0f} ms "
+              f"= {ts[-1]/len(pairs)*1e3:.0f} ms/query amortized",
+              flush=True)
+    for q, (fi, o_in) in enumerate(planted):
+        s = float(np.asarray(bres[q].sims)[fi, 0])
+        f0 = int(np.asarray(bres[q].frames)[fi, 0])
+        assert f0 == o_in and s > 0.999, (q, fi, f0, s)
+    # sequential comparison on the first bucket only (each sequential
+    # punch is ~1 s at this scale; one bucket bounds the bench time)
+    t0 = time.perf_counter()
+    for p in pairs[:q_per]:
+        db.query_punch(p[0], p[1], min_punch=2000, max_punch=3500, k=2)
+    seq_s = time.perf_counter() - t0
+    best = min(ts)
+    print(f"10k punch batch: {len(pairs)} mixed-length pairs "
+          f"({len(buckets)} buckets x {q_per}) best {best:.2f}s = "
+          f"{best/len(pairs)*1e3:.0f} ms/query amortized; sequential "
+          f"{q_per} queries {seq_s:.2f}s = {seq_s/q_per*1e3:.0f} ms/query "
+          f"-> x{seq_s/q_per/(best/len(pairs)):.2f} amortization; all "
+          f"{len(pairs)} planted hits exact", flush=True)
