@@ -41,6 +41,18 @@ def test_canary_shapes_take_the_chunked_path():
         assert lanes * bc <= DBM._VALIDATED_QB_BATCH
 
 
+def test_canary_passes_on_virtual_mesh():
+    """The canary's --mesh mode (the staged hardware validation for any
+    future scaled-budget restoration) must pass on the virtual 8-device
+    mesh — this also drives the mesh × chunked-files combination through
+    the production batched kernels at the canary shapes."""
+    from strugatzki_tpu.parallel.sweep import make_files_mesh
+
+    report = canary.run_batch_canary(mesh=make_files_mesh())
+    assert report["pass"], canary.format_report(report)
+    assert report["worst"] < 1e-5
+
+
 def test_canary_fails_on_deflated_sims(monkeypatch):
     """Scale every batched-query sim by the observed fault factor and the
     canary must FAIL."""
