@@ -99,6 +99,50 @@ def test_mesh_reduced_storage_recovers_exact_results():
     assert float(np.asarray(res.sims)[3, 0]) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_mesh_rerank_vs_host_mirror_fuzz():
+    """Randomized differential soak: the SPMD mesh re-rank vs the host
+    f64 mirror at random database/template/candidate shapes (plan
+    budget).  STRUG_FUZZ_SEEDS=N scales it; STRUG_FUZZ_BASE shifts the
+    window (tests/conftest.py)."""
+    from conftest import FUZZ_BASE, FUZZ_SEEDS, soak_hygiene
+
+    mesh = make_files_mesh()
+    for seed in range(FUZZ_BASE, FUZZ_BASE + (FUZZ_SEEDS or 3)):
+        soak_hygiene(seed)
+        rng = np.random.default_rng(seed + 9000)
+        n = int(rng.integers(2, 20))
+        C = int(rng.integers(2, 15))
+        T = int(rng.integers(60, 400))
+        nt = int(rng.integers(1, min(3, C - 1) + 1))
+        ents = [(f"z{i}.aif",
+                 np.abs(0.4 + 0.25 * rng.standard_normal((C, T)))
+                 .astype(np.float32)) for i in range(n)]
+        norm = None
+        if rng.random() < 0.5:
+            norm = np.stack([np.full(C, 0.02, np.float32),
+                             np.full(C, 1.8, np.float32)], axis=1)
+        db = FeatureDatabase(ents, norm, pad_multiple=32, mesh=mesh,
+                             num_temporal=nt)
+        L = int(rng.integers(4, T - 4))
+        src = int(rng.integers(0, n))
+        o = int(rng.integers(0, T - L))
+        block = ents[src][1][:, o:o + L].astype(np.float32).copy()
+        if norm is not None:            # reference normalize: (x−min)/range
+            block = ((block - norm[:, 0:1])
+                     / (norm[:, 1:2] - norm[:, 0:1])).astype(np.float32)
+        tmpl = InputTemplate(block, num_temporal=nt)
+        m = int(rng.integers(1, 40))
+        fi = rng.integers(0, n, m).astype(np.int32)
+        fr = rng.integers(0, T - L + 1, m).astype(np.int32)
+        tw = float(rng.uniform(0.0, 1.0))
+        dev = db._device_window_scores(fi, fr, tmpl, tw, 8.0)
+        host = db._exact_window_scores(fi, fr, tmpl, tw, 8.0)
+        np.testing.assert_allclose(dev[0], host[0], atol=2e-5,
+                                   err_msg=f"seed {seed}")
+        np.testing.assert_allclose(dev[1], host[1], rtol=2e-5,
+                                   err_msg=f"seed {seed}")
+
+
 def test_mesh_f32_spectra_cache_uses_device_rerank(mesh_db_pair):
     """cache_spectra='bf16' on an f32 mesh database: reduced spectra force
     the exact re-rank, and it must run the SPMD device program (f32
