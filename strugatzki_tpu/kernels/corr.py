@@ -57,6 +57,7 @@ __all__ = [
     "window_stats", "gram_similarity_block", "extract_windows",
     "prepare_template", "shift_per_group",
     "trace_spectra", "pack_spectra", "unpack_spectra",
+    "forward_spectra", "window_sum_table", "correlation_trace_from_sums",
 ]
 
 
@@ -243,6 +244,17 @@ def trace_spectra(xs: jnp.ndarray, num_temporal: int = 1):
     return X, Xsq
 
 
+def forward_spectra(xs: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel forward spectra only (``X`` of :func:`trace_spectra`)
+    — the half the sums-based serving path needs; the squared-row spectra
+    ``Xsq`` exist solely to FFT-form window sums, which
+    :func:`window_sum_table` replaces."""
+    N = _fft_len(xs.shape[1])
+    if xs.dtype != jnp.float32:
+        xs = xs.astype(jnp.float32)
+    return jnp.fft.rfft(xs, n=N, axis=1)
+
+
 def pack_spectra(z: jnp.ndarray, dtype=jnp.bfloat16):
     """Complex spectra → PLANAR ``(re, im)`` arrays in a reduced dtype.
 
@@ -289,7 +301,6 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
         # new direct caller)
         raise ValueError(
             f"template length {L} exceeds padded signal length {Tp}")
-    C_s = X.shape[0] - nt
     N = _fft_len(Tp)
     ones_l = _ones_spectrum(L, N)
 
@@ -298,13 +309,101 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
 
     s_t = wsum(X[:nt].sum(axis=0))
     q_t = wsum(Xsq[0])
+    s_s = wsum(X[nt:].sum(axis=0))
+    q_s = wsum(Xsq[1])
+    mu0 = None if nt == 1 else wsum(X[0]) / L
+    return _trace_epilogue(X, t_padded, s_t, q_t, s_s, q_s, mu0,
+                           template_t, template_s, a_std_t, a_std_s,
+                           ln_avg_loud, temporal_shift, temp_weight,
+                           max_boost, num_temporal=nt)
+
+
+def window_sum_table(xs: jnp.ndarray, num_temporal: int = 1) -> jnp.ndarray:
+    """Exclusive prefix sums of the window-statistic rows: ``[R, Tp+1]``
+    float32 with rows ``[Σ_t x, Σ_t x², Σ_s x, Σ_s x²]`` (plus an ``x[0]``
+    row when ``num_temporal != 1`` — the boost's window mean averages
+    channel 0 alone, FeatureCorrelationImpl.scala:73-78).
+
+    A sliding length-``L`` window sum is then two static slices,
+    ``P[r, L:] − P[r, :W]`` — no inverse FFT.  This replaces 4 of the 6
+    per-(file, template) irffts of :func:`correlation_trace_from_spectra`
+    on the reduced-precision serving path (the table is
+    template-independent, so a punch-in × punch-out pair shares ONE
+    table where the FFT formulation pays the 4 window-sum irffts twice).
+    f32 prefix rounding adds ~1e-5-level noise to window statistics —
+    an order below the bf16 spectra quantization the path already
+    carries, and the serving layer's exact re-rank restores exact
+    returned results (parallel/database.py).  Parity paths (f32
+    features, no spectra cache) keep the FFT window sums and their
+    ≤3e-8 budget.
+    """
+    nt = num_temporal
+    if xs.dtype != jnp.float32:
+        xs = xs.astype(jnp.float32)
+    rows = [xs[:nt].sum(axis=0), (xs[:nt] * xs[:nt]).sum(axis=0),
+            xs[nt:].sum(axis=0), (xs[nt:] * xs[nt:]).sum(axis=0)]
+    if nt != 1:
+        rows.append(xs[0])
+    r = jnp.stack(rows)
+    return jnp.concatenate(
+        [jnp.zeros((r.shape[0], 1), jnp.float32),
+         jnp.cumsum(r, axis=1, dtype=jnp.float32)], axis=1)
+
+
+def correlation_trace_from_sums(X: jnp.ndarray, sums: jnp.ndarray,
+                                t_padded: int,
+                                template_t: jnp.ndarray,
+                                template_s: jnp.ndarray,
+                                a_std_t: jnp.ndarray, a_std_s: jnp.ndarray,
+                                ln_avg_loud: jnp.ndarray,
+                                temporal_shift: jnp.ndarray,
+                                temp_weight: jnp.ndarray,
+                                max_boost: jnp.ndarray,
+                                num_temporal: int = 1):
+    """:func:`correlation_trace` continued from forward spectra ``X`` plus
+    a :func:`window_sum_table` — the 2-irfft trace (template dots only)
+    used by the cached-spectra serving kernels."""
+    nt = num_temporal
+    L = template_t.shape[1]
+    W = t_padded - L + 1
+    if W <= 0:
+        raise ValueError(
+            f"template length {L} exceeds padded signal length {t_padded}")
+
+    def wsum(row):
+        return row[L:L + W] - row[:W]
+
+    s_t = wsum(sums[0])
+    q_t = wsum(sums[1])
+    s_s = wsum(sums[2])
+    q_s = wsum(sums[3])
+    mu0 = None if nt == 1 else wsum(sums[4]) / L
+    return _trace_epilogue(X, t_padded, s_t, q_t, s_s, q_s, mu0,
+                           template_t, template_s, a_std_t, a_std_s,
+                           ln_avg_loud, temporal_shift, temp_weight,
+                           max_boost, num_temporal=nt)
+
+
+def _trace_epilogue(X, t_padded, s_t, q_t, s_s, q_s, mu0,
+                    template_t, template_s, a_std_t, a_std_s,
+                    ln_avg_loud, temporal_shift, temp_weight, max_boost,
+                    num_temporal: int = 1):
+    """Shared tail of the trace kernels: window statistics → template dots
+    (the 2 irreducible irffts) → blend → boost gate.  ``mu0`` is the
+    window mean of channel 0 when ``num_temporal != 1``, else ``None``
+    (reuses ``mu_t``)."""
+    nt = num_temporal
+    L = template_t.shape[1]
+    Tp = t_padded
+    W = Tp - L + 1
+    C_s = X.shape[0] - nt
+    N = _fft_len(Tp)
+
     n_t = nt * L
     mu_t = s_t / n_t
     var_t = jnp.maximum(q_t / n_t - mu_t * mu_t, 0.0)
     std_t = jnp.sqrt(var_t)
 
-    s_s = wsum(X[nt:].sum(axis=0))
-    q_s = wsum(Xsq[1])
     n_s = C_s * L
     mu_s = s_s / n_s
     var_s = jnp.maximum(q_s / n_s - mu_s * mu_s, 0.0)
@@ -337,7 +436,8 @@ def correlation_trace_from_spectra(X: jnp.ndarray, Xsq: jnp.ndarray,
     # loudness boost: window mean of (unshifted) channel 0 — NOT the whole
     # temporal group (calcBoost averages b(0) only,
     # FeatureCorrelationImpl.scala:73-78)
-    mu0 = mu_t if nt == 1 else wsum(X[0]) / L
+    if mu0 is None:
+        mu0 = mu_t
     loud_mean = mu0 + temporal_shift
     boost = jnp.exp((ln_avg_loud - jnp.log(loud_mean)) / 0.6)
     sim = jnp.where(boost <= max_boost, sim, 0.0)

@@ -220,7 +220,7 @@ def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
     (:data:`_VALIDATED_QB_BATCH` — the TPU backend returns deflated sims
     from the fused Q×B trace program at some larger shapes; evidence at
     the constant's definition and docs/PARITY.md).  ``spectra`` is the
-    cache tuple (complex pair or planar reduced quad); the reduced→
+    cache tuple (see :func:`_unpack_if_reduced`); the reduced→
     complex upcast happens INSIDE the per-file fn so the chunked
     ``lax.map`` carries bf16 operands, not a materialized full-database
     complex64 copy.  Returns ``(vals, idx, boosts)``, each
@@ -229,10 +229,10 @@ def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
 
     def one_query(tt, ts, st_t, st_s, la):
         def one_file(*args):
-            X, Xsq = _unpack_if_reduced(args[:-1])
-            return K.correlation_trace_from_spectra(
-                X, Xsq, t_padded, tt, ts, st_t, st_s, la, args[-1],
-                temp_weight, max_boost, num_temporal=num_temporal)
+            X, aux, use_sums = _unpack_if_reduced(args[:-1])
+            return _trace_any(
+                X, aux, use_sums, t_padded, tt, ts, st_t, st_s, la,
+                args[-1], temp_weight, max_boost, num_temporal=num_temporal)
 
         sims, boosts = _chunked_files_vmap(
             one_file, tuple(spectra) + (shifts_t,), n_queries,
@@ -390,16 +390,38 @@ def _chunked_files_vmap(fn, mapped, lanes_per_file: int, shards: int = 1):
 
 
 def _unpack_if_reduced(spectra):
-    """Spectra cache tuple → ``(X, Xsq)`` complex64.  The cache is either
-    ``(X, Xsq)`` complex already, or four PLANAR reduced arrays
-    ``(X_re, X_im, Xsq_re, Xsq_im)`` — rebuilt inside the jit, where the
-    upcast fuses into the first consumer.  (Planar, not a trailing
-    ``[..., 2]`` stack: a 2-wide minor axis forces lane-padding relayouts
-    on TPU — see kernels.corr.pack_spectra.)"""
+    """Spectra cache tuple → ``(X, aux, use_sums)``.
+
+    Three layouts (distinguished by tuple arity, a trace-time constant):
+
+    * ``(X, Xsq)`` complex64 — full-precision cache, FFT window sums
+      (``use_sums=False``, ``aux=Xsq``).
+    * ``(X_re, X_im, Xsq_re, Xsq_im)`` PLANAR reduced arrays — legacy
+      reduced layout, rebuilt inside the jit where the upcast fuses into
+      the first consumer.  (Planar, not a trailing ``[..., 2]`` stack: a
+      2-wide minor axis forces lane-padding relayouts on TPU — see
+      kernels.corr.pack_spectra.)
+    * ``(X_re, X_im, sums)`` — reduced spectra plus a float32
+      :func:`kernels.corr.window_sum_table` (``use_sums=True``,
+      ``aux=sums``): window statistics come from two static prefix-table
+      slices instead of 4 irffts per (file, template) — the 2-irfft
+      trace that serves the 10k compact path.
+    """
     if len(spectra) == 2:
-        return spectra
+        return spectra[0], spectra[1], False
+    if len(spectra) == 3:
+        x_re, x_im, sums = spectra
+        return K.unpack_spectra(x_re, x_im), sums, True
     x_re, x_im, q_re, q_im = spectra
-    return K.unpack_spectra(x_re, x_im), K.unpack_spectra(q_re, q_im)
+    return K.unpack_spectra(x_re, x_im), K.unpack_spectra(q_re, q_im), False
+
+
+def _trace_any(X, aux, use_sums: bool, t_padded, *args, **kw):
+    """Dispatch to the sums-based or FFT-based trace (see
+    :func:`_unpack_if_reduced`; ``use_sums`` is a trace-time constant)."""
+    fn = (K.correlation_trace_from_sums if use_sums
+          else K.correlation_trace_from_spectra)
+    return fn(X, aux, t_padded, *args, **kw)
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k",
@@ -421,13 +443,20 @@ def _spectra_kernel(xs_b, num_temporal: int = 1, pack_dtype: str = ""):
     """Per-file forward spectra of the whole database (the shared half of
     every trace) — cached resident when ``cache_spectra`` is set.  With a
     ``pack_dtype`` (e.g. ``"bfloat16"``) the complex spectra are stored as
-    reduced (re, im) pairs — half the cache, the mode that fits a 10k-file
-    database's spectra on one chip."""
-    X, Xsq = jax.vmap(partial(K.trace_spectra,
-                              num_temporal=num_temporal))(xs_b)
+    reduced planar (re, im) pairs — half the cache, the mode that fits a
+    10k-file database's spectra on one chip — and the tuple's third entry
+    is the float32 :func:`kernels.corr.window_sum_table` replacing the
+    ``Xsq`` rows entirely (window sums as prefix-table slices, not
+    irffts; the re-rank-guarded reduced path tolerates its ~1e-5 prefix
+    rounding where the full-precision cache must not)."""
     if pack_dtype:
         dt = jnp.dtype(pack_dtype)
-        return K.pack_spectra(X, dt) + K.pack_spectra(Xsq, dt)
+        X = jax.vmap(K.forward_spectra)(xs_b)
+        sums = jax.vmap(partial(K.window_sum_table,
+                                num_temporal=num_temporal))(xs_b)
+        return K.pack_spectra(X, dt) + (sums,)
+    X, Xsq = jax.vmap(partial(K.trace_spectra,
+                              num_temporal=num_temporal))(xs_b)
     return X, Xsq
 
 
@@ -437,14 +466,15 @@ def _query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                           max_boost, num_temporal: int = 1, k: int = 4):
     """:func:`_query_kernel` continued from cached spectra: a query costs
     only the ~6 inverse FFTs per file."""
-    X_b, Xsq_b = _unpack_if_reduced(spectra)
+    X_b, aux_b, use_sums = _unpack_if_reduced(spectra)
 
-    def one(X, Xsq, shift_t):
-        return K.correlation_trace_from_spectra(
-            X, Xsq, t_padded, tmpl_t, tmpl_s, a_std_t, a_std_s, ln_avg,
-            shift_t, temp_weight, max_boost, num_temporal=num_temporal)
+    def one(X, aux, shift_t):
+        return _trace_any(
+            X, aux, use_sums, t_padded, tmpl_t, tmpl_s, a_std_t, a_std_s,
+            ln_avg, shift_t, temp_weight, max_boost,
+            num_temporal=num_temporal)
 
-    sims, boosts = jax.vmap(one)(X_b, Xsq_b, shifts_t)
+    sims, boosts = jax.vmap(one)(X_b, aux_b, shifts_t)
     vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
                                          tmpl_t.shape[1], k)
     return vals, idx, boosts_k, sims, boosts
@@ -505,9 +535,9 @@ def _punch_query_kernel(xs_b, lens,
         # forward spectra once per file, shared by both punch templates
         X, Xsq = K.trace_spectra(xs, num_temporal=num_temporal)
         return _punch_one_from_spectra(
-            X, Xsq, xs_b.shape[2], in_t, in_s, in_std_t, in_std_s, in_ln,
-            out_t, out_s, out_std_t, out_std_s, out_ln, shift_t, tw_in,
-            tw_out, max_boost, min_punch, scan_span, t_len,
+            X, Xsq, False, xs_b.shape[2], in_t, in_s, in_std_t, in_std_s,
+            in_ln, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
+            tw_in, tw_out, max_boost, min_punch, scan_span, t_len,
             num_temporal=num_temporal, k=k)
 
     return jax.vmap(one)(xs_b, shifts_t, lens)
@@ -521,36 +551,39 @@ def _punch_query_kernel_spectra(spectra, t_padded, lens,
                                 min_punch, scan_span,
                                 num_temporal: int = 1, k: int = 4):
     """:func:`_punch_query_kernel` continued from cached spectra."""
-    X_b, Xsq_b = _unpack_if_reduced(spectra)
+    X_b, aux_b, use_sums = _unpack_if_reduced(spectra)
 
-    def one(X, Xsq, shift_t, t_len):
+    def one(X, aux, shift_t, t_len):
         return _punch_one_from_spectra(
-            X, Xsq, t_padded, in_t, in_s, in_std_t, in_std_s, in_ln,
-            out_t, out_s, out_std_t, out_std_s, out_ln, shift_t, tw_in,
-            tw_out, max_boost, min_punch, scan_span, t_len,
+            X, aux, use_sums, t_padded, in_t, in_s, in_std_t, in_std_s,
+            in_ln, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
+            tw_in, tw_out, max_boost, min_punch, scan_span, t_len,
             num_temporal=num_temporal, k=k)
 
-    return jax.vmap(one)(X_b, Xsq_b, shifts_t, lens)
+    return jax.vmap(one)(X_b, aux_b, shifts_t, lens)
 
 
-def _punch_one_from_spectra(X, Xsq, t_padded,
+def _punch_one_from_spectra(X, aux, use_sums, t_padded,
                             in_t, in_s, in_std_t, in_std_s, in_ln,
                             out_t, out_s, out_std_t, out_std_s, out_ln,
                             shift_t, tw_in, tw_out, max_boost,
                             min_punch, scan_span, t_len,
                             num_temporal: int = 1, k: int = 4):
-    """One file's punch-in × punch-out combine (see _punch_query_kernel)."""
+    """One file's punch-in × punch-out combine (see _punch_query_kernel).
+    ``aux``/``use_sums`` as in :func:`_unpack_if_reduced` — on the sums
+    path the window-sum table is shared by BOTH punch templates, so the
+    pair costs 4 irffts per file instead of 12."""
     L_in = in_t.shape[1]
     L_out = out_t.shape[1]
     Tp = t_padded
     W_in = Tp - L_in + 1
     W_out = Tp - L_out + 1
-    sims_in, boosts_in = K.correlation_trace_from_spectra(
-        X, Xsq, Tp, in_t, in_s, in_std_t, in_std_s, in_ln, shift_t,
-        tw_in, max_boost, num_temporal=num_temporal)
-    sims_out, boosts_out = K.correlation_trace_from_spectra(
-        X, Xsq, Tp, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
-        tw_out, max_boost, num_temporal=num_temporal)
+    sims_in, boosts_in = _trace_any(
+        X, aux, use_sums, Tp, in_t, in_s, in_std_t, in_std_s, in_ln,
+        shift_t, tw_in, max_boost, num_temporal=num_temporal)
+    sims_out, boosts_out = _trace_any(
+        X, aux, use_sums, Tp, out_t, out_s, out_std_t, out_std_s, out_ln,
+        shift_t, tw_out, max_boost, num_temporal=num_temporal)
 
     # validity: punch-in scan runs over len − minPunch frames (:183);
     # punch-out windows must fit the file
@@ -649,10 +682,10 @@ def _multi_punch_from_spectra(spectra, t_padded, lens,
 
     def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
         def one_file(*args):
-            X, Xsq = _unpack_if_reduced(args[:-2])
+            X, aux, use_sums = _unpack_if_reduced(args[:-2])
             shift_t, t_len = args[-2:]
             return _punch_one_from_spectra(
-                X, Xsq, t_padded, it, is_, ist, iss, iln,
+                X, aux, use_sums, t_padded, it, is_, ist, iss, iln,
                 ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
                 mp, ss, t_len, num_temporal=num_temporal, k=k)
 
@@ -1073,12 +1106,16 @@ class FeatureDatabase:
         # cache_spectra: keep every file's forward spectra resident
         # (~1.8× the feature HBM at f32, half that packed to bf16) so each
         # query pays only its inverse FFTs — ~4× lower query latency on
-        # large DBs.  True = full complex64; "bf16"/"bfloat16" (or any
-        # real dtype name) = reduced (re, im) pairs — the mode that fits a
-        # 10k-file database's spectra on one 16 GB chip (pair it with
-        # storage_dtype=bfloat16); device sims then carry ~1e-3 noise and
-        # the automatic exact re-rank (+4× k-inflation) restores exact
-        # returned results.
+        # large DBs.  True = full complex64 (X, Xsq; FFT window sums).
+        # "bf16"/"bfloat16" (or any real dtype name) = reduced planar
+        # (re, im) pairs PLUS a float32 window-sum prefix table replacing
+        # the Xsq rows (kernels.corr.window_sum_table) — window stats
+        # become two static slices and each trace pays only its 2
+        # template-dot irffts.  That's the mode that fits a 10k-file
+        # database's spectra on one 16 GB chip; device sims then carry
+        # ~1e-3 noise (bf16 quantization ≫ the table's ~1e-5 prefix
+        # rounding) and the automatic exact re-rank (+4× k-inflation)
+        # restores exact returned results.
         self._spectra_reduced = False
         if cache_spectra:
             pack = "" if cache_spectra is True else str(

@@ -122,6 +122,70 @@ def test_correlation_trace_matches_reference(temp_weight):
     assert abs(sims[50] - 1.0) < 1e-4
 
 
+@pytest.mark.parametrize("temp_weight", [0.0, 0.5, 1.0])
+def test_correlation_trace_from_sums_matches_fft_trace(temp_weight):
+    """The 2-irfft serving trace (forward spectra + window-sum prefix
+    table) must agree with the FFT-formulated trace and the reference
+    mirror — the sums path only changes HOW window statistics are
+    computed (prefix-table slices vs irffts), not what they are."""
+    x = _features(C=14, T=300, seed=7)
+    L = 40
+    ref_sims, ref_boosts = _reference_trace(x, 50, L, temp_weight,
+                                            max_boost=8.0)
+    tmpl = x[:, 50:50 + L]
+    tc_t, _, s_t = K.prepare_template(tmpl[:1])
+    tc_s, _, s_s = K.prepare_template(tmpl[1:])
+    ln_avg = float(np.log(np.float64(M.avg(tmpl[0], 0, L))))
+    xs, shift_t, _ = K.shift_per_group(x)
+
+    xs_d = jnp.asarray(xs)
+    X = K.forward_spectra(xs_d)
+    sums = K.window_sum_table(xs_d)
+    args = (jnp.asarray(tc_t), jnp.asarray(tc_s),
+            jnp.float32(s_t), jnp.float32(s_s), jnp.float32(ln_avg),
+            jnp.float32(shift_t), jnp.float32(temp_weight),
+            jnp.float32(8.0))
+    sims, boosts = K.correlation_trace_from_sums(
+        X, sums, xs.shape[1], *args)
+    sims, boosts = np.asarray(sims), np.asarray(boosts)
+    np.testing.assert_allclose(sims, ref_sims, atol=2e-5)
+    np.testing.assert_allclose(boosts, ref_boosts, rtol=2e-5)
+    assert abs(sims[50] - 1.0) < 1e-4
+
+    fft_sims, fft_boosts = K.correlation_trace(xs_d, *args)
+    np.testing.assert_allclose(sims, np.asarray(fft_sims), atol=2e-5)
+    np.testing.assert_allclose(boosts, np.asarray(fft_boosts), rtol=2e-5)
+
+
+def test_window_sum_table_multi_temporal_rows():
+    """num_temporal != 1 adds the channel-0 row the boost mean needs
+    (calcBoost averages b(0) alone, FeatureCorrelationImpl.scala:73-78);
+    the sums trace must then match the FFT trace's boosts exactly."""
+    x = _features(C=6, T=160, seed=11)
+    nt = 2
+    L = 24
+    tmpl = x[:, 30:30 + L]
+    tc_t, _, s_t = K.prepare_template(tmpl[:nt])
+    tc_s, _, s_s = K.prepare_template(tmpl[nt:])
+    ln_avg = float(np.log(np.float64(M.avg(tmpl[0], 0, L))))
+    xs, shift_t, _ = K.shift_per_group(x, num_temporal=nt)
+    xs_d = jnp.asarray(xs)
+    sums = K.window_sum_table(xs_d, num_temporal=nt)
+    assert sums.shape == (5, xs.shape[1] + 1)
+    args = (jnp.asarray(tc_t), jnp.asarray(tc_s),
+            jnp.float32(s_t), jnp.float32(s_s), jnp.float32(ln_avg),
+            jnp.float32(shift_t), jnp.float32(0.5), jnp.float32(8.0))
+    sims, boosts = K.correlation_trace_from_sums(
+        K.forward_spectra(xs_d), sums, xs.shape[1], *args,
+        num_temporal=nt)
+    fft_sims, fft_boosts = K.correlation_trace(xs_d, *args,
+                                               num_temporal=nt)
+    np.testing.assert_allclose(np.asarray(sims), np.asarray(fft_sims),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(boosts), np.asarray(fft_boosts),
+                               rtol=2e-5)
+
+
 def test_correlation_trace_boost_gate():
     """Windows needing more than max_boost get sim = 0
     (FeatureCorrelationImpl.scala:199-210)."""
