@@ -271,6 +271,13 @@ def main() -> None:
             print(f"{format_report(report)} "
                   f"[{time.perf_counter() - t0:.1f}s incl. compiles]",
                   file=sys.stderr)
+            # compact (bf16 spectra + window-sum table) serving kernels:
+            # the production 10k mode; also checks the raw sums-trace sims
+            t0 = time.perf_counter()
+            report = run_batch_canary(cache_spectra="bf16")
+            print(f"compact {format_report(report)} "
+                  f"[{time.perf_counter() - t0:.1f}s incl. compiles]",
+                  file=sys.stderr)
         except Exception as e:  # diagnostics only; metric already printed
             print(f"batch-kernel canary ERRORED: {e}", file=sys.stderr)
     else:

@@ -47,6 +47,12 @@ __all__ = ["run_batch_canary", "format_report"]
 #: fault deflates by ≥ 1e-2; kernel rounding is ≤ 3e-8 — see module doc.
 TOLERANCE = 1e-4
 
+#: Tolerance for the RAW device sims of the reduced (compact) spectra
+#: cache with the exact re-rank disabled: bf16 spectra quantization puts
+#: ~1e-3 noise on the trace, still an order below the ≥ 1e-2 deflation
+#: fault.  (The re-ranked results are held to :data:`TOLERANCE`.)
+REDUCED_TOLERANCE = 4e-3
+
 
 def run_batch_canary(n_files: int = 256, file_frames: int = 1200,
                      num_queries: int = 8, l_in: int = 96, l_out: int = 48,
@@ -92,52 +98,72 @@ def run_batch_canary(n_files: int = 256, file_frames: int = 1200,
 
     db = FeatureDatabase(entries, norm=None, cache_spectra=cache_spectra,
                          mesh=mesh)
-    report = {"families": {}, "frames_ok": True}
+    report = {"families": {}, "tols": {}, "frames_ok": True}
 
-    def record(name: str, devs, frames_ok: bool) -> None:
+    def record(name: str, devs, frames_ok: bool,
+               tol: float = TOLERANCE) -> None:
         report["families"][name] = float(np.max(devs))
+        report["tols"][name] = tol
         report["frames_ok"] = report["frames_ok"] and frames_ok
 
-    # -- batched query (the invalidated round-3 path, now chunked) ---------
-    qb = db.query_batch(tmpls, k=2)
-    devs, f_ok = [], True
-    for q, (f, off) in enumerate(planted):
-        devs.append(abs(float(qb[q].sims[f, 0]) - 1.0))
-        f_ok &= int(qb[q].frames[f, 0]) == off
-    record("query_batch", devs, f_ok)
+    def run_families(suffix: str = "", tol: float = TOLERANCE,
+                     **kw) -> None:
+        # -- batched query (the invalidated round-3 path, now chunked) -----
+        qb = db.query_batch(tmpls, k=2, **kw)
+        devs, f_ok = [], True
+        for q, (f, off) in enumerate(planted):
+            devs.append(abs(float(qb[q].sims[f, 0]) - 1.0))
+            f_ok &= int(qb[q].frames[f, 0]) == off
+        record("query_batch" + suffix, devs, f_ok, tol)
 
-    # -- batched punch (2·Q lanes per file — the harder regime) ------------
-    pb = db.query_punch_batch(pairs, k=2)
-    devs, f_ok = [], True
-    for q, (f, off) in enumerate(planted):
-        devs.append(abs(float(pb[q].sims[f, 0]) - 1.0))
-        # punch_lens is the matched length − min_punch (PunchQueryResult)
-        f_ok &= (int(pb[q].frames[f, 0]) == off
-                 and min_punch + int(pb[q].punch_lens[f, 0]) == d_punch)
-    record("query_punch_batch", devs, f_ok)
+        # -- batched punch (2·Q lanes per file — the harder regime) --------
+        pb = db.query_punch_batch(pairs, k=2, **kw)
+        devs, f_ok = [], True
+        for q, (f, off) in enumerate(planted):
+            devs.append(abs(float(pb[q].sims[f, 0]) - 1.0))
+            # punch_lens is the matched length − min_punch
+            f_ok &= (int(pb[q].frames[f, 0]) == off
+                     and min_punch + int(pb[q].punch_lens[f, 0]) == d_punch)
+        record("query_punch_batch" + suffix, devs, f_ok, tol)
 
-    # -- Q=1 serving kernels (absolute ground truth for the same DB) -------
-    sq = db.query(tmpls[0], k=2)
-    f0, off0 = planted[0]
-    record("query", [abs(float(sq.sims[f0, 0]) - 1.0)],
-           int(sq.frames[f0, 0]) == off0)
-    sp = db.query_punch(pairs[0][0], pairs[0][1], min_punch=min_punch,
-                        max_punch=max_punch, k=2)
-    record("query_punch", [abs(float(sp.sims[f0, 0]) - 1.0)],
-           int(sp.frames[f0, 0]) == off0
-           and min_punch + int(sp.punch_lens[f0, 0]) == d_punch)
+        # -- Q=1 serving kernels (absolute ground truth for the same DB) ---
+        sq = db.query(tmpls[0], k=2, **kw)
+        f0, off0 = planted[0]
+        record("query" + suffix, [abs(float(sq.sims[f0, 0]) - 1.0)],
+               int(sq.frames[f0, 0]) == off0, tol)
+        sp = db.query_punch(pairs[0][0], pairs[0][1], min_punch=min_punch,
+                            max_punch=max_punch, k=2, **kw)
+        record("query_punch" + suffix, [abs(float(sp.sims[f0, 0]) - 1.0)],
+               int(sp.frames[f0, 0]) == off0
+               and min_punch + int(sp.punch_lens[f0, 0]) == d_punch, tol)
+
+    run_families()
+    if db._spectra_reduced:
+        # Reduced (compact) cache: the default runs above went through the
+        # exact re-rank (sims restored to rounding level, tol 1e-4) —
+        # which would mask a UNIFORM trace deflation, since deflated-but-
+        # correctly-ranked candidates re-rank to exact 1.0.  So also check
+        # the raw device trace sims (re-rank off) at the reduced tolerance:
+        # bf16 spectra quantization is ~1e-3, the fault deflates ≥ 1e-2.
+        run_families(suffix="[raw]", tol=REDUCED_TOLERANCE,
+                     exact_rerank=False)
 
     report["worst"] = max(report["families"].values())
-    report["pass"] = bool(report["worst"] <= TOLERANCE
-                          and report["frames_ok"])
+    report["pass"] = bool(report["frames_ok"] and all(
+        report["families"][k] <= report["tols"][k]
+        for k in report["families"]))
     return report
 
 
 def format_report(report: dict) -> str:
     """One status line: ``batch-kernel canary: PASS/FAIL ...``."""
+    tols = report.get("tols", {})
     fams = ", ".join(f"{k} |Δ|={v:.2e}"
                      for k, v in sorted(report["families"].items()))
     verdict = "PASS" if report["pass"] else "FAIL"
     extra = "" if report["frames_ok"] else "; PLANTED FRAMES WRONG"
+    raw_tols = sorted({t for k, t in tols.items() if k.endswith("[raw]")})
+    raw = f"; raw tol {raw_tols[0]:g}" if raw_tols else ""
     return (f"batch-kernel canary: {verdict} worst |sim-1|="
-            f"{report['worst']:.2e} (tol {TOLERANCE:g}) [{fams}]{extra}")
+            f"{report['worst']:.2e} (tol {TOLERANCE:g}{raw}) [{fams}]"
+            f"{extra}")

@@ -850,16 +850,27 @@ def _rerank_window_math(xs_b, shifts_t, file_idx, frames, tmpl_t, tmpl_s,
     L = tmpl_t.shape[1]
     C = xs_b.shape[1]
 
-    # window gather as a vmapped dynamic_slice: ONE gather of M contiguous
-    # [C, L] slices (slice_sizes=(1, C, L)).  An advanced-indexing gather
-    # here (index arrays broadcast to [M, C, L]) lowers to a pointwise
-    # slice_sizes=(1,1,1) gather over M·C·L elements — measured ~1.3 s of
-    # a 10k compact query on the chip vs milliseconds for the slice form.
-    def one_window(i, t):
-        return jax.lax.dynamic_slice(xs_b, (i, 0, t),
-                                     (1, C, L))[0]
+    # window gather as dynamic_slices of M contiguous [C, L] windows,
+    # STACKED THROUGH A lax.scan.  Two rejected forms, both for hard-won
+    # reasons:
+    #  * advanced-indexing gather (index arrays broadcast to [M, C, L])
+    #    lowers to a pointwise slice_sizes=(1,1,1) gather over M·C·L
+    #    elements — measured ~1.3 s of a 10k compact query on the chip vs
+    #    milliseconds for the slice form;
+    #  * jax.vmap(dynamic_slice) FUSED into the consuming reductions
+    #    returns silently WRONG sims on the TPU backend from M=128
+    #    (worst |sim−1| 0.12–0.39, non-uniform, while the SAME program's
+    #    materialized gather output is bit-exact; optimization_barrier
+    #    does not fence it — tools/rerank_isolate.py, rerank_repro.py,
+    #    docs/ROUND5_NOTES.md).  The scan's stacked output is a real
+    #    HBM materialization the compiler cannot fuse away; validated
+    #    exact on hardware at every production bucket 64..4096.
+    def one_window(carry, it):
+        i, t = it
+        return carry, jax.lax.dynamic_slice(xs_b, (i, 0, t), (1, C, L))[0]
 
-    win = jax.vmap(one_window)(file_idx, frames).astype(jnp.float32)
+    _, win = jax.lax.scan(one_window, 0, (file_idx, frames))
+    win = win.astype(jnp.float32)
 
     def group(rows, tmpl, a_std, n_cells):
         s = rows.sum(axis=(1, 2))

@@ -53,6 +53,47 @@ def test_canary_passes_on_virtual_mesh():
     assert report["worst"] < 1e-5
 
 
+def test_canary_compact_mode_checks_raw_trace():
+    """The compact (bf16 spectra + window-sum table) mode must check BOTH
+    the re-ranked results (exact, tol 1e-4) and the raw sums-trace sims
+    (re-rank off, reduced tol) — the raw check is what detects a uniform
+    trace deflation the exact re-rank would mask."""
+    report = canary.run_batch_canary(cache_spectra="bf16")
+    assert report["pass"], canary.format_report(report)
+    fams = set(report["families"])
+    assert {"query", "query_batch", "query_punch",
+            "query_punch_batch"} <= fams
+    raw = {f for f in fams if f.endswith("[raw]")}
+    assert len(raw) == 4
+    for f in raw:
+        assert report["tols"][f] == canary.REDUCED_TOLERANCE
+        # bf16 quantization noise is real on CPU too: nonzero but inside
+        # the reduced tolerance and ABOVE the exact families' level
+        assert report["families"][f] <= canary.REDUCED_TOLERANCE
+    for f in fams - raw:
+        assert report["tols"][f] == canary.TOLERANCE
+        assert report["families"][f] < 1e-5
+
+
+def test_canary_compact_fails_on_raw_deflation(monkeypatch):
+    """A uniform deflation visible only before the re-rank (the fault's
+    signature on the compact path) must still flip the verdict."""
+    orig = DBM.FeatureDatabase.query_batch
+
+    def deflated(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if kw.get("exact_rerank") is False:   # raw pass only
+            for r in out:
+                r.sims = np.asarray(r.sims) * 0.95
+        return out
+
+    monkeypatch.setattr(DBM.FeatureDatabase, "query_batch", deflated)
+    report = canary.run_batch_canary(cache_spectra="bf16")
+    assert not report["pass"]
+    assert report["families"]["query_batch[raw]"] > canary.REDUCED_TOLERANCE
+    assert report["families"]["query_batch"] < 1e-5
+
+
 def test_canary_fails_on_deflated_sims(monkeypatch):
     """Scale every batched-query sim by the observed fault factor and the
     canary must FAIL."""

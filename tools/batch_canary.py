@@ -1,7 +1,11 @@
 """Planted-match canary for the batched serving kernels — run this every
 hardware session (and after any jax/XLA/backend update).
 
-    python tools/batch_canary.py [--spectra] [--mesh N]
+    python tools/batch_canary.py [--spectra] [--compact] [--mesh N]
+
+``--spectra`` caches full complex64 spectra; ``--compact`` uses the
+production 10k serving mode (planar bf16 spectra + window-sum table),
+which also checks the raw sums-trace sims with the re-rank disabled.
 
 Exits non-zero on FAIL.  Detects a recurrence of the round-4 TPU-backend
 deflation fault (silently wrong sims in queries-axis-vmapped batched trace
@@ -26,8 +30,9 @@ def main() -> int:
         n = int(sys.argv[sys.argv.index("--mesh") + 1])
         mesh = jax.sharding.Mesh(jax.devices()[:n], ("files",))
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    report = run_batch_canary(cache_spectra="--spectra" in sys.argv,
-                              mesh=mesh)
+    cache = ("bf16" if "--compact" in sys.argv
+             else "--spectra" in sys.argv)
+    report = run_batch_canary(cache_spectra=cache, mesh=mesh)
     print(format_report(report))
     return 0 if report["pass"] else 1
 
