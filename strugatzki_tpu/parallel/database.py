@@ -465,16 +465,21 @@ def _query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
                           a_std_t, a_std_s, ln_avg, shifts_t, temp_weight,
                           max_boost, num_temporal: int = 1, k: int = 4):
     """:func:`_query_kernel` continued from cached spectra: a query costs
-    only the ~6 inverse FFTs per file."""
-    X_b, aux_b, use_sums = _unpack_if_reduced(spectra)
-
-    def one(X, aux, shift_t):
+    only its template-dot inverse FFTs per file.  Files are chunked like
+    the batched kernels (``_chunked_files_vmap``) so the reduced→complex
+    upcast and the irfft workspaces peak at one 1024-file step, not the
+    whole 2048-file dispatch — at the 10k compact scale the unchunked
+    form RESOURCE_EXHAUSTED a 16 GB chip once the window-sum table
+    joined the resident set (docs/ROUND5_NOTES.md)."""
+    def one_file(*args):
+        X, aux, use_sums = _unpack_if_reduced(args[:-1])
         return _trace_any(
             X, aux, use_sums, t_padded, tmpl_t, tmpl_s, a_std_t, a_std_s,
-            ln_avg, shift_t, temp_weight, max_boost,
+            ln_avg, args[-1], temp_weight, max_boost,
             num_temporal=num_temporal)
 
-    sims, boosts = jax.vmap(one)(X_b, aux_b, shifts_t)
+    sims, boosts = _chunked_files_vmap(
+        one_file, tuple(spectra) + (shifts_t,), 1)
     vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
                                          tmpl_t.shape[1], k)
     return vals, idx, boosts_k, sims, boosts
@@ -550,17 +555,20 @@ def _punch_query_kernel_spectra(spectra, t_padded, lens,
                                 shifts_t, tw_in, tw_out, max_boost,
                                 min_punch, scan_span,
                                 num_temporal: int = 1, k: int = 4):
-    """:func:`_punch_query_kernel` continued from cached spectra."""
-    X_b, aux_b, use_sums = _unpack_if_reduced(spectra)
-
-    def one(X, aux, shift_t, t_len):
+    """:func:`_punch_query_kernel` continued from cached spectra; files
+    chunked at 2 trace lanes per file (in + out) like the batched punch —
+    see :func:`_query_kernel_spectra` for the peak-memory rationale."""
+    def one_file(*args):
+        X, aux, use_sums = _unpack_if_reduced(args[:-2])
+        shift_t, t_len = args[-2:]
         return _punch_one_from_spectra(
             X, aux, use_sums, t_padded, in_t, in_s, in_std_t, in_std_s,
             in_ln, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
             tw_in, tw_out, max_boost, min_punch, scan_span, t_len,
             num_temporal=num_temporal, k=k)
 
-    return jax.vmap(one)(X_b, aux_b, shifts_t, lens)
+    return _chunked_files_vmap(
+        one_file, tuple(spectra) + (shifts_t, lens), 2)
 
 
 def _punch_one_from_spectra(X, aux, use_sums, t_padded,

@@ -401,6 +401,30 @@ def test_rerank_device_flag_validation(db_entries):
     assert not db._rerank_device
 
 
+def test_rerank_gather_is_scan_stacked():
+    """Structure pin: the device re-rank's window gather must stay STACKED
+    THROUGH lax.scan.  A jax.vmap(dynamic_slice) gather fused into the
+    consuming reductions returns silently wrong sims on the TPU backend
+    from 128 windows up (round-5 backend regression; the fault is
+    invisible on CPU — tools/rerank_isolate.py, CLAUDE.md).  This pins
+    the jaxpr so a refactor back to the vmap form fails loudly here
+    instead of silently on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from strugatzki_tpu.parallel import database as DBM
+
+    xs = jnp.zeros((4, 6, 64), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda fi, fr, tt, ts: DBM._rerank_window_math(
+            xs, jnp.zeros((4,), jnp.float32), fi, fr, tt, ts,
+            jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0),
+            jnp.float32(0.5), jnp.float32(8.0)))(
+        jnp.zeros((8,), jnp.int32), jnp.zeros((8,), jnp.int32),
+        jnp.zeros((1, 16), jnp.float32), jnp.zeros((5, 16), jnp.float32))
+    assert "scan" in str(jaxpr), "re-rank gather no longer scan-stacked"
+
+
 def test_sharded_query_punch_batch_matches_single(db_entries):
     """query_punch_batch runs SPMD over a files mesh unchanged; results
     must match the single-device batch."""
