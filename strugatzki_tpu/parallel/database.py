@@ -210,7 +210,7 @@ class PunchQueryResult:
         return [c.match for c in kept]
 
 
-def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
+def _multi_query_from_spectra(spectra, xs_b, t_padded, lens, tmpl_t, tmpl_s,
                               a_std_t, a_std_s, ln_avg, shifts_t,
                               temp_weight, max_boost,
                               num_temporal: int = 1, k: int = 4,
@@ -223,19 +223,22 @@ def _multi_query_from_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
     cache tuple (see :func:`_unpack_if_reduced`); the reduced→
     complex upcast happens INSIDE the per-file fn so the chunked
     ``lax.map`` carries bf16 operands, not a materialized full-database
-    complex64 copy.  Returns ``(vals, idx, boosts)``, each
-    ``[Q, B, k]``."""
+    complex64 copy.  ``xs_b`` feeds the reduced path's on-the-fly
+    window-sum tables (unused — and DCE'd — on the complex64 path).
+    Returns ``(vals, idx, boosts)``, each ``[Q, B, k]``."""
     n_queries = tmpl_t.shape[0]
 
     def one_query(tt, ts, st_t, st_s, la):
         def one_file(*args):
-            X, aux, use_sums = _unpack_if_reduced(args[:-1])
+            *sp, xs_row, shift_t = args
+            X, aux, use_sums = _unpack_if_reduced(tuple(sp), xs_row,
+                                                  num_temporal)
             return _trace_any(
                 X, aux, use_sums, t_padded, tt, ts, st_t, st_s, la,
-                args[-1], temp_weight, max_boost, num_temporal=num_temporal)
+                shift_t, temp_weight, max_boost, num_temporal=num_temporal)
 
         sims, boosts = _chunked_files_vmap(
-            one_file, tuple(spectra) + (shifts_t,), n_queries,
+            one_file, tuple(spectra) + (xs_b, shifts_t), n_queries,
             shards=shards)                                      # [B, W]
         return _topk_epilogue(sims, boosts, lens, tt.shape[1], k)
 
@@ -255,7 +258,7 @@ def _multi_query_kernel(xs_b, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
     X_b, Xsq_b = jax.vmap(partial(K.trace_spectra,
                                   num_temporal=num_temporal))(xs_b)
     return _multi_query_from_spectra(
-        (X_b, Xsq_b), xs_b.shape[2], lens, tmpl_t, tmpl_s, a_std_t,
+        (X_b, Xsq_b), xs_b, xs_b.shape[2], lens, tmpl_t, tmpl_s, a_std_t,
         a_std_s, ln_avg, shifts_t, temp_weight, max_boost,
         num_temporal=num_temporal, k=k, shards=shards)
 
@@ -389,31 +392,33 @@ def _chunked_files_vmap(fn, mapped, lanes_per_file: int, shards: int = 1):
         lambda o: o.reshape((nc * bc,) + o.shape[2:])[:B], out)
 
 
-def _unpack_if_reduced(spectra):
-    """Spectra cache tuple → ``(X, aux, use_sums)``.
+def _unpack_if_reduced(spectra, xs_row, num_temporal: int):
+    """Per-file spectra cache entry → ``(X, aux, use_sums)``.
 
-    Three layouts (distinguished by tuple arity, a trace-time constant):
+    Two layouts (distinguished by dtype, a trace-time constant):
 
     * ``(X, Xsq)`` complex64 — full-precision cache, FFT window sums
       (``use_sums=False``, ``aux=Xsq``).
-    * ``(X_re, X_im, Xsq_re, Xsq_im)`` PLANAR reduced arrays — legacy
-      reduced layout, rebuilt inside the jit where the upcast fuses into
-      the first consumer.  (Planar, not a trailing ``[..., 2]`` stack: a
-      2-wide minor axis forces lane-padding relayouts on TPU — see
-      kernels.corr.pack_spectra.)
-    * ``(X_re, X_im, sums)`` — reduced spectra plus a float32
-      :func:`kernels.corr.window_sum_table` (``use_sums=True``,
-      ``aux=sums``): window statistics come from two static prefix-table
-      slices instead of 4 irffts per (file, template) — the 2-irfft
-      trace that serves the 10k compact path.
+    * ``(X_re, X_im)`` PLANAR reduced arrays — rebuilt inside the jit
+      where the upcast fuses into the first consumer.  (Planar, not a
+      trailing ``[..., 2]`` stack: a 2-wide minor axis forces
+      lane-padding relayouts on TPU — see kernels.corr.pack_spectra.)
+      ``aux`` is then a float32 :func:`kernels.corr.window_sum_table`
+      computed ON THE FLY from the file's resident f32 feature row:
+      window statistics become two static prefix-table slices instead
+      of 4 irffts per (file, template) — the 2-irfft trace serving the
+      10k compact path.  The table is NOT stored (a stored [4, Tp+1]
+      f32 table cost ~1.7 GiB at 10k files and RESOURCE_EXHAUSTED a
+      16 GB chip); recomputing is a per-file cumsum over data already
+      in HBM, and because it carries no queries-axis dependence the
+      batched kernels' queries-vmap computes it ONCE per file, shared
+      by every template (vmap semantics: unbatched operands stay
+      unbatched).
     """
-    if len(spectra) == 2:
+    if jnp.iscomplexobj(spectra[0]):
         return spectra[0], spectra[1], False
-    if len(spectra) == 3:
-        x_re, x_im, sums = spectra
-        return K.unpack_spectra(x_re, x_im), sums, True
-    x_re, x_im, q_re, q_im = spectra
-    return K.unpack_spectra(x_re, x_im), K.unpack_spectra(q_re, q_im), False
+    X = K.unpack_spectra(*spectra)
+    return X, K.window_sum_table(xs_row, num_temporal), True
 
 
 def _trace_any(X, aux, use_sums: bool, t_padded, *args, **kw):
@@ -426,14 +431,14 @@ def _trace_any(X, aux, use_sums: bool, t_padded, *args, **kw):
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k",
                                    "shards"))
-def _multi_query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
-                                a_std_t, a_std_s, ln_avg, shifts_t,
+def _multi_query_kernel_spectra(spectra, xs_b, t_padded, lens, tmpl_t,
+                                tmpl_s, a_std_t, a_std_s, ln_avg, shifts_t,
                                 temp_weight, max_boost,
                                 num_temporal: int = 1, k: int = 4,
                                 shards: int = 1):
     """:func:`_multi_query_kernel` continued from cached spectra."""
     return _multi_query_from_spectra(
-        spectra, t_padded, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
+        spectra, xs_b, t_padded, lens, tmpl_t, tmpl_s, a_std_t, a_std_s,
         ln_avg, shifts_t, temp_weight, max_boost,
         num_temporal=num_temporal, k=k, shards=shards)
 
@@ -442,44 +447,42 @@ def _multi_query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
 def _spectra_kernel(xs_b, num_temporal: int = 1, pack_dtype: str = ""):
     """Per-file forward spectra of the whole database (the shared half of
     every trace) — cached resident when ``cache_spectra`` is set.  With a
-    ``pack_dtype`` (e.g. ``"bfloat16"``) the complex spectra are stored as
-    reduced planar (re, im) pairs — half the cache, the mode that fits a
-    10k-file database's spectra on one chip — and the tuple's third entry
-    is the float32 :func:`kernels.corr.window_sum_table` replacing the
-    ``Xsq`` rows entirely (window sums as prefix-table slices, not
-    irffts; the re-rank-guarded reduced path tolerates its ~1e-5 prefix
-    rounding where the full-precision cache must not)."""
+    ``pack_dtype`` (e.g. ``"bfloat16"``) only the forward spectra are
+    cached, as reduced planar (re, im) pairs — half the cache, the mode
+    that fits a 10k-file database's spectra on one chip; the ``Xsq``
+    window-sum spectra are replaced by on-the-fly window-sum tables from
+    the resident f32 features (see :func:`_unpack_if_reduced` — a STORED
+    table RESOURCE_EXHAUSTED a 16 GB chip at 10k files)."""
     if pack_dtype:
         dt = jnp.dtype(pack_dtype)
         X = jax.vmap(K.forward_spectra)(xs_b)
-        sums = jax.vmap(partial(K.window_sum_table,
-                                num_temporal=num_temporal))(xs_b)
-        return K.pack_spectra(X, dt) + (sums,)
+        return K.pack_spectra(X, dt)
     X, Xsq = jax.vmap(partial(K.trace_spectra,
                               num_temporal=num_temporal))(xs_b)
     return X, Xsq
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
-def _query_kernel_spectra(spectra, t_padded, lens, tmpl_t, tmpl_s,
+def _query_kernel_spectra(spectra, xs_b, t_padded, lens, tmpl_t, tmpl_s,
                           a_std_t, a_std_s, ln_avg, shifts_t, temp_weight,
                           max_boost, num_temporal: int = 1, k: int = 4):
     """:func:`_query_kernel` continued from cached spectra: a query costs
     only its template-dot inverse FFTs per file.  Files are chunked like
     the batched kernels (``_chunked_files_vmap``) so the reduced→complex
     upcast and the irfft workspaces peak at one 1024-file step, not the
-    whole 2048-file dispatch — at the 10k compact scale the unchunked
-    form RESOURCE_EXHAUSTED a 16 GB chip once the window-sum table
-    joined the resident set (docs/ROUND5_NOTES.md)."""
+    whole 2048-file dispatch (part of the 10k RESOURCE_EXHAUSTED fix,
+    docs/ROUND5_NOTES.md)."""
     def one_file(*args):
-        X, aux, use_sums = _unpack_if_reduced(args[:-1])
+        *sp, xs_row, shift_t = args
+        X, aux, use_sums = _unpack_if_reduced(tuple(sp), xs_row,
+                                              num_temporal)
         return _trace_any(
             X, aux, use_sums, t_padded, tmpl_t, tmpl_s, a_std_t, a_std_s,
-            ln_avg, args[-1], temp_weight, max_boost,
+            ln_avg, shift_t, temp_weight, max_boost,
             num_temporal=num_temporal)
 
     sims, boosts = _chunked_files_vmap(
-        one_file, tuple(spectra) + (shifts_t,), 1)
+        one_file, tuple(spectra) + (xs_b, shifts_t), 1)
     vals, idx, boosts_k = _topk_epilogue(sims, boosts, lens,
                                          tmpl_t.shape[1], k)
     return vals, idx, boosts_k, sims, boosts
@@ -549,7 +552,7 @@ def _punch_query_kernel(xs_b, lens,
 
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k"))
-def _punch_query_kernel_spectra(spectra, t_padded, lens,
+def _punch_query_kernel_spectra(spectra, xs_b, t_padded, lens,
                                 in_t, in_s, in_std_t, in_std_s, in_ln,
                                 out_t, out_s, out_std_t, out_std_s, out_ln,
                                 shifts_t, tw_in, tw_out, max_boost,
@@ -559,8 +562,9 @@ def _punch_query_kernel_spectra(spectra, t_padded, lens,
     chunked at 2 trace lanes per file (in + out) like the batched punch —
     see :func:`_query_kernel_spectra` for the peak-memory rationale."""
     def one_file(*args):
-        X, aux, use_sums = _unpack_if_reduced(args[:-2])
-        shift_t, t_len = args[-2:]
+        *sp, xs_row, shift_t, t_len = args
+        X, aux, use_sums = _unpack_if_reduced(tuple(sp), xs_row,
+                                              num_temporal)
         return _punch_one_from_spectra(
             X, aux, use_sums, t_padded, in_t, in_s, in_std_t, in_std_s,
             in_ln, out_t, out_s, out_std_t, out_std_s, out_ln, shift_t,
@@ -568,7 +572,7 @@ def _punch_query_kernel_spectra(spectra, t_padded, lens,
             num_temporal=num_temporal, k=k)
 
     return _chunked_files_vmap(
-        one_file, tuple(spectra) + (shifts_t, lens), 2)
+        one_file, tuple(spectra) + (xs_b, shifts_t, lens), 2)
 
 
 def _punch_one_from_spectra(X, aux, use_sums, t_padded,
@@ -666,7 +670,7 @@ def _punch_one_from_spectra(X, aux, use_sums, t_padded,
     return vals, t_idx, j_k, b_in, b_out, si
 
 
-def _multi_punch_from_spectra(spectra, t_padded, lens,
+def _multi_punch_from_spectra(spectra, xs_b, t_padded, lens,
                               in_t, in_s, in_std_t, in_std_s, in_ln,
                               out_t, out_s, out_std_t, out_std_s, out_ln,
                               shifts_t, tw_in, tw_out, max_boost,
@@ -690,8 +694,9 @@ def _multi_punch_from_spectra(spectra, t_padded, lens,
 
     def one_pair(it, is_, ist, iss, iln, ot, os_, ost, oss, oln, mp, ss):
         def one_file(*args):
-            X, aux, use_sums = _unpack_if_reduced(args[:-2])
-            shift_t, t_len = args[-2:]
+            *sp, xs_row, shift_t, t_len = args
+            X, aux, use_sums = _unpack_if_reduced(tuple(sp), xs_row,
+                                                  num_temporal)
             return _punch_one_from_spectra(
                 X, aux, use_sums, t_padded, it, is_, ist, iss, iln,
                 ot, os_, ost, oss, oln, shift_t, tw_in, tw_out, max_boost,
@@ -699,7 +704,7 @@ def _multi_punch_from_spectra(spectra, t_padded, lens,
 
         # 2 lanes per (pair, file): the punch-in and punch-out traces
         return _chunked_files_vmap(
-            one_file, tuple(spectra) + (shifts_t, lens), 2 * n_pairs,
+            one_file, tuple(spectra) + (xs_b, shifts_t, lens), 2 * n_pairs,
             shards=shards)
 
     return jax.vmap(one_pair)(in_t, in_s, in_std_t, in_std_s, in_ln,
@@ -729,7 +734,7 @@ def _multi_punch_kernel(xs_b, lens,
     X_b, Xsq_b = jax.vmap(partial(K.trace_spectra,
                                   num_temporal=num_temporal))(xs_b)
     return _multi_punch_from_spectra(
-        (X_b, Xsq_b), xs_b.shape[2], lens,
+        (X_b, Xsq_b), xs_b, xs_b.shape[2], lens,
         in_t, in_s, in_std_t, in_std_s, in_ln,
         out_t, out_s, out_std_t, out_std_s, out_ln,
         shifts_t, tw_in, tw_out, max_boost, min_punch, scan_span,
@@ -738,7 +743,7 @@ def _multi_punch_kernel(xs_b, lens,
 
 @partial(jax.jit, static_argnames=("t_padded", "num_temporal", "k",
                                    "shards"))
-def _multi_punch_kernel_spectra(spectra, t_padded, lens,
+def _multi_punch_kernel_spectra(spectra, xs_b, t_padded, lens,
                                 in_t, in_s, in_std_t, in_std_s, in_ln,
                                 out_t, out_s, out_std_t, out_std_s, out_ln,
                                 shifts_t, tw_in, tw_out, max_boost,
@@ -747,7 +752,7 @@ def _multi_punch_kernel_spectra(spectra, t_padded, lens,
                                 shards: int = 1):
     """:func:`_multi_punch_kernel` continued from cached spectra."""
     return _multi_punch_from_spectra(
-        spectra, t_padded, lens,
+        spectra, xs_b, t_padded, lens,
         in_t, in_s, in_std_t, in_std_s, in_ln,
         out_t, out_s, out_std_t, out_std_s, out_ln,
         shifts_t, tw_in, tw_out, max_boost, min_punch, scan_span,
@@ -1127,14 +1132,16 @@ class FeatureDatabase:
         # query pays only its inverse FFTs — ~4× lower query latency on
         # large DBs.  True = full complex64 (X, Xsq; FFT window sums).
         # "bf16"/"bfloat16" (or any real dtype name) = reduced planar
-        # (re, im) pairs PLUS a float32 window-sum prefix table replacing
-        # the Xsq rows (kernels.corr.window_sum_table) — window stats
-        # become two static slices and each trace pays only its 2
-        # template-dot irffts.  That's the mode that fits a 10k-file
-        # database's spectra on one 16 GB chip; device sims then carry
-        # ~1e-3 noise (bf16 quantization ≫ the table's ~1e-5 prefix
-        # rounding) and the automatic exact re-rank (+4× k-inflation)
-        # restores exact returned results.
+        # (re, im) pairs of the FORWARD spectra only; window statistics
+        # come from per-file window-sum prefix tables computed on the fly
+        # from the resident f32 features inside the query kernels
+        # (kernels.corr.window_sum_table via _unpack_if_reduced — storing
+        # the tables cost ~1.7 GiB at 10k files and OOM'd a 16 GB chip),
+        # so each trace pays only its 2 template-dot irffts.  That's the
+        # mode that fits a 10k-file database's spectra on one 16 GB chip;
+        # device sims then carry ~1e-3 noise (bf16 quantization ≫ the
+        # table's ~1e-5 prefix rounding) and the automatic exact re-rank
+        # (+4× k-inflation) restores exact returned results.
         self._spectra_reduced = False
         if cache_spectra:
             pack = "" if cache_spectra is True else str(
@@ -1449,7 +1456,7 @@ class FeatureDatabase:
             targs = tmpl_args + (self._shifts[sl],) + scal_args
             if self._spectra is not None:
                 out = _query_kernel_spectra(
-                    tuple(s[sl] for s in self._spectra),
+                    tuple(s[sl] for s in self._spectra), self._xs[sl],
                     self._xs.shape[2], self._lens_dev[sl], *targs,
                     num_temporal=self._num_temporal, k=k_dev)
             else:
@@ -1808,7 +1815,7 @@ class FeatureDatabase:
             ch_args = targs[:10] + (self._shifts[sl],) + targs[11:]
             if self._spectra is not None:
                 out = _punch_query_kernel_spectra(
-                    tuple(s[sl] for s in self._spectra),
+                    tuple(s[sl] for s in self._spectra), self._xs[sl],
                     self._xs.shape[2], self._lens_dev[sl], *ch_args,
                     num_temporal=self._num_temporal, k=k_dev)
             else:
@@ -1881,7 +1888,7 @@ class FeatureDatabase:
                          jnp.float32(temp_weight), jnp.float32(max_boost))
                 if self._spectra is not None:
                     out = _multi_query_kernel_spectra(
-                        tuple(s[sl] for s in self._spectra),
+                        tuple(s[sl] for s in self._spectra), self._xs[sl],
                         self._xs.shape[2], self._lens_dev[sl], *qargs,
                         num_temporal=self._num_temporal, k=k_dev,
                         shards=self._num_shards)
@@ -1984,7 +1991,7 @@ class FeatureDatabase:
                 ch = targs + (self._shifts[sl],) + scal + (mps, spans)
                 if self._spectra is not None:
                     out = _multi_punch_kernel_spectra(
-                        tuple(s[sl] for s in self._spectra),
+                        tuple(s[sl] for s in self._spectra), self._xs[sl],
                         self._xs.shape[2], self._lens_dev[sl], *ch,
                         num_temporal=self._num_temporal, k=k_dev,
                         shards=self._num_shards)

@@ -286,10 +286,9 @@ def test_bf16_spectra_cache_matches_f32(db_entries, monkeypatch):
     db = D.FeatureDatabase(entries, norm=None, pad_multiple=64,
                            storage_dtype=jnp.bfloat16, cache_spectra="bf16")
     assert db._spectra_reduced
-    assert len(db._spectra) == 3        # planar (re, im) + window-sum table
+    assert len(db._spectra) == 2        # planar (re, im); sums on the fly
     assert db._spectra[0].dtype == jnp.bfloat16
     assert db._spectra[1].dtype == jnp.bfloat16
-    assert db._spectra[2].dtype == jnp.float32
     assert db._spectra[0].shape == db._spectra[1].shape
 
     r = db.query(tmpl, k=3)

@@ -215,17 +215,17 @@ def test_concurrent_queries_thread_safe():
 def test_incremental_new_compact_mode():
     """Round-4 compact combo (f32 features + PLANAR bf16 spectra + device
     re-rank): incremental add/remove must stay match-identical to a fresh
-    build, exercising the 3-array spectra scatter (re, im, window-sum
-    table) and the device re-rank over updated rows (C=14 so the
-    InputTemplate channel layout holds)."""
+    build, exercising the planar (re, im) spectra scatter and the device
+    re-rank over updated rows (C=14 so the InputTemplate channel layout
+    holds)."""
     ents = _entries(21, 9, C=14)
     kw = dict(cache_spectra="bf16")
     db = FeatureDatabase(ents, norm=None, **kw)
-    assert db._rerank_device and len(db._spectra) == 3
+    assert db._rerank_device and len(db._spectra) == 2
     db.remove_files([ents[4][0]])
     extra = _entries(22, 2, T=170, C=14)
     db.add_files(extra)
-    assert len(db._spectra) == 3
+    assert len(db._spectra) == 2
     live = [e for i, e in enumerate(ents) if i != 4] + extra
     _assert_equiv(db, live, _tmpl(extra, 0), **kw)
     t_in = _tmpl(extra, 1, start=10, L=40)
