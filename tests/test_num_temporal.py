@@ -83,6 +83,36 @@ def test_exact_rerank_agrees_with_device_nt2():
     np.testing.assert_array_equal(plain.frames, exact.frames)
 
 
+def test_compact_mode_nt2_matches_plain():
+    """nt=2 through the COMPACT path (bf16 forward spectra + on-the-fly
+    window-sum tables, which grow the channel-0 boost row at nt!=1, +
+    exact re-rank): query, punch, and batch results must match the plain
+    f32 database — the sums trace's nt!=1 row and the nt-aware re-rank
+    both live on this path."""
+    ents = _entries(seed=11, n=6, C=8, T=200)
+    plain = FeatureDatabase(ents, norm=None, pad_multiple=64,
+                            num_temporal=NT)
+    compact = FeatureDatabase(ents, norm=None, pad_multiple=64,
+                              num_temporal=NT, cache_spectra="bf16")
+    assert compact._spectra_reduced and compact._rerank_device
+    tmpl = InputTemplate(ents[4][1][:, 25:75].copy(), num_temporal=NT)
+    want = plain.query(tmpl, k=3)
+    got = compact.query(tmpl, k=3)
+    np.testing.assert_array_equal(got.frames, want.frames)
+    np.testing.assert_allclose(got.sims, want.sims, atol=1e-5)
+    t_in = InputTemplate(ents[2][1][:, 5:45].copy(), num_temporal=NT)
+    t_out = InputTemplate(ents[2][1][:, 70:100].copy(), num_temporal=NT)
+    wp = plain.query_punch(t_in, t_out, min_punch=30, max_punch=80, k=2)
+    gp = compact.query_punch(t_in, t_out, min_punch=30, max_punch=80, k=2)
+    np.testing.assert_array_equal(gp.frames[:, 0], wp.frames[:, 0])
+    np.testing.assert_allclose(gp.sims, wp.sims, atol=1e-5)
+    wb = plain.query_batch([tmpl, t_in], k=2)
+    gb = compact.query_batch([tmpl, t_in], k=2)
+    for w, g in zip(wb, gb):
+        np.testing.assert_array_equal(g.frames, w.frames)
+        np.testing.assert_allclose(g.sims, w.sims, atol=1e-5)
+
+
 def test_punch_and_batch_nt2():
     ents = _entries(seed=9, n=5)
     db = FeatureDatabase(ents, norm=None, pad_multiple=64, num_temporal=NT)
