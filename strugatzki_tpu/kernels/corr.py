@@ -141,32 +141,22 @@ def sliding_dot_conv(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fft_len(n: int) -> int:
-    """Smallest 3-smooth (2^a·3^b) length ≥ n, capped at the next power
-    of two.
+    """Next power of two ≥ n — KEEP IT THAT WAY on this backend.
 
-    Linear correlation only needs N ≥ n (windows never wrap for
-    t ≤ N − L when the signal is zero beyond n ≤ N), and the TPU
-    backend's FFT handles radix 3 natively: at the serving shape bucket
-    (Tp=10368 = 2^7·3^4) the rfft+2-irfft trace core measured **19%
-    FASTER than the next power of two 16384** with 37% fewer spectrum
-    bins (tools/fft_radix_probe.py, 2026-08-19: 37.4 vs 46.0 ms at
-    B=2048) — and the bin count is what sizes the compact serving
-    cache (~1.7 GiB of the 10k-file resident set).  Worst observed
-    mixed-radix penalty is +5% (N=12288), and the pow2 cap means the
-    chosen length is never longer than before this rule."""
+    Linear correlation only needs N ≥ n, and a round-5 micro-probe
+    (tools/fft_radix_probe.py) measured the mixed-radix N=10368
+    (2^7·3^4, the exact serving bucket) 19% FASTER than 16384 on a
+    plain [2048, N] rfft+2-irfft core with 37% fewer spectrum bins —
+    but switching `_fft_len` to smallest-3-smooth made the REAL 10k
+    compact programs 3.7–7.6× SLOWER (query 349 → 1292 ms, punch
+    396 → 3026 ms, staging 121 → 305 s; values stayed exact).  The
+    isolated-FFT result does not transfer to the fused per-file
+    [C, N] trace composition on this backend, so benchmark the full
+    program, not the FFT, before touching this again."""
     p = 1
     while p < n:
         p <<= 1
-    best = p
-    t3 = 1
-    while t3 < p:                      # t3 = 3^b
-        m = t3
-        while m < n:
-            m <<= 1                    # m = 3^b · 2^a
-        if m < best:
-            best = m
-        t3 *= 3
-    return best
+    return p
 
 
 def sliding_dot_fft(template: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
